@@ -1,0 +1,88 @@
+"""Static render configuration — the TPU-native analog of the reference's
+pipeline state (``GraphicsPipelineCache.h:38-54``: topology, MSAA, cull mode,
+viewport, blend, depth test/write) plus the raster-kernel tiling knobs.
+
+Everything here is a *static* jit argument: each distinct RenderConfig is one
+compiled XLA executable, mirroring how each GraphicsPipelineInfo is one
+vkPipeline. Resize = a new (width, height) key = a new cache entry, matching
+swapchain recreation (``RenderLoop.cpp:150-171``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import IntEnum
+
+
+class CullMode(IntEnum):
+    NONE = 0
+    BACK = 1   # reference default: back-cull, CCW front (GraphicsPipelineCache.cpp:296-297)
+    FRONT = 2  # shadow pass uses front-culling to avoid peter-panning (ShadowSystem.cpp:37-53)
+
+
+class DebugInput(IntEnum):
+    """View-mode debug switches (reference ``ViewProperties.h:5-25``,
+    consumed in ``pbr.glsl:410-425``)."""
+
+    NONE = 0
+    BASE_COLOR = 1
+    DIFFUSE_COLOR = 2
+    NORMALS = 3
+    OCCLUSION = 4
+    EMISSIVE = 5
+    METALLIC = 6
+    ROUGHNESS = 7
+
+
+class DebugEquation(IntEnum):
+    """BRDF-term debug switches (``ViewProperties.h:27-35``, ``pbr.glsl:427-440``)."""
+
+    NONE = 0
+    DIFFUSE = 1
+    FRESNEL = 2
+    GEOMETRY = 3
+    DISTRIBUTION = 4
+    SPECULAR = 5
+
+
+class ShadingModel(IntEnum):
+    PBR = 0    # the live reference path (surface_pbr.frag + pbr.glsl)
+    PHONG = 1  # minimal-slice model (BASELINE config 1; reference phong.glsl legacy)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Tiling knobs for the tile-binned rasterizer. Hashable/static."""
+
+    tile_h: int = 8          # pixel rows per tile (VPU sublane-friendly)
+    tile_w: int = 128        # pixel cols per tile (VPU lane width)
+    tri_chunk: int = 16      # triangles rastered per tile per inner step
+    max_tris_per_tile: int = 2048  # bin capacity; overflow counted + reported
+    use_pallas: bool = True  # Pallas kernel vs pure-jnp tile loop
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """One frame pipeline's static state. Frozen + hashable => usable as a
+    jit static argument / cache key."""
+
+    width: int = 800          # reference default extent (main.cpp:187)
+    height: int = 600
+    ssaa: int = 1             # supersampling factor (reference uses max MSAA; 1 = off)
+    cull_mode: CullMode = CullMode.BACK
+    depth_write: bool = True
+    depth_test: bool = True   # LessOrEqual (GraphicsPipelineCache.cpp:334)
+    shading: ShadingModel = ShadingModel.PBR
+    shadows: bool = True
+    shadow_extent: int = 4096  # reference RenderScene.cpp:26
+    skybox: bool = True
+    grid: bool = False        # reference constructs but never draws it (SURVEY §2.3)
+    translucency: bool = True # sorted back-to-front blend pass
+    raster: RasterConfig = dataclasses.field(default_factory=RasterConfig)
+
+    def render_extent(self) -> tuple[int, int]:
+        """(H, W) actually rastered (supersampled)."""
+        return self.height * self.ssaa, self.width * self.ssaa
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
