@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness: Sponza-scale scene at 1080p with shadows on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline (BASELINE.md): the reference's design target of 60 FPS at
+1920x1080 on a Sponza-scale scene with PBR + directional shadow mapping.
+vs_baseline = fps / 60.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small scene/res sanity run (not the headline metric)")
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--shadow-extent", type=int, default=2048)
+    ap.add_argument("--backend", type=str, default=None)
+    ap.add_argument("--tris", type=int, default=260_000)
+    ap.add_argument("--textures", type=int, default=200)
+    args = ap.parse_args()
+
+    import jax
+
+    from renderengine_tpu.core.config import RenderConfig
+    from renderengine_tpu.graph.frame import FrameRenderer
+    from renderengine_tpu.scene import procedural
+    from renderengine_tpu.scene.camera import ViewProperties
+
+    if args.quick:
+        args.width, args.height = 320, 240
+        args.tris, args.textures = 5_000, 16
+        args.shadow_extent = 256
+        args.frames = 5
+
+    scene = procedural.sponza_scene(width=args.width, height=args.height,
+                                    n_textures=args.textures,
+                                    target_tris=args.tris)
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       shadow_extent=args.shadow_extent)
+    r = FrameRenderer(scene, cfg, backend=args.backend)
+    n_tris = int(np.asarray(r.scene_dev["n_tris"]))
+    print(f"# scene: {n_tris} tris, {len(scene.textures)} textures, "
+          f"{args.width}x{args.height}, shadows {args.shadow_extent}^2, "
+          f"backend={r.backend}, device={jax.devices()[0].platform}", file=sys.stderr)
+
+    # warmup / compile
+    t0 = time.time()
+    img = r.render()
+    img.block_until_ready()
+    print(f"# compile+first frame: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # timed frames with a slowly orbiting camera (new params each frame, no
+    # recompilation — same static shapes)
+    cam = scene.camera
+    eye0 = np.asarray(cam.eye, np.float32).copy()
+    times = []
+    for i in range(args.frames):
+        ang = 0.02 * i
+        cam.set_camera_view(
+            np.array([eye0[0] * np.cos(ang) - eye0[2] * np.sin(ang), eye0[1],
+                      eye0[0] * np.sin(ang) + eye0[2] * np.cos(ang)], np.float32),
+            cam.look_at, np.array([0, 1, 0], np.float32))
+        vp = ViewProperties.from_camera(cam)
+        t0 = time.time()
+        img = r.render(vp)
+        img.block_until_ready()
+        times.append(time.time() - t0)
+    median = float(np.median(times))
+    fps = 1.0 / median
+    mtris = n_tris * fps / 1e6
+
+    print(f"# median frame {median*1000:.2f} ms; {fps:.2f} FPS; "
+          f"{mtris:.1f} Mtris/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "fps_1080p_sponza_shadows" if not args.quick else "fps_quick",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 60.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Triangle -> tile binning (device-side, per frame).
+
+The TPU answer to the irregular "draw call" structure: instead of
+scan-converting triangles one at a time, we build (tile, triangle) pairs
+with a sort — all dense XLA ops:
+
+1. per-triangle covered tile span from its screen bbox
+2. exclusive-scan the span sizes -> pair slots
+3. each slot finds its triangle by binary search (searchsorted)
+4. stable-sort pairs by tile id (payload: triangle id)
+5. per-tile segments via searchsorted over the sorted keys
+
+The stable sort preserves ascending triangle ids within a tile, which
+keeps the (depth, lowest-id) winner semantics identical to the brute-force
+rasterizer.
+
+Pair-table capacity is a static budget; overflow is counted and reported
+(``n_overflow``) rather than silently dropped — the reference's analog of
+bounded bindless capacity (1024 slots, ``Bindless.h:76``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import jax
+
+from .setup import TriSetup
+
+
+class TileBins(NamedTuple):
+    pair_tri: jnp.ndarray    # [MAX_PAIRS] i32 triangle id (sorted by tile)
+    pair_valid: jnp.ndarray  # [MAX_PAIRS] bool
+    starts: jnp.ndarray      # [n_tiles] i32 first pair index per tile
+    counts: jnp.ndarray      # [n_tiles] i32 pairs per tile
+    n_overflow: jnp.ndarray  # scalar i32: pairs that didn't fit the budget
+
+
+def bin_triangles(setup: TriSetup, height: int, width: int,
+                  tile_h: int, tile_w: int, max_pairs: int) -> TileBins:
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    n_tiles = ntx * nty
+
+    bbox = setup.bbox
+    tx0 = bbox[:, 0] // tile_w
+    ty0 = bbox[:, 1] // tile_h
+    tx1 = bbox[:, 2] // tile_w
+    ty1 = bbox[:, 3] // tile_h
+    nx = (tx1 - tx0 + 1)
+    ny = (ty1 - ty0 + 1)
+    span = jnp.where(setup.valid, nx * ny, 0).astype(jnp.int32)
+
+    offsets = jnp.cumsum(span) - span            # exclusive scan
+    total = offsets[-1] + span[-1]
+    n_overflow = jnp.maximum(total - max_pairs, 0)
+
+    slots = jnp.arange(max_pairs, dtype=jnp.int32)
+    # triangle owning each slot: last t with offsets[t] <= s
+    tri = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32) - 1
+    tri = jnp.clip(tri, 0, span.shape[0] - 1)
+    local = slots - offsets[tri]
+    dy = local // nx[tri]
+    dx = local - dy * nx[tri]
+    tile = (ty0[tri] + dy) * ntx + (tx0[tri] + dx)
+    slot_valid = slots < jnp.minimum(total, max_pairs)
+    key = jnp.where(slot_valid, tile, n_tiles).astype(jnp.int32)  # invalid sorts last
+
+    sorted_key, sorted_tri = jax.lax.sort((key, tri), dimension=0, num_keys=1,
+                                          is_stable=True)
+    starts = jnp.searchsorted(sorted_key, jnp.arange(n_tiles, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_key, jnp.arange(n_tiles, dtype=jnp.int32),
+                            side="right").astype(jnp.int32)
+    return TileBins(sorted_tri, sorted_key < n_tiles, starts, ends - starts,
+                    n_overflow)

@@ -1,0 +1,278 @@
+"""Procedural meshes, textures and scenes.
+
+These play the role of the reference's sample assets (the repo ships no
+Sponza): geometry authored counter-clockwise viewed from outside (front-
+facing under the reference's cull config, ``GraphicsPipelineCache.cpp:296-297``
++ kClip y-flip), plus a Sponza-scale procedural scene for the benchmark
+(BASELINE config 3: multi-mesh, hundreds of textures, bindless materials).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import math3d
+from .camera import Camera
+from .lights import Light, LightSystem, LightType
+from .materials import AlphaMode, MaterialInstanceInfo, MaterialProperties, MaterialSystem
+from .scene import Scene
+from ..core.aabb import AABB
+
+# --- meshes -------------------------------------------------------------
+
+
+def make_box(half=1.0):
+    """Unit cube, 24 verts / 12 tris, per-face normals + uvs, CCW outside.
+
+    returns (positions[24,3], normals[24,3], uvs[24,2], indices[36])
+    """
+    h = float(half)
+    faces = [
+        # (normal, u axis, v axis)
+        ((0, 0, 1), (1, 0, 0), (0, 1, 0)),
+        ((0, 0, -1), (-1, 0, 0), (0, 1, 0)),
+        ((1, 0, 0), (0, 0, -1), (0, 1, 0)),
+        ((-1, 0, 0), (0, 0, 1), (0, 1, 0)),
+        ((0, 1, 0), (1, 0, 0), (0, 0, -1)),
+        ((0, -1, 0), (1, 0, 0), (0, 0, 1)),
+    ]
+    pos, nrm, uv, idx = [], [], [], []
+    for f, (n, u, v) in enumerate(faces):
+        n, u, v = (np.array(a, np.float32) for a in (n, u, v))
+        # CCW when viewed from outside (along +n)
+        corners = [n * h - u * h - v * h, n * h + u * h - v * h,
+                   n * h + u * h + v * h, n * h - u * h + v * h]
+        base = 4 * f
+        pos += corners
+        nrm += [n] * 4
+        uv += [np.array(t, np.float32) for t in ((0, 1), (1, 1), (1, 0), (0, 0))]
+        idx += [base, base + 1, base + 2, base, base + 2, base + 3]
+    return np.stack(pos), np.stack(nrm), np.stack(uv), np.array(idx, np.uint32)
+
+
+def make_plane(half=1.0, normal_axis=1):
+    """Quad in the plane perpendicular to ``normal_axis`` (+y default),
+    facing +axis, CCW from above."""
+    h = float(half)
+    if normal_axis == 1:
+        pos = np.array([[-h, 0, h], [h, 0, h], [h, 0, -h], [-h, 0, -h]], np.float32)
+        nrm = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    elif normal_axis == 2:
+        pos = np.array([[-h, -h, 0], [h, -h, 0], [h, h, 0], [-h, h, 0]], np.float32)
+        nrm = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    else:
+        raise ValueError(normal_axis)
+    uv = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint32)
+    return pos, nrm, uv, idx
+
+
+def make_uv_sphere(radius=1.0, stacks=16, slices=32):
+    """UV sphere, CCW outside."""
+    vs, ns, uvs = [], [], []
+    for i in range(stacks + 1):
+        phi = np.pi * i / stacks
+        for j in range(slices + 1):
+            theta = 2 * np.pi * j / slices
+            n = np.array([np.sin(phi) * np.cos(theta), np.cos(phi), np.sin(phi) * np.sin(theta)], np.float32)
+            vs.append(n * radius)
+            ns.append(n)
+            uvs.append(np.array([j / slices, i / stacks], np.float32))
+    idx = []
+    for i in range(stacks):
+        for j in range(slices):
+            a = i * (slices + 1) + j
+            b = a + slices + 1
+            # CCW viewed from outside (y-up, phi from +y pole)
+            idx += [a, a + 1, b, b, a + 1, b + 1]
+    return np.stack(vs), np.stack(ns), np.stack(uvs), np.array(idx, np.uint32)
+
+
+# --- textures -----------------------------------------------------------
+
+
+def checker_texture(size=256, tiles=8, c0=(255, 255, 255), c1=(40, 40, 40)):
+    y, x = np.mgrid[0:size, 0:size]
+    mask = ((x * tiles // size) + (y * tiles // size)) % 2
+    img = np.empty((size, size, 4), np.uint8)
+    img[..., :3] = np.where(mask[..., None] == 0, np.uint8(c0), np.uint8(c1))
+    img[..., 3] = 255
+    return img
+
+
+def noise_texture(size=256, rng=None, base=(128, 128, 128), amp=80):
+    rng = rng or np.random.default_rng(0)
+    img = np.clip(
+        np.asarray(base, np.float32) + rng.normal(0, amp / 3, (size, size, 3)), 0, 255
+    ).astype(np.uint8)
+    return np.concatenate([img, np.full((size, size, 1), 255, np.uint8)], axis=-1)
+
+
+def gradient_cubemap(size=64):
+    """Simple sky cubemap: blue-ish up, warm horizon, dark down."""
+    faces = []
+    axes = [(1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)]
+    uv = (np.mgrid[0:size, 0:size].astype(np.float32) + 0.5) / size * 2 - 1
+    v, u = uv[0], uv[1]
+    for ax in axes:
+        ax = np.array(ax, np.float32)
+        # direction per texel for a standard cube-face layout
+        if ax[0]:
+            d = np.stack([np.full_like(u, ax[0]), -v, -u * ax[0]], -1)
+        elif ax[1]:
+            d = np.stack([u, np.full_like(u, ax[1]), v * ax[1]], -1)
+        else:
+            d = np.stack([u * ax[2], -v, np.full_like(u, ax[2])], -1)
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        t = np.clip(d[..., 1] * 0.5 + 0.5, 0, 1)[..., None]
+        sky = np.array([90, 140, 220], np.float32)
+        horizon = np.array([210, 170, 120], np.float32)
+        ground = np.array([40, 35, 30], np.float32)
+        col = np.where(t > 0.5, horizon + (sky - horizon) * (t - 0.5) * 2, ground + (horizon - ground) * t * 2)
+        img = np.concatenate([col, np.full((size, size, 1), 255.0)], -1)
+        faces.append(np.clip(img, 0, 255).astype(np.uint8))
+    return np.stack(faces)
+
+
+# --- scenes -------------------------------------------------------------
+
+
+def cube_scene(textured=True, width=800, height=600) -> Scene:
+    """BASELINE config 1: single textured cube + one directional light."""
+    sc = Scene()
+    tex = sc.textures.add_texture(checker_texture(), key="checker") if textured else -1
+    mat = sc.materials.create_material_instance(
+        MaterialInstanceInfo(
+            MaterialProperties(
+                base_color=np.array([1, 1, 1, 1], np.float32),
+                perceptual_roughness=0.6,
+                base_color_texture=tex,
+            )
+        )
+    )
+    node = sc.tree.create_node(np.eye(4, dtype=np.float32),
+                               AABB.from_points([[-1, -1, -1], [1, 1, 1]]))
+    p, n, u, i = make_box()
+    base = sc.meshes.add_vertices(p, n, u)
+    sc.meshes.add_mesh(i + base, mat, node)
+    lid = sc.lights.add_light(
+        Light(
+            type=LightType.DIRECTIONAL,
+            color=np.ones(3, np.float32),
+            direction=math3d.normalize([-0.5, -1.0, -0.3]),
+            intensity=3.0,
+        )
+    )
+    sc.create_shadow_map(lid)
+    sc.textures.set_cubemap(gradient_cubemap())
+    sc.camera = Camera(eye=np.array([2.5, 2.0, 2.5], np.float32),
+                       look_at=np.zeros(3, np.float32),
+                       up=np.array([0, 1, 0], np.float32),
+                       fov_degrees=45.0, near=0.1, far=100.0,
+                       width=width, height=height, exposure=1.0)
+    return sc
+
+
+def sponza_scene(width=1920, height=1080, seed=0,
+                 n_textures=200, target_tris=260_000) -> Scene:
+    """Sponza-scale procedural benchmark scene: a colonnaded atrium —
+    floor, walls, two rows of columns with capitals, arches, hanging
+    translucent banners — with ``n_textures`` distinct textures and
+    ~``target_tris`` triangles (the reference's benchmark scale,
+    BASELINE.md)."""
+    rng = np.random.default_rng(seed)
+    sc = Scene()
+
+    # texture + material pool
+    handles = []
+    for t in range(n_textures):
+        if t % 3 == 0:
+            img = checker_texture(128, tiles=int(rng.integers(2, 12)),
+                                  c0=tuple(rng.integers(120, 255, 3)),
+                                  c1=tuple(rng.integers(0, 120, 3)))
+        else:
+            img = noise_texture(128, rng, base=tuple(rng.integers(60, 200, 3)))
+        handles.append(sc.textures.add_texture(img, key=f"proc{t}"))
+    mats = []
+    for t in range(n_textures):
+        alpha = AlphaMode.BLEND if t % 29 == 7 else AlphaMode.OPAQUE
+        base_alpha = 0.45 if alpha == AlphaMode.BLEND else 1.0
+        mats.append(
+            sc.materials.create_material_instance(
+                MaterialInstanceInfo(
+                    MaterialProperties(
+                        base_color=np.array([1, 1, 1, base_alpha], np.float32),
+                        perceptual_roughness=float(rng.uniform(0.2, 0.95)),
+                        metallic=float(rng.uniform(0, 0.4)),
+                        f0=0.04,
+                        base_color_texture=handles[t],
+                    ),
+                    alpha_mode=alpha,
+                )
+            )
+        )
+
+    box = make_box(0.5)
+    sphere_hi = make_uv_sphere(0.5, stacks=24, slices=48)   # 2304 tris
+    sphere_lo = make_uv_sphere(0.5, stacks=12, slices=24)   # 576 tris
+    plane = make_plane(0.5)
+
+    tri_budget = 0
+
+    def add(geo, transform, mat, aabb_pts):
+        nonlocal tri_budget
+        p, n, u, i = geo
+        node = sc.tree.create_node(transform, AABB.from_points(aabb_pts))
+        base = sc.meshes.add_vertices(p, n, u)
+        sc.meshes.add_mesh(i + base, mat, node)
+        tri_budget += len(i) // 3
+
+    # atrium: 40m x 20m floor
+    add(plane, math3d.translate([0, 0, 0]) @ math3d.scale([40, 1, 20]),
+        mats[0], [[-0.5, 0, -0.5], [0.5, 0, 0.5]])
+    # walls
+    for (tz, rot) in ((-10, 0.0), (10, np.pi)):
+        add(plane, math3d.translate([0, 4, tz]) @ math3d.rotate(rot + np.pi / 2, [1, 0, 0]) @ math3d.scale([40, 1, 8]),
+            mats[1 % len(mats)], [[-0.5, -0.5, -0.05], [0.5, 0.5, 0.05]])
+    # column rows: spheres on boxes (sphere tessellation carries the tri load)
+    mi = 2
+    cx = np.linspace(-18, 18, 13)
+    while tri_budget < target_tris:
+        for x in cx:
+            for z in (-6.0, 6.0):
+                m = mats[mi % len(mats)]
+                mi += 1
+                add(box, math3d.translate([x, 1.5, z]) @ math3d.scale([0.8, 3.0, 0.8]),
+                    m, [[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]])
+                add(sphere_hi if tri_budget < target_tris * 0.8 else sphere_lo,
+                    math3d.translate([x, 3.4, z]) @ math3d.scale(0.9),
+                    mats[mi % len(mats)],
+                    [[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]])
+                mi += 1
+                if tri_budget >= target_tris:
+                    break
+            if tri_budget >= target_tris:
+                break
+        # banners (translucent) across the nave
+        for k, x in enumerate(np.linspace(-15, 15, 8)):
+            m = mats[(29 * k + 7) % len(mats)]
+            add(plane, math3d.translate([x, 3.0, 0]) @ math3d.rotate(np.pi / 2, [1, 0, 0]) @ math3d.scale([2.0, 1, 3.0]),
+                m, [[-0.5, -0.05, -0.5], [0.5, 0.05, 0.5]])
+
+    lid = sc.lights.add_light(
+        Light(type=LightType.DIRECTIONAL, color=np.ones(3, np.float32),
+              direction=math3d.normalize([-0.35, -1.0, 0.25]), intensity=3.5)
+    )
+    sc.create_shadow_map(lid)
+    sc.lights.add_light(
+        Light(type=LightType.POINT, color=np.array([1.0, 0.7, 0.4], np.float32),
+              position=np.array([0.0, 3.0, 0.0], np.float32), intensity=40.0,
+              falloff_radius=12.0)
+    )
+    sc.textures.set_cubemap(gradient_cubemap())
+    sc.camera = Camera(eye=np.array([-16.0, 3.0, 0.0], np.float32),
+                       look_at=np.array([10.0, 2.0, 0.0], np.float32),
+                       up=np.array([0, 1, 0], np.float32),
+                       fov_degrees=60.0, near=0.1, far=120.0,
+                       width=width, height=height, exposure=1.0)
+    return sc

@@ -1,0 +1,108 @@
+"""RenderScene — the per-frame orchestrator owning all scene systems.
+
+Reference: ``Source/Runtime/Renderer/RenderScene.{h,cpp}`` owns
+MeshAllocator, SceneTree, LightSystem, ShadowSystem, CameraViewSystem,
+MaterialSystem, Grid, Skybox; splits meshes into opaque (sorted by material
+then node, ``RenderScene.cpp:105-125``) and translucent (re-sorted
+back-to-front per frame, ``:127-159``).
+
+TPU-native: ``upload()`` produces one flat dict of device arrays (the
+"DeviceScene") consumed by the jitted frame function. The opaque/translucent
+split becomes two triangle index ranges; back-to-front ordering of
+translucent triangles happens on device per frame (``raster/order.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.aabb import AABB
+from .camera import Camera
+from .lights import LightSystem
+from .materials import MaterialSystem, AlphaMode, material_handle_index
+from .mesh import MeshAllocator
+from .scene_tree import SceneTree
+from .textures import TextureCache
+
+
+@dataclass
+class Scene:
+    meshes: MeshAllocator = field(default_factory=MeshAllocator)
+    tree: SceneTree = field(default_factory=SceneTree)
+    lights: LightSystem = field(default_factory=LightSystem)
+    materials: MaterialSystem = field(default_factory=MaterialSystem)
+    textures: TextureCache = field(default_factory=TextureCache)
+    camera: Camera = field(default_factory=Camera)
+    n_shadow_maps: int = 0
+
+    def create_shadow_map(self, light_id: int) -> int:
+        """Reference ``ShadowSystem::CreateShadowMap`` (``ShadowSystem.cpp:229-238``):
+        one depth map per directional light."""
+        shadow_id = self.n_shadow_maps
+        self.n_shadow_maps += 1
+        self.lights.set_light_shadow_id(light_id, shadow_id)
+        return shadow_id
+
+    def scene_aabb(self) -> AABB:
+        return self.tree.scene_aabb()
+
+    def node_world_aabbs(self) -> tuple[list[AABB], list[np.ndarray]]:
+        return self.tree.local_aabbs, self.tree.transforms
+
+    # --- device upload -------------------------------------------------
+
+    def upload(self, pad_tris_to: int = 256) -> dict:
+        """Build the flat device dict. Triangle arrays are split into an
+        opaque range [0, n_opaque) and a translucent range [n_opaque, n_tris),
+        then padded to a multiple of ``pad_tris_to`` with degenerate
+        triangles (all-zero vertices -> zero area -> never rastered), so
+        scene edits of similar size reuse the jit cache."""
+        pos, nrm, uv, vert_node, tri_vidx, tri_mat_handle, tri_node = self.meshes.build_arrays()
+        transforms, normal_mats = self.tree.build_arrays()
+
+        # opaque/translucent split by material alpha mode
+        tri_mat = np.array([material_handle_index(int(h)) for h in tri_mat_handle], np.int32)
+        mat_arrays = self.materials.build_arrays()
+        alpha_modes = mat_arrays["mat_alpha_mode"]
+        is_blend = alpha_modes[tri_mat] == int(AlphaMode.BLEND) if len(tri_mat) else np.zeros(0, bool)
+        order = np.argsort(is_blend, kind="stable")
+        tri_vidx = tri_vidx[order]
+        tri_mat = tri_mat[order]
+        tri_node = tri_node[order]
+        n_opaque = int((~is_blend).sum())
+        n_tris = len(tri_vidx)
+
+        # pad with degenerate triangles
+        pad = (-n_tris) % pad_tris_to if n_tris else pad_tris_to
+        if pad:
+            tri_vidx = np.concatenate([tri_vidx, np.zeros((pad, 3), np.int32)])
+            tri_mat = np.concatenate([tri_mat, np.zeros(pad, np.int32)])
+            tri_node = np.concatenate([tri_node, np.zeros(pad, np.int32)])
+        if len(pos) == 0:
+            pos = np.zeros((1, 3), np.float32)
+            nrm = np.zeros((1, 3), np.float32)
+            uv = np.zeros((1, 2), np.float32)
+            vert_node = np.zeros(1, np.int32)
+        if len(transforms) == 0:
+            transforms = np.eye(4, dtype=np.float32)[None]
+            normal_mats = np.eye(3, dtype=np.float32)[None]
+
+        device = {
+            "positions": pos,
+            "normals": nrm,
+            "uvs": uv,
+            "vert_node": vert_node,
+            "tri_vidx": tri_vidx,
+            "tri_material": tri_mat,
+            "tri_node": tri_node,
+            "n_tris": np.int32(n_tris),
+            "n_opaque": np.int32(n_opaque),
+            "transforms": transforms,
+            "normal_mats": normal_mats,
+        }
+        device.update(mat_arrays)
+        device.update(self.lights.build_arrays())
+        device.update(self.textures.build_atlas())
+        return device

@@ -1,0 +1,232 @@
+"""Texture cache + HBM atlas builder.
+
+Reference: ``Source/Runtime/Renderer/TextureCache.{h,cpp}`` (stb/tinyexr
+loading, path-hash dedup, full mip chains via blit halving
+``Texture.cpp:50-136``, samplers linear/repeat) and the bindless texture
+array (``Bindless.cpp:221-241``: StoreTexture -> integer handle).
+
+TPU-native design: instead of 1024 descriptor slots we build a **layered
+atlas** — for each mip level L an array ``[pages, S>>L, S>>L, 4] uint8`` —
+plus an int32 texture table ``(page, x, y, w, h, n_mips)``. A texture
+handle is its row index in the table; sampling is a device gather
+(``shading/sampling.py``). Textures are snapped to power-of-two sizes and
+placed at size-aligned offsets so every mip level's offsets divide exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.asset_path import AssetPath
+from ..core.hashing import fnv_hash_str
+from ..utils import png
+
+
+def _next_pot(x: int) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(1, x)))))
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Host-side bilinear resize, uint8 [H,W,C]."""
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int32), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int32), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0, 1)[:, None, None]
+    fx = np.clip(xs - x0, 0, 1)[None, :, None]
+    img_f = img.astype(np.float32)
+    top = img_f[y0][:, x0] * (1 - fx) + img_f[y0][:, x1] * fx
+    bot = img_f[y1][:, x0] * (1 - fx) + img_f[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def to_rgba8(img: np.ndarray) -> np.ndarray:
+    """Any [H,W] / [H,W,1..4] uint8 image -> [H,W,4] uint8 (alpha=255)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c == 4:
+        return np.ascontiguousarray(img)
+    out = np.empty((h, w, 4), np.uint8)
+    if c == 1:
+        out[..., :3] = img
+    elif c == 2:  # gray + alpha
+        out[..., :3] = img[..., :1]
+        out[..., 3] = img[..., 1]
+        return out
+    else:
+        out[..., :3] = img[..., :3]
+    out[..., 3] = 255
+    return out
+
+
+def generate_mips(img: np.ndarray) -> list[np.ndarray]:
+    """Full mip chain by 2x2 box average — the TPU-side equivalent of the
+    reference's successive vkCmdBlitImage halving loop (``Texture.cpp:50-136``).
+    Input must be POT-sized RGBA8."""
+    mips = [img]
+    cur = img.astype(np.float32)
+    while cur.shape[0] > 1 or cur.shape[1] > 1:
+        h = max(1, cur.shape[0] // 2)
+        w = max(1, cur.shape[1] // 2)
+        cur = cur[: h * 2, : w * 2].reshape(h, 2, w, 2, 4).mean(axis=(1, 3))
+        mips.append(np.clip(np.round(cur), 0, 255).astype(np.uint8))
+    return mips
+
+
+@dataclass
+class _PendingTexture:
+    image: np.ndarray  # POT RGBA8
+    n_mips: int
+
+
+@dataclass
+class TextureCache:
+    """Collects textures, then ``build_atlas()`` packs them once — the
+    analog of staged uploads flushed by ``UploadTextures``
+    (``TextureCache.cpp:293-305``)."""
+
+    page_size: int = 2048
+    _textures: list = field(default_factory=list)   # list[_PendingTexture]
+    _by_key: dict = field(default_factory=dict)     # dedup: path hash -> handle
+    cubemap: np.ndarray | None = None               # [6,S,S,4] uint8
+
+    def add_texture(self, image: np.ndarray, key: str | None = None, mips: bool = True) -> int:
+        """Register an image (any uint8 layout); returns the texture handle.
+        ``key`` enables path-dedup like the reference's path-hash map
+        (``TextureCache.cpp:50-60``)."""
+        if key is not None:
+            k = fnv_hash_str(key)
+            if k in self._by_key:
+                return self._by_key[k]
+        rgba = to_rgba8(np.asarray(image, np.uint8))
+        h, w = rgba.shape[:2]
+        ph, pw = min(_next_pot(h), self.page_size), min(_next_pot(w), self.page_size)
+        rgba = resize_bilinear(rgba, ph, pw)
+        n_mips = int(np.log2(min(ph, pw))) + 1 if mips else 1
+        self._textures.append(_PendingTexture(rgba, n_mips))
+        handle = len(self._textures) - 1
+        if key is not None:
+            self._by_key[fnv_hash_str(key)] = handle
+        return handle
+
+    def load_texture(self, path: AssetPath | str, mips: bool = True) -> int:
+        """Load an image file (PNG; .npy accepted for tests). Returns the
+        handle, deduped by path (``TextureCache.cpp:50-106``)."""
+        p = AssetPath(str(path)) if not isinstance(path, AssetPath) else path
+        disk = p.get_path_on_disk()
+        key = str(p)
+        k = fnv_hash_str(key)
+        if k in self._by_key:
+            return self._by_key[k]
+        if str(disk).endswith(".npy"):
+            img = np.load(disk)
+        else:
+            img = png.read_png(str(disk))
+        return self.add_texture(img, key=key, mips=mips)
+
+    def load_cubemap_faces(self, face_paths: list) -> None:
+        """6 files -> [6,S,S,4]; black faces on error
+        (``TextureCache.cpp:199-291``). Face order: +x,-x,+y,-y,+z,-z."""
+        faces = []
+        size = None
+        for fp in face_paths:
+            try:
+                p = AssetPath(str(fp)) if not isinstance(fp, AssetPath) else fp
+                img = to_rgba8(png.read_png(str(p.get_path_on_disk())))
+                if size is None:
+                    size = img.shape[0]
+                img = resize_bilinear(img, size, size)
+            except Exception:
+                img = None
+            faces.append(img)
+        if size is None:
+            size = 4
+        faces = [f if f is not None else np.zeros((size, size, 4), np.uint8) for f in faces]
+        self.cubemap = np.stack(faces)
+
+    def set_cubemap(self, faces: np.ndarray) -> None:
+        """Directly install a [6,S,S,4] uint8 cubemap."""
+        f = np.asarray(faces, np.uint8)
+        assert f.ndim == 4 and f.shape[0] == 6 and f.shape[1] == f.shape[2]
+        self.cubemap = f
+
+    def __len__(self) -> int:
+        return len(self._textures)
+
+    def build_atlas(self) -> dict:
+        """Pack all textures. Returns the device dict:
+
+        - ``atlas``: [P, 2S, S, 4] uint8 — all mip levels in ONE array so
+          per-pixel LOD selection is arithmetic, not a python-level switch
+          over differently-shaped arrays. Level L of the page occupies rows
+          [mip_y[L], mip_y[L] + S>>L) at 1/2^L scale; mip_y[L] =
+          S * (2 - 2^(1-L)) (0, S, 3S/2, 7S/4, ...).
+        - ``tex_table``: int32 [N, 6] = (page, x, y, w, h, n_mips) at mip 0
+        - ``mip_y``: int32 [max_levels] row offset per level
+        - ``cubemap``: [6,S,S,4] uint8 (black 1-px if none)
+        """
+        s = self.page_size
+        # Shelf packing, biggest-first, offsets aligned to texture size so
+        # mip offsets divide exactly.
+        order = sorted(range(len(self._textures)),
+                       key=lambda i: -self._textures[i].image.shape[0])
+        table = np.zeros((max(1, len(self._textures)), 6), np.int32)
+        pages: list[list] = []  # per page: list of shelves [y, height, x_used]
+
+        def place(w: int, h: int) -> tuple[int, int, int]:
+            for pi, shelves in enumerate(pages):
+                for shelf in shelves:
+                    y, sh, x_used = shelf
+                    x = ((x_used + w - 1) // w) * w  # align x to width
+                    if sh >= h and x + w <= s:
+                        shelf[2] = x + w
+                        return pi, x, y
+                # new shelf in this page
+                y_next = shelves[-1][0] + shelves[-1][1] if shelves else 0
+                y_next = ((y_next + h - 1) // h) * h  # align y to height
+                if y_next + h <= s:
+                    shelves.append([y_next, h, w])
+                    return pi, 0, y_next
+            pages.append([[0, h, w]])
+            return len(pages) - 1, 0, 0
+
+        max_mips = 1
+        for i in order:
+            t = self._textures[i]
+            h, w = t.image.shape[:2]
+            page, x, y = place(w, h)
+            table[i] = (page, x, y, w, h, t.n_mips)
+            max_mips = max(max_mips, t.n_mips)
+
+        n_pages = max(1, len(pages))
+        n_levels = int(np.log2(s)) + 1
+        mip_y = np.zeros(n_levels, np.int32)
+        acc = 0
+        for lvl in range(n_levels):
+            mip_y[lvl] = acc
+            acc += max(1, s >> lvl)
+        atlas = np.zeros((n_pages, 2 * s, s, 4), np.uint8)
+        for i, t in enumerate(self._textures):
+            page, x, y, w, h, n_mips = table[i]
+            mips = generate_mips(t.image)
+            for lvl in range(n_mips):
+                mw, mh = max(1, w >> lvl), max(1, h >> lvl)
+                ry = mip_y[lvl] + (y >> lvl)
+                atlas[page, ry : ry + mh, x >> lvl : (x >> lvl) + mw] = mips[lvl]
+
+        cube = self.cubemap if self.cubemap is not None else np.zeros((6, 1, 1, 4), np.uint8)
+        return {
+            "atlas": atlas,
+            "tex_table": table,
+            "mip_y": mip_y,
+            "cubemap": cube,
+        }

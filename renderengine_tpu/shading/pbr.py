@@ -1,0 +1,269 @@
+"""Filament-style PBR shading — the deferred-fragment-stage port of
+``Assets/Shaders/pbr.glsl`` + ``surface_pbr.frag``.
+
+Operates on [H,W]-shaped interpolated fragment attributes (the G-buffer
+resolve), dense over the framebuffer: every op is VPU-elementwise or a
+texture gather, and XLA fuses the whole chain. The light loop vectorizes
+over the (small, static) light axis.
+
+Every formula cites its GLSL line so parity can be audited.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.config import DebugEquation, DebugInput
+from . import sampling
+from .srgb import srgb_to_linear
+from .shadow import compute_shadow_directional
+
+PI = 3.14159265359
+
+
+# --- BRDF terms (pbr.glsl:237-280) ---------------------------------------
+
+def d_ggx(noh, a):
+    a2 = a * a
+    f = (noh * a2 - noh) * noh + 1.0
+    return a2 / (PI * f * f)
+
+
+def f_schlick(u, f0):
+    return f0 + (1.0 - f0) * jnp.power(1.0 - u, 5.0)[..., None]
+
+
+def g_smith_ggx_correlated(nov, nol, a):
+    a2 = a * a
+    ggxl = nov * jnp.sqrt((-nol * a2 + nol) * nol + a2)
+    ggxv = nol * jnp.sqrt((-nov * a2 + nov) * nov + a2)
+    return 0.5 / jnp.maximum(ggxv + ggxl, 1e-9)
+
+
+def fd_lambert():
+    return 1.0 / PI
+
+
+# --- material fetch + remap (pbr.glsl:100-233) ----------------------------
+
+def _sample_or(scene, handle, uv, lod, default):
+    """texture-if-present: reference tests handle < MAX_DESCRIPTOR_COUNT
+    (``pbr.glsl:102``); here invalid handles are negative."""
+    ok = handle >= 0
+    s = sampling.sample_texture(scene["atlas"], scene["tex_table"], scene["mip_y"],
+                                handle, uv, lod)
+    return jnp.where(ok[..., None], s, default)
+
+
+def _material_lod(scene, handle, duv_dx, duv_dy):
+    """Per-slot implicit LOD: texel-space derivative magnitude using this
+    slot's own mip-0 size (texture() semantics)."""
+    row = scene["tex_table"][jnp.clip(handle, 0, scene["tex_table"].shape[0] - 1)]
+    w = row[..., 3].astype(jnp.float32)
+    h = row[..., 4].astype(jnp.float32)
+    size = jnp.stack([w, h], axis=-1)
+    dx = duv_dx * size
+    dy = duv_dy * size
+    rho = jnp.maximum(jnp.sqrt((dx * dx).sum(-1)), jnp.sqrt((dy * dy).sum(-1)))
+    return jnp.log2(jnp.maximum(rho, 1e-20))
+
+
+def remap_material(scene, mat_id, frag_pos, uv, frag_normal):
+    """GetBaseColor/GetEmissive/GetNormal/GetOcclusionRoughnessMetallic +
+    RemapMaterial (``pbr.glsl:100-233``)."""
+    m = {k: scene[k][mat_id] for k in (
+        "mat_base_color", "mat_emissive", "mat_f0", "mat_metallic",
+        "mat_roughness", "mat_ao", "mat_tex_base", "mat_tex_emissive",
+        "mat_tex_orm", "mat_tex_normal", "mat_alpha_mode")}
+
+    duv_dx = sampling.quad_dfdx(uv)
+    duv_dy = sampling.quad_dfdy(uv)
+
+    def slot(handle_key):
+        h = m[handle_key]
+        return h, _material_lod(scene, h, duv_dx, duv_dy)
+
+    hb, lodb = slot("mat_tex_base")
+    base_tex = _sample_or(scene, hb, uv, lodb, jnp.ones(4))
+    base_color = m["mat_base_color"] * jnp.concatenate(
+        [srgb_to_linear(base_tex[..., :3]), base_tex[..., 3:4]], axis=-1)
+    base_color = jnp.where((hb >= 0)[..., None], base_color, m["mat_base_color"])
+
+    he, lode = slot("mat_tex_emissive")
+    em_tex = _sample_or(scene, he, uv, lode, jnp.ones(4))
+    emissive = m["mat_emissive"] * jnp.concatenate(
+        [srgb_to_linear(em_tex[..., :3]), em_tex[..., 3:4]], axis=-1)
+    emissive = jnp.where((he >= 0)[..., None], emissive, m["mat_emissive"])
+
+    ho, lodo = slot("mat_tex_orm")
+    orm_tex = _sample_or(scene, ho, uv, lodo, jnp.ones(4))
+    occ = jnp.where(ho >= 0, m["mat_ao"] * orm_tex[..., 0], m["mat_ao"])
+    prough = jnp.where(ho >= 0, m["mat_roughness"] * orm_tex[..., 1], m["mat_roughness"])
+    metal = jnp.where(ho >= 0, m["mat_metallic"] * orm_tex[..., 2], m["mat_metallic"])
+
+    # normal mapping via screen-space derivatives (pbr.glsl:121-145)
+    hn, lodn = slot("mat_tex_normal")
+    tn = _sample_or(scene, hn, uv, lodn, jnp.full(4, 0.5))[..., :3] * 2.0 - 1.0
+    q1 = sampling.quad_dfdx(frag_pos)
+    q2 = sampling.quad_dfdy(frag_pos)
+    st1 = duv_dx
+    st2 = duv_dy
+
+    def norm(v):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+    n_geo = norm(frag_normal)
+    t = norm(q1 * st2[..., 1:2] - q2 * st1[..., 1:2])
+    b = -norm(jnp.cross(n_geo, t))
+    mapped = norm(
+        t * tn[..., 0:1] + b * tn[..., 1:2] + n_geo * tn[..., 2:3]
+    )
+    normal = jnp.where((hn >= 0)[..., None], mapped, n_geo)
+
+    # remaps (pbr.glsl:169-186)
+    roughness = jnp.clip(prough, 0.089, 1.0) ** 2
+    diffuse = (1.0 - metal)[..., None] * base_color[..., :3]
+    f0 = (m["mat_f0"] * (1.0 - metal))[..., None] + base_color[..., :3] * metal[..., None]
+
+    return {
+        "normal": normal,
+        "base_color": base_color,
+        "diffuse": diffuse,
+        "emissive": emissive,
+        "f0": f0,
+        "metallic": metal,
+        "roughness": roughness,
+        "occlusion": occ,
+    }
+
+
+# --- lights (pbr.glsl:283-352) --------------------------------------------
+
+def _light_direction(light, frag_pos):
+    l = light["light_pos"] - frag_pos
+    ln = l / jnp.maximum(jnp.linalg.norm(l, axis=-1, keepdims=True), 1e-20)
+    d = -light["light_dir"]
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-20)
+    is_dir = (light["light_type"] == 1)[..., None]
+    return jnp.where(is_dir, dn, ln)
+
+
+def _square_falloff(l_unnorm, falloff_radius):
+    inv_r = 1.0 / jnp.maximum(falloff_radius, 0.083)
+    d2 = (l_unnorm * l_unnorm).sum(-1)
+    factor = d2 * inv_r * inv_r
+    smooth = jnp.maximum(1.0 - factor * factor, 0.0)
+    return (smooth * smooth) / jnp.maximum(d2, 1e-4)
+
+
+def _spot_attenuation(l, light_dir, cos_inner, cos_outer):
+    spot_scale = 1.0 / jnp.maximum(cos_inner - cos_outer, 1e-4)
+    spot_offset = -cos_outer * spot_scale
+    dn = -light_dir / jnp.maximum(jnp.linalg.norm(light_dir, axis=-1, keepdims=True), 1e-20)
+    cd = (dn * l).sum(-1)
+    att = jnp.clip(cd * spot_scale + spot_offset, 0.0, 1.0)
+    return att * att
+
+
+# --- the full lighting function (pbr.glsl:385-451) -------------------------
+
+def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
+                  shadow_maps=None, shadow_transforms=None):
+    """Port of ``BRDF_Lighting``. Returns rgba (linear, pre-sRGB-encode).
+
+    view_args: dict with view_pos [3], exposure, debug_input, debug_equation.
+    shadow_maps: [NS,E,E] f32 or None; shadow_transforms: [NS,4,4].
+    """
+    mat = remap_material(scene, mat_id, frag_pos, uv, frag_normal)
+
+    n = mat["normal"]
+    v = view_args["view_pos"] - frag_pos
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+    n_lights = scene["light_type"].shape[0]
+    l0 = jnp.zeros_like(frag_pos)
+    last = {}
+    for li in range(n_lights):  # static, small; unrolled & fused by XLA
+        light = {k: scene[k][li] for k in (
+            "light_type", "light_color", "light_pos", "light_dir",
+            "light_intensity", "light_falloff", "light_cos_inner",
+            "light_cos_outer", "light_shadow_index")}
+        in_range = li < scene["n_lights"]
+
+        l = _light_direction(light, frag_pos)
+        h = v + l
+        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+        nov = jnp.abs((n * v).sum(-1)) + 1e-5
+        noh = jnp.clip((n * h).sum(-1), 0.0, 1.0)
+        nol = jnp.clip((n * l).sum(-1), 0.0, 1.0)
+        hol = jnp.clip((h * l).sum(-1), 0.0, 1.0)
+
+        d = d_ggx(noh, mat["roughness"])
+        f = f_schlick(hol, mat["f0"])
+        g = g_smith_ggx_correlated(nov, nol, mat["roughness"])
+        fr = (d * g)[..., None] * f
+        fd = (1.0 - f) * mat["occlusion"][..., None] * mat["diffuse"] * fd_lambert()
+        brdf = fr + fd
+
+        is_punctual = (light["light_type"] == 2) | (light["light_type"] == 3)
+        l_unnorm = light["light_pos"] - frag_pos
+        att = jnp.where(is_punctual, _square_falloff(l_unnorm, light["light_falloff"]), 1.0)
+        att = jnp.where(
+            light["light_type"] == 3,
+            att * _spot_attenuation(l, light["light_dir"], light["light_cos_inner"],
+                                    light["light_cos_outer"]),
+            att,
+        )
+        light_result = brdf * (light["light_intensity"] * att * nol)[..., None] \
+            * light["light_color"]
+
+        shadow = jnp.zeros_like(nol)
+        if shadow_maps is not None:
+            is_dir = light["light_type"] == 1
+            shadow = jnp.where(
+                is_dir,
+                compute_shadow_directional(
+                    shadow_maps, shadow_transforms,
+                    light["light_shadow_index"], light["light_pos"],
+                    frag_pos, n),
+                0.0,
+            )
+
+        l0 = l0 + jnp.where(in_range, (1.0 - shadow)[..., None] * light_result, 0.0)
+        last = {"fd": fd, "f": f, "g": g, "d": d, "fr": fr, "nol": nol, "nov": nov}
+
+    # debug views (pbr.glsl:410-440)
+    di = view_args["debug_input"]
+    de = view_args["debug_equation"]
+    color = l0 + mat["emissive"][..., :3] * mat["emissive"][..., 3:4]
+    color = color * view_args["exposure"]
+    ambient = 0.03 * mat["base_color"][..., :3] * mat["occlusion"][..., None]
+    color = color + ambient
+    out = jnp.concatenate([color, mat["base_color"][..., 3:4]], axis=-1)
+
+    ones = jnp.ones_like(mat["occlusion"][..., None])
+
+    def rgba(rgb):
+        return jnp.concatenate([jnp.broadcast_to(rgb, color.shape), ones], axis=-1)
+
+    if last:
+        out = jnp.where(de == int(DebugEquation.DIFFUSE), rgba(last["fd"]), out)
+        out = jnp.where(de == int(DebugEquation.FRESNEL), rgba(last["f"]), out)
+        out = jnp.where(
+            de == int(DebugEquation.GEOMETRY),
+            rgba((last["g"] * 4.0 * jnp.abs(last["nol"]) * jnp.abs(last["nov"]))[..., None]),
+            out,
+        )
+        out = jnp.where(de == int(DebugEquation.DISTRIBUTION), rgba(last["d"][..., None]), out)
+        out = jnp.where(de == int(DebugEquation.SPECULAR), rgba(last["fr"]), out)
+
+    out = jnp.where(di == int(DebugInput.BASE_COLOR), mat["base_color"], out)
+    out = jnp.where(di == int(DebugInput.DIFFUSE_COLOR), rgba(mat["diffuse"]), out)
+    out = jnp.where(di == int(DebugInput.NORMALS), rgba(mat["normal"]), out)
+    out = jnp.where(di == int(DebugInput.OCCLUSION), rgba(mat["occlusion"][..., None]), out)
+    out = jnp.where(
+        di == int(DebugInput.EMISSIVE),
+        rgba(mat["emissive"][..., :3] * mat["emissive"][..., 3:4]), out)
+    out = jnp.where(di == int(DebugInput.METALLIC), rgba(mat["metallic"][..., None]), out)
+    out = jnp.where(di == int(DebugInput.ROUGHNESS), rgba(mat["roughness"][..., None]), out)
+    return out

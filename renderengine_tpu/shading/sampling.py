@@ -1,0 +1,159 @@
+"""Device texture sampling from the HBM atlas.
+
+Replaces the reference's combined-image-sampler descriptors + fixed-function
+samplers (``TextureCache.cpp:167-197``: linear min/mag, repeat wrap,
+trilinear mips). Filtering happens in storage space with sRGB decode applied
+by the caller afterwards — matching the reference, whose textures are Unorm
+(not Srgb) formats and decode in the shader (``pbr.glsl:100-112``).
+
+Everything is a gather over the flattened atlas; the atlas layout (combined
+mip pyramid per page) is documented in ``scene/textures.py``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quad_dfdx(v: jnp.ndarray) -> jnp.ndarray:
+    """GLSL dFdx with 2x2 quad semantics: for pixel x the derivative is
+    v[x|1] - v[x&~1] along axis 1 (W). v: [H,W,...]. Odd extents behave as
+    if the framebuffer were padded by edge replication (hardware pads to
+    full quads)."""
+    w = v.shape[1]
+    if w % 2:
+        v = jnp.concatenate([v, v[:, -1:]], axis=1)
+    d = v[:, 1::2] - v[:, 0::2]
+    return jnp.repeat(d, 2, axis=1)[:, :w]
+
+
+def quad_dfdy(v: jnp.ndarray) -> jnp.ndarray:
+    h = v.shape[0]
+    if h % 2:
+        v = jnp.concatenate([v, v[-1:]], axis=0)
+    d = v[1::2] - v[0::2]
+    return jnp.repeat(d, 2, axis=0)[:h]
+
+
+def _gather_rgba(atlas: jnp.ndarray, page, ry, rx) -> jnp.ndarray:
+    """atlas [P,H,W,4] uint8; integer index arrays -> f32 rgba in [0,1]."""
+    p, h, w, _ = atlas.shape
+    flat = (page * h + ry) * w + rx
+    texels = atlas.reshape(-1, 4)[flat]
+    return texels.astype(jnp.float32) * (1.0 / 255.0)
+
+
+def _bilinear_at_level(atlas, tex, mip_y, uv, level):
+    """One bilinear fetch at integer mip ``level`` (traced), REPEAT wrap.
+
+    tex: dict of per-pixel int arrays page,x,y,w,h (mip-0 placement).
+    """
+    sw = jnp.maximum(tex["w"] >> level, 1)
+    sh = jnp.maximum(tex["h"] >> level, 1)
+    bx = tex["x"] >> level
+    by = mip_y[level] + (tex["y"] >> level)
+
+    st_x = uv[..., 0] * sw.astype(jnp.float32) - 0.5
+    st_y = uv[..., 1] * sh.astype(jnp.float32) - 0.5
+    ix0 = jnp.floor(st_x).astype(jnp.int32)
+    iy0 = jnp.floor(st_y).astype(jnp.int32)
+    fx = (st_x - ix0.astype(jnp.float32))[..., None]
+    fy = (st_y - iy0.astype(jnp.float32))[..., None]
+
+    def wrap(i, n):
+        return jnp.remainder(i, n)
+
+    x0 = bx + wrap(ix0, sw)
+    x1 = bx + wrap(ix0 + 1, sw)
+    y0 = by + wrap(iy0, sh)
+    y1 = by + wrap(iy0 + 1, sh)
+    pg = tex["page"]
+    c00 = _gather_rgba(atlas, pg, y0, x0)
+    c10 = _gather_rgba(atlas, pg, y0, x1)
+    c01 = _gather_rgba(atlas, pg, y1, x0)
+    c11 = _gather_rgba(atlas, pg, y1, x1)
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def compute_lod(uv: jnp.ndarray, tex_w, tex_h) -> jnp.ndarray:
+    """GLSL implicit LOD: lambda = log2(max(|ddx|, |ddy|)) of texel coords,
+    with quad-based derivatives. uv [H,W,2]; tex_w/h [H,W]."""
+    tc = uv * jnp.stack([tex_w.astype(jnp.float32), tex_h.astype(jnp.float32)], axis=-1)
+    dx = quad_dfdx(tc)
+    dy = quad_dfdy(tc)
+    rho = jnp.maximum(
+        jnp.sqrt(jnp.sum(dx * dx, axis=-1)), jnp.sqrt(jnp.sum(dy * dy, axis=-1))
+    )
+    return jnp.log2(jnp.maximum(rho, 1e-20))
+
+
+def sample_texture(atlas, tex_table, mip_y, handle, uv, lod=None) -> jnp.ndarray:
+    """Trilinear (or bilinear if lod None) sample.
+
+    atlas: [P,2S,S,4] uint8; tex_table [N,6] int32; mip_y [L] int32;
+    handle [...]: texture id (invalid ids are clamped — caller masks);
+    uv [...,2]; lod [...] or None. Returns rgba f32 [...,4].
+    """
+    row = tex_table[jnp.clip(handle, 0, tex_table.shape[0] - 1)]
+    tex = {
+        "page": row[..., 0],
+        "x": row[..., 1],
+        "y": row[..., 2],
+        "w": row[..., 3],
+        "h": row[..., 4],
+    }
+    n_mips = row[..., 5]
+    if lod is None:
+        return _bilinear_at_level(atlas, tex, mip_y, uv, jnp.zeros_like(n_mips))
+    lodc = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
+    l0 = jnp.floor(lodc).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_mips - 1)
+    f = (lodc - l0.astype(jnp.float32))[..., None]
+    c0 = _bilinear_at_level(atlas, tex, mip_y, uv, l0)
+    c1 = _bilinear_at_level(atlas, tex, mip_y, uv, l1)
+    return c0 * (1 - f) + c1 * f
+
+
+# --- cubemap --------------------------------------------------------------
+
+def sample_cubemap(cube: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear cubemap sample (GL/Vulkan face conventions). cube
+    [6,S,S,4] uint8; dirs [...,3]. Returns rgba f32 [...,4]."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    # face selection
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    is_z = ~(is_x | is_y)
+    face = jnp.where(
+        is_x, jnp.where(x > 0, 0, 1),
+        jnp.where(is_y, jnp.where(y > 0, 2, 3), jnp.where(z > 0, 4, 5)),
+    ).astype(jnp.int32)
+    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
+    ma = jnp.maximum(ma, 1e-20)
+    sc = jnp.where(is_x, jnp.where(x > 0, -z, z), jnp.where(is_y, x, jnp.where(z > 0, x, -x)))
+    tc = jnp.where(is_y, jnp.where(y > 0, z, -z), -y)
+    u = 0.5 * (sc / ma + 1.0)
+    v = 0.5 * (tc / ma + 1.0)
+
+    s = cube.shape[1]
+    st_x = u * s - 0.5
+    st_y = v * s - 0.5
+    ix0 = jnp.floor(st_x).astype(jnp.int32)
+    iy0 = jnp.floor(st_y).astype(jnp.int32)
+    fx = (st_x - ix0.astype(jnp.float32))[..., None]
+    fy = (st_y - iy0.astype(jnp.float32))[..., None]
+    x0 = jnp.clip(ix0, 0, s - 1)       # clamp-to-edge within the face
+    x1 = jnp.clip(ix0 + 1, 0, s - 1)
+    y0 = jnp.clip(iy0, 0, s - 1)
+    y1 = jnp.clip(iy0 + 1, 0, s - 1)
+    flatcube = cube.reshape(-1, 4)
+
+    def fetch(yy, xx):
+        return flatcube[(face * s + yy) * s + xx].astype(jnp.float32) * (1.0 / 255.0)
+
+    top = fetch(y0, x0) * (1 - fx) + fetch(y0, x1) * fx
+    bot = fetch(y1, x0) * (1 - fx) + fetch(y1, x1) * fx
+    return top * (1 - fy) + bot * fy
