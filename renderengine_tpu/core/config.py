@@ -77,7 +77,8 @@ class RenderConfig:
     shadow_extent: int = 4096  # reference RenderScene.cpp:26
     skybox: bool = True
     grid: bool = False        # reference constructs but never draws it (SURVEY §2.3)
-    translucency: bool = True # sorted back-to-front blend pass
+    translucency: bool = True # depth-peeled back-to-front blend pass
+    translucency_layers: int = 2  # peel depth (reference sorts per mesh; 2+ is order-correct per pixel)
     raster: RasterConfig = dataclasses.field(default_factory=RasterConfig)
 
     def render_extent(self) -> tuple[int, int]:

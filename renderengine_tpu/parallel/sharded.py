@@ -105,7 +105,10 @@ def render_frame_sharded(scene, params, config: RenderConfig, n_shadows: int,
                 g = fgraph.rasterize(s, config.shadow_extent, config.shadow_extent,
                                      config.raster, backend)
                 maps.append(g.depth)
-            shadow_maps = jax.lax.pmin(jnp.stack(maps), AXIS)
+            from ..shading import shadow as shadow_mod
+
+            shadow_maps = shadow_mod.pack_shadow_blocks(
+                jax.lax.pmin(jnp.stack(maps), AXIS))
             shadow_tf = params_l["shadow_viewproj"]
 
         # --- base pass: image-row parallel ---

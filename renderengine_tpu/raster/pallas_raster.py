@@ -8,8 +8,9 @@ Grid: one program per framebuffer tile. Per-tile triangle lists come from
     (the kernel records winning PAIR indices; pair -> triangle-id is one
     XLA gather afterwards, so no second DMA stream is needed)
 
-with every tile's segment start padded to a 128 multiple, so the kernel's
-memory traffic is nothing but aligned, sequential, double-buffered DMA:
+The kernel DMAs each tile's segment from its 128-aligned floor (live
+pairs selected by a per-pair global-index test), so the memory traffic is
+nothing but aligned, sequential, double-buffered DMA:
 
     HBM pair_data[:, start + k*128 : +128] --DMA--> VMEM
     evaluate edge/depth planes over the tile's pixels (VPU f32 FMAs,
@@ -46,18 +47,22 @@ N_ROWS = 24  # 15 coefficient rows + 3 tie rows + sublane padding to 8
 def _raster_kernel(
     # scalar prefetch
     starts_ref, counts_ref, y0_ref,
-    # inputs (HBM)
-    pair_data_hbm,
-    # outputs (VMEM blocks)
-    depth_ref, tri_ref,
-    # scratch
-    data_buf, sems,
-    *, tile_h: int, tile_w: int, width: int, full_height: int, ntx: int,
+    # inputs (HBM + optional VMEM bounds block)
+    pair_data_hbm, *rest,
+    tile_h: int, tile_w: int, width: int, full_height: int, ntx: int,
+    peel: bool,
 ):
+    if peel:
+        bounds_ref, depth_ref, tri_ref, data_buf, sems = rest
+    else:
+        depth_ref, tri_ref, data_buf, sems = rest
     tile = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[tile], CHUNK)
+    start = starts_ref[tile]
     count = counts_ref[tile]
-    n_steps = (count + CHUNK - 1) // CHUNK
+    base0 = (start // CHUNK) * CHUNK          # aligned DMA floor
+    span_end = start + count
+    n_steps = jnp.where(count > 0,
+                        (span_end - base0 + CHUNK - 1) // CHUNK, 0)
 
     org_x = (tile % ntx) * tile_w
     org_y = (tile // ntx) * tile_h + y0_ref[0]
@@ -67,7 +72,7 @@ def _raster_kernel(
     py = org_y.astype(jnp.float32) + ly + (0.5 - full_height * 0.5)
 
     def dma(slot, step):
-        off = pl.multiple_of(start + step * CHUNK, CHUNK)
+        off = pl.multiple_of(base0 + step * CHUNK, CHUNK)
         return (pltpu.make_async_copy(pair_data_hbm.at[:, pl.ds(off, CHUNK)],
                                       data_buf.at[slot], sems.at[slot]),)
 
@@ -89,7 +94,10 @@ def _raster_kernel(
             d.wait()
 
         c = data_buf[slot]        # [24, CHUNK]
-        base = step * CHUNK
+        base = base0 + step * CHUNK
+        if peel:
+            prev_d = bounds_ref[0, 0]   # nearest already-peeled layer
+            zmax = bounds_ref[0, 1]     # opaque depth bound (LessOrEqual)
 
         # statically unrolled per-triangle evaluation: each triangle's
         # planes broadcast over the whole tile (straight-line VPU code)
@@ -107,13 +115,17 @@ def _raster_kernel(
             )
             wpos = wn > 0
             d = zn / jnp.where(wpos, wn, 1.0)
-            cover = inside & wpos & (d >= 0) & (d <= 1) & (base + k < count)
+            g = base + k              # global pair index
+            cover = (inside & wpos & (d >= 0) & (d <= 1)
+                     & (g >= start) & (g < span_end))
+            if peel:
+                cover = cover & (d > prev_d) & (d <= zmax)
             take = cover & (d < dmin_i)
             dmin_i = jnp.where(take, d, dmin_i)
             # record the PAIR index; ids ascend within a bin (stable sort),
             # so lowest pair == lowest triangle on exact depth ties; the
             # caller maps pair -> triangle with one gather.
-            idmin_i = jnp.where(take, start + base + k, idmin_i)
+            idmin_i = jnp.where(take, g, idmin_i)
         return dmin_i, idmin_i
 
     dmin0 = jnp.ones((tile_h, tile_w), jnp.float32)
@@ -123,44 +135,53 @@ def _raster_kernel(
     tri_ref[0, :, :] = idmin
 
 
-def _pack_pairs(setup: TriSetup, bins, tri_offset: int, n_tiles: int):
-    """Re-layout sorted pairs into chunk-aligned segments (gather form).
+def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
+    """(prev[H,W], zmax[H,W]) -> [n_tiles, 2, th, tw] VMEM blocks."""
+    prev, zmax = peel_bounds
+    ph = nty * tile_h - height
+    pw = ntx * tile_w - width
+    def tile(a, fill):
+        a = jnp.pad(a, ((0, ph), (0, pw)), constant_values=fill)
+        a = a.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
+        return a.reshape(nty * ntx, tile_h, tile_w)
+    return jnp.stack([tile(prev, 2.0), tile(zmax, -1.0)], axis=1)
 
-    Returns (pair_data [18, P2] f32, pair_tri [P2] i32,
-    padded_starts [n_tiles] i32)."""
+
+def _pack_pairs(setup: TriSetup, bins, tri_offset: int):
+    """Gather sorted-pair coefficients into the kernel's lane-major layout.
+
+    Returns (pair_data [24, P2] f32, pair_tri [P2] i32); P2 = the pair
+    budget rounded up so the last aligned DMA stays in bounds. Dead slots
+    (invalid pairs) carry zero coefficients => never cover."""
     t = setup.coef.shape[0]
     max_pairs = bins.pair_tri.shape[0]
-    padded_counts = ((bins.counts + CHUNK - 1) // CHUNK) * CHUNK
-    padded_starts = jnp.cumsum(padded_counts) - padded_counts
-    p2 = max_pairs + CHUNK * n_tiles  # static upper bound
+    p2 = (-(-max_pairs // CHUNK)) * CHUNK + CHUNK
 
-    q = jnp.arange(p2, dtype=jnp.int32)
-    tile_of_q = jnp.clip(
-        jnp.searchsorted(padded_starts, q, side="right").astype(jnp.int32) - 1,
-        0, n_tiles - 1)
-    rank = q - padded_starts[tile_of_q]
-    src = jnp.clip(bins.starts[tile_of_q] + rank, 0, max_pairs - 1)
-    live = rank < bins.counts[tile_of_q]
-
-    tri = jnp.where(live, jnp.clip(bins.pair_tri[src], 0, t - 1), 0)
-    coef = setup.coef[tri]                     # [P2,5,3]
-    tie = setup.tie[tri].astype(jnp.float32)   # [P2,3]
-    coef = jnp.where(live[:, None, None], coef, 0.0)
+    live = jnp.pad(bins.pair_valid, (0, p2 - max_pairs))
+    tri = jnp.pad(jnp.clip(bins.pair_tri, 0, t - 1), (0, p2 - max_pairs))
+    tri = jnp.where(live, tri, 0)
+    coef = jnp.where(live[:, None, None], setup.coef[tri], 0.0)  # [P2,5,3]
+    tie = setup.tie[tri].astype(jnp.float32)                     # [P2,3]
     pair_data = jnp.concatenate(
         [coef.reshape(p2, 15), tie,
-         jnp.zeros((p2, N_ROWS - 18), jnp.float32)], axis=-1).T   # [24, P2]
+         jnp.zeros((p2, N_ROWS - 18), jnp.float32)], axis=-1).T  # [24, P2]
     pair_tri = jnp.where(live, tri + tri_offset, _BIG_ID)
-    return pair_data, pair_tri, padded_starts.astype(jnp.int32)
+    return pair_data, pair_tri
 
 
 def rasterize_pallas(setup: TriSetup, height: int, width: int,
                      tile_h: int = 8, tile_w: int = 128,
                      chunk: int = CHUNK, max_pairs: int | None = None,
                      tri_offset: int = 0, interpret: bool = False,
-                     y0=0, full_height: int | None = None) -> GBuffer:
+                     y0=0, full_height: int | None = None,
+                     peel_bounds=None) -> GBuffer:
     """Bin + pack + Pallas raster. Same result as ``rasterize_tiled``/
     ``rasterize_reference`` (asserted in tests). ``chunk`` is fixed at 128
-    by DMA alignment; the arg is accepted for API parity and ignored."""
+    by DMA alignment; the arg is accepted for API parity and ignored.
+
+    ``peel_bounds``: optional (prev_depth [H,W], zmax [H,W]) — keep only
+    fragments with prev < depth <= zmax (depth-peeling for the sorted
+    translucent pass)."""
     del chunk
     t = setup.coef.shape[0]
     fh = height if full_height is None else full_height
@@ -172,19 +193,23 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     nty = -(-height // tile_h)
     n_tiles = ntx * nty
 
-    pair_data, pair_tri, padded_starts = _pack_pairs(setup, bins, tri_offset, n_tiles)
+    pair_data, pair_tri = _pack_pairs(setup, bins, tri_offset)
 
+    peel = peel_bounds is not None
     kernel = functools.partial(
         _raster_kernel,
         tile_h=tile_h, tile_w=tile_w,
-        width=width, full_height=fh, ntx=ntx,
+        width=width, full_height=fh, ntx=ntx, peel=peel,
     )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if peel:
+        in_specs.append(pl.BlockSpec((1, 2, tile_h, tile_w),
+                                     lambda i, *_: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -197,6 +222,10 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         ],
     )
     y0_arr = jnp.asarray(y0, jnp.int32).reshape(1)
+    args = [bins.starts, bins.counts, y0_arr, pair_data]
+    if peel:
+        args.append(_tile_bounds(peel_bounds, height, width, tile_h, tile_w,
+                                 nty, ntx))
     depth, tri = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -205,7 +234,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
             jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.int32),
         ],
         interpret=interpret,
-    )(padded_starts, bins.counts, y0_arr, pair_data)
+    )(*args)
 
     def untile(a):
         a = a.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)

@@ -56,6 +56,7 @@ def _coverage_and_depth(coef, tie, p):
 def rasterize_reference(
     setup: TriSetup, height: int, width: int, chunk: int = 64,
     tri_offset: int = 0, y0: int = 0, full_height: int | None = None,
+    peel_bounds=None,
 ) -> GBuffer:
     """Full-image brute force. ``tri_offset`` shifts reported tri ids (for
     rasterizing a sub-range of the scene's triangle list); ``y0``/
@@ -76,6 +77,8 @@ def rasterize_reference(
         vm = jax.lax.dynamic_slice_in_dim(valid, sl, chunk, 0)
         cover, depth = _coverage_and_depth(c, tb, p)       # [K,H,W]
         cover = cover & vm[:, None, None]
+        if peel_bounds is not None:
+            cover = cover & (depth > peel_bounds[0][None]) & (depth <= peel_bounds[1][None])
         depth = jnp.where(cover, depth, INF_DEPTH + 1.0)
         ids = (sl + tri_offset) + jnp.arange(chunk, dtype=jnp.int32)[:, None, None]
         # lexicographic (depth, id) min within the chunk

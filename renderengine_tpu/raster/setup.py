@@ -87,8 +87,13 @@ def triangle_setup(
     width: int,
     height: int,
     cull_mode: CullMode = CullMode.BACK,
+    first_tri=0,
 ) -> TriSetup:
-    """Build clipless raster coefficients for every triangle."""
+    """Build clipless raster coefficients for every triangle.
+
+    [first_tri, n_tris) is the live range — the draw-list analog: opaque
+    triangles come first, translucent after (``RenderScene.cpp:105-159``).
+    """
     c = clip[tri_vidx]                     # [T,3,4] corner clip coords
     x, y, z, w = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
 
@@ -102,7 +107,7 @@ def triangle_setup(
     a0 = jnp.cross(r1, r2)                 # adj column 0
     a1 = jnp.cross(r2, r0)
     a2c = jnp.cross(r0, r1)
-    det = jnp.einsum("tj,tj->t", r0, a0)
+    det = (r0 * a0).sum(-1)  # explicit f32 (einsum may lower to bf16 MXU)
 
     front = det < 0.0                      # Vulkan-CCW front face
     if cull_mode == CullMode.BACK:
@@ -148,7 +153,8 @@ def triangle_setup(
     y1 = jnp.clip(y1, 0, height - 1).astype(jnp.int32)
     bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
 
-    in_range = jnp.arange(tri_vidx.shape[0], dtype=jnp.int32) < n_tris
+    tri_ids = jnp.arange(tri_vidx.shape[0], dtype=jnp.int32)
+    in_range = (tri_ids < n_tris) & (tri_ids >= first_tri)
     valid = orient_ok & ~out & in_range & (x1 >= x0) & (y1 >= y0)
     return TriSetup(coef.astype(jnp.float32), tie, valid, bbox)
 

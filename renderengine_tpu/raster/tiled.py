@@ -26,7 +26,8 @@ def rasterize_tiled(setup: TriSetup, height: int, width: int,
                     tile_h: int = 8, tile_w: int = 128,
                     chunk: int = 16, max_pairs: int | None = None,
                     tri_offset: int = 0, y0: int = 0,
-                    full_height: int | None = None) -> GBuffer:
+                    full_height: int | None = None,
+                    peel_bounds=None) -> GBuffer:
     fh = height if full_height is None else full_height
     t = setup.coef.shape[0]
     if max_pairs is None:
@@ -45,6 +46,18 @@ def rasterize_tiled(setup: TriSetup, height: int, width: int,
     ly = jnp.arange(tile_h, dtype=jnp.float32)[None, :, None]
     px = org_x.astype(jnp.float32)[:, None, None] + lx + 0.5 - width * 0.5
     py = org_y.astype(jnp.float32)[:, None, None] + ly + (jnp.asarray(y0, jnp.float32) + 0.5 - fh * 0.5)
+
+    if peel_bounds is not None:
+        ph = nty * tile_h - height
+        pw = ntx * tile_w - width
+
+        def tilefy(a, fill):
+            a = jnp.pad(a, ((0, ph), (0, pw)), constant_values=fill)
+            a = a.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
+            return a.reshape(n_tiles, tile_h, tile_w)
+
+        prev_t = tilefy(peel_bounds[0], 2.0)
+        zmax_t = tilefy(peel_bounds[1], -1.0)
 
     max_count = jnp.max(bins.counts)
     n_steps = (max_count + chunk - 1) // chunk
@@ -75,6 +88,8 @@ def rasterize_tiled(setup: TriSetup, height: int, width: int,
         wpos = wnum > 0
         depth = znum / jnp.where(wpos, wnum, 1.0)
         cover = inside & wpos & (depth >= 0) & (depth <= 1) & in_bin[..., None, None]
+        if peel_bounds is not None:
+            cover = cover & (depth > prev_t[:, None]) & (depth <= zmax_t[:, None])
         depth = jnp.where(cover, depth, 2.0)
         ids = jnp.where(cover, (tri + tri_offset)[..., None, None], _BIG_ID)
 

@@ -253,10 +253,10 @@ def sponza_scene(width=1920, height=1080, seed=0,
                     break
             if tri_budget >= target_tris:
                 break
-        # banners (translucent) across the nave
+        # banners (translucent) hanging across the nave, facing the camera
         for k, x in enumerate(np.linspace(-15, 15, 8)):
             m = mats[(29 * k + 7) % len(mats)]
-            add(plane, math3d.translate([x, 3.0, 0]) @ math3d.rotate(np.pi / 2, [1, 0, 0]) @ math3d.scale([2.0, 1, 3.0]),
+            add(plane, math3d.translate([x, 3.0, 0]) @ math3d.rotate(np.pi / 2, [0, 0, 1]) @ math3d.scale([2.0, 1, 3.0]),
                 m, [[-0.5, -0.05, -0.5], [0.5, 0.05, 0.5]])
 
     lid = sc.lights.add_light(

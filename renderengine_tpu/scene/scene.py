@@ -105,4 +105,46 @@ class Scene:
         device.update(mat_arrays)
         device.update(self.lights.build_arrays())
         device.update(self.textures.build_atlas())
+        device.update(_pack_rows(device))
         return device
+
+
+def _pack_rows(device: dict) -> dict:
+    """Gather-friendly packed row tables. TPU gathers are priced per index
+    (~5-9 ns each) regardless of row width up to ~16 bytes, so per-pixel
+    lookups fetch ONE wide row instead of many scalars:
+
+    - ``tri_packed`` i32 [T,8]: v0 v1 v2 material node pad3
+    - ``mat_core`` f32 [M,16]: baseColor4 emissive4 f0 metallic roughness
+      ao alphaMode pad3
+    - ``mat_tex`` f32 [M,24]: 4 slots x (page x y w h n_mips); page=-1
+      means no texture (reference 'handle >= MAX_DESCRIPTOR_COUNT',
+      pbr.glsl:102). Values are small ints — exact in f32.
+    """
+    t = len(device["tri_vidx"])
+    tri_packed = np.zeros((t, 8), np.int32)
+    tri_packed[:, 0:3] = device["tri_vidx"]
+    tri_packed[:, 3] = device["tri_material"]
+    tri_packed[:, 4] = device["tri_node"]
+
+    m = len(device["mat_base_color"])
+    mat_core = np.zeros((m, 16), np.float32)
+    mat_core[:, 0:4] = device["mat_base_color"]
+    mat_core[:, 4:8] = device["mat_emissive"]
+    mat_core[:, 8] = device["mat_f0"]
+    mat_core[:, 9] = device["mat_metallic"]
+    mat_core[:, 10] = device["mat_roughness"]
+    mat_core[:, 11] = device["mat_ao"]
+    mat_core[:, 12] = device["mat_alpha_mode"]
+
+    table = device["tex_table"]
+    mat_tex = np.zeros((m, 24), np.float32)
+    for si, key in enumerate(("mat_tex_base", "mat_tex_emissive",
+                              "mat_tex_orm", "mat_tex_normal")):
+        h = device[key]
+        valid = h >= 0
+        rows = table[np.clip(h, 0, len(table) - 1)].astype(np.float32)
+        rows[~valid] = np.array([-1, 0, 0, 1, 1, 1], np.float32)
+        mat_tex[:, 6 * si : 6 * si + 6] = rows
+
+    return {"tri_packed": tri_packed, "mat_core": mat_core, "mat_tex": mat_tex}

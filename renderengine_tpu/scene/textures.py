@@ -165,11 +165,13 @@ class TextureCache:
     def build_atlas(self) -> dict:
         """Pack all textures. Returns the device dict:
 
-        - ``atlas``: [P, 2S, S, 4] uint8 — all mip levels in ONE array so
-          per-pixel LOD selection is arithmetic, not a python-level switch
-          over differently-shaped arrays. Level L of the page occupies rows
-          [mip_y[L], mip_y[L] + S>>L) at 1/2^L scale; mip_y[L] =
-          S * (2 - 2^(1-L)) (0, S, 3S/2, 7S/4, ...).
+        - ``atlas``: [P, 2S, S, 16] uint8 — the **block atlas**: entry
+          (p, y, x) holds the 2x2 RGBA texel block {(y,x), (y,x+1),
+          (y+1,x), (y+1,x+1)} *with per-texture REPEAT wrap baked in*, so
+          one bilinear sample is ONE 16-byte gather (TPU gathers cost per
+          index, not per byte — measured u8[16] ~ u8[4]). All mip levels
+          live in the same array: level L of a page occupies rows
+          [mip_y[L], mip_y[L] + S>>L) at 1/2^L scale.
         - ``tex_table``: int32 [N, 6] = (page, x, y, w, h, n_mips) at mip 0
         - ``mip_y``: int32 [max_levels] row offset per level
         - ``cubemap``: [6,S,S,4] uint8 (black 1-px if none)
@@ -214,14 +216,20 @@ class TextureCache:
         for lvl in range(n_levels):
             mip_y[lvl] = acc
             acc += max(1, s >> lvl)
-        atlas = np.zeros((n_pages, 2 * s, s, 4), np.uint8)
+        atlas = np.zeros((n_pages, 2 * s, s, 16), np.uint8)
         for i, t in enumerate(self._textures):
             page, x, y, w, h, n_mips = table[i]
             mips = generate_mips(t.image)
             for lvl in range(n_mips):
-                mw, mh = max(1, w >> lvl), max(1, h >> lvl)
+                img = mips[lvl]
+                mh, mw = img.shape[:2]
+                # 2x2 blocks with REPEAT wrap inside this texture
+                xr = np.roll(img, -1, axis=1)
+                yr = np.roll(img, -1, axis=0)
+                xyr = np.roll(xr, -1, axis=0)
+                blk = np.concatenate([img, xr, yr, xyr], axis=-1)  # [mh,mw,16]
                 ry = mip_y[lvl] + (y >> lvl)
-                atlas[page, ry : ry + mh, x >> lvl : (x >> lvl) + mw] = mips[lvl]
+                atlas[page, ry : ry + mh, x >> lvl : (x >> lvl) + mw] = blk
 
         cube = self.cubemap if self.cubemap is not None else np.zeros((6, 1, 1, 4), np.uint8)
         return {

@@ -46,64 +46,75 @@ def fd_lambert():
 
 # --- material fetch + remap (pbr.glsl:100-233) ----------------------------
 
-def _sample_or(scene, handle, uv, lod, default):
-    """texture-if-present: reference tests handle < MAX_DESCRIPTOR_COUNT
-    (``pbr.glsl:102``); here invalid handles are negative."""
-    ok = handle >= 0
-    s = sampling.sample_texture(scene["atlas"], scene["tex_table"], scene["mip_y"],
-                                handle, uv, lod)
-    return jnp.where(ok[..., None], s, default)
+def _slot(mat_tex_row, si):
+    """Slot descriptor from the packed mat_tex row (f32-exact small ints)."""
+    d = mat_tex_row[..., 6 * si : 6 * si + 6]
+    return {
+        "page": d[..., 0].astype(jnp.int32),
+        "x": d[..., 1].astype(jnp.int32),
+        "y": d[..., 2].astype(jnp.int32),
+        "w": d[..., 3].astype(jnp.int32),
+        "h": d[..., 4].astype(jnp.int32),
+        "n_mips": d[..., 5].astype(jnp.int32),
+        "valid": d[..., 0] >= 0,
+    }
 
 
-def _material_lod(scene, handle, duv_dx, duv_dy):
-    """Per-slot implicit LOD: texel-space derivative magnitude using this
-    slot's own mip-0 size (texture() semantics)."""
-    row = scene["tex_table"][jnp.clip(handle, 0, scene["tex_table"].shape[0] - 1)]
-    w = row[..., 3].astype(jnp.float32)
-    h = row[..., 4].astype(jnp.float32)
-    size = jnp.stack([w, h], axis=-1)
+def _sample_slot(scene, tex, uv, duv_dx, duv_dy, default):
+    """texture-if-present (reference tests handle < MAX_DESCRIPTOR_COUNT,
+    ``pbr.glsl:102``) with per-slot implicit LOD (texture() semantics:
+    texel-space derivative magnitude from this slot's mip-0 size)."""
+    size = jnp.stack([tex["w"].astype(jnp.float32), tex["h"].astype(jnp.float32)], -1)
     dx = duv_dx * size
     dy = duv_dy * size
     rho = jnp.maximum(jnp.sqrt((dx * dx).sum(-1)), jnp.sqrt((dy * dy).sum(-1)))
-    return jnp.log2(jnp.maximum(rho, 1e-20))
+    lod = jnp.log2(jnp.maximum(rho, 1e-20))
+    s = sampling.sample_texture_rows(scene["atlas"], scene["mip_y"], tex,
+                                     tex["n_mips"], uv, lod)
+    return jnp.where(tex["valid"][..., None], s, default)
 
 
 def remap_material(scene, mat_id, frag_pos, uv, frag_normal):
     """GetBaseColor/GetEmissive/GetNormal/GetOcclusionRoughnessMetallic +
-    RemapMaterial (``pbr.glsl:100-233``)."""
-    m = {k: scene[k][mat_id] for k in (
-        "mat_base_color", "mat_emissive", "mat_f0", "mat_metallic",
-        "mat_roughness", "mat_ao", "mat_tex_base", "mat_tex_emissive",
-        "mat_tex_orm", "mat_tex_normal", "mat_alpha_mode")}
+    RemapMaterial (``pbr.glsl:100-233``). Material state arrives as two
+    packed row gathers (mat_core, mat_tex — see scene._pack_rows)."""
+    core = scene["mat_core"][mat_id]      # [...,16]
+    mtex = scene["mat_tex"][mat_id]       # [...,24]
+    m = {
+        "mat_base_color": core[..., 0:4],
+        "mat_emissive": core[..., 4:8],
+        "mat_f0": core[..., 8],
+        "mat_metallic": core[..., 9],
+        "mat_roughness": core[..., 10],
+        "mat_ao": core[..., 11],
+    }
 
     duv_dx = sampling.quad_dfdx(uv)
     duv_dy = sampling.quad_dfdy(uv)
 
-    def slot(handle_key):
-        h = m[handle_key]
-        return h, _material_lod(scene, h, duv_dx, duv_dy)
-
-    hb, lodb = slot("mat_tex_base")
-    base_tex = _sample_or(scene, hb, uv, lodb, jnp.ones(4))
+    tb = _slot(mtex, 0)
+    base_tex = _sample_slot(scene, tb, uv, duv_dx, duv_dy, jnp.ones(4))
     base_color = m["mat_base_color"] * jnp.concatenate(
         [srgb_to_linear(base_tex[..., :3]), base_tex[..., 3:4]], axis=-1)
-    base_color = jnp.where((hb >= 0)[..., None], base_color, m["mat_base_color"])
+    base_color = jnp.where(tb["valid"][..., None], base_color, m["mat_base_color"])
 
-    he, lode = slot("mat_tex_emissive")
-    em_tex = _sample_or(scene, he, uv, lode, jnp.ones(4))
+    te = _slot(mtex, 1)
+    em_tex = _sample_slot(scene, te, uv, duv_dx, duv_dy, jnp.ones(4))
     emissive = m["mat_emissive"] * jnp.concatenate(
         [srgb_to_linear(em_tex[..., :3]), em_tex[..., 3:4]], axis=-1)
-    emissive = jnp.where((he >= 0)[..., None], emissive, m["mat_emissive"])
+    emissive = jnp.where(te["valid"][..., None], emissive, m["mat_emissive"])
 
-    ho, lodo = slot("mat_tex_orm")
-    orm_tex = _sample_or(scene, ho, uv, lodo, jnp.ones(4))
-    occ = jnp.where(ho >= 0, m["mat_ao"] * orm_tex[..., 0], m["mat_ao"])
-    prough = jnp.where(ho >= 0, m["mat_roughness"] * orm_tex[..., 1], m["mat_roughness"])
-    metal = jnp.where(ho >= 0, m["mat_metallic"] * orm_tex[..., 2], m["mat_metallic"])
+    to = _slot(mtex, 2)
+    orm_tex = _sample_slot(scene, to, uv, duv_dx, duv_dy, jnp.ones(4))
+    ho = to["valid"]
+    occ = jnp.where(ho, m["mat_ao"] * orm_tex[..., 0], m["mat_ao"])
+    prough = jnp.where(ho, m["mat_roughness"] * orm_tex[..., 1], m["mat_roughness"])
+    metal = jnp.where(ho, m["mat_metallic"] * orm_tex[..., 2], m["mat_metallic"])
 
     # normal mapping via screen-space derivatives (pbr.glsl:121-145)
-    hn, lodn = slot("mat_tex_normal")
-    tn = _sample_or(scene, hn, uv, lodn, jnp.full(4, 0.5))[..., :3] * 2.0 - 1.0
+    tn_slot = _slot(mtex, 3)
+    hn = tn_slot["valid"]
+    tn = _sample_slot(scene, tn_slot, uv, duv_dx, duv_dy, jnp.full(4, 0.5))[..., :3] * 2.0 - 1.0
     q1 = sampling.quad_dfdx(frag_pos)
     q2 = sampling.quad_dfdy(frag_pos)
     st1 = duv_dx
@@ -118,7 +129,7 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal):
     mapped = norm(
         t * tn[..., 0:1] + b * tn[..., 1:2] + n_geo * tn[..., 2:3]
     )
-    normal = jnp.where((hn >= 0)[..., None], mapped, n_geo)
+    normal = jnp.where(hn[..., None], mapped, n_geo)
 
     # remaps (pbr.glsl:169-186)
     roughness = jnp.clip(prough, 0.089, 1.0) ** 2

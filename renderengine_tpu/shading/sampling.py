@@ -46,6 +46,10 @@ def _gather_rgba(atlas: jnp.ndarray, page, ry, rx) -> jnp.ndarray:
 def _bilinear_at_level(atlas, tex, mip_y, uv, level):
     """One bilinear fetch at integer mip ``level`` (traced), REPEAT wrap.
 
+    ONE gather: the atlas stores 2x2 texel blocks with per-texture wrap
+    baked in (``scene/textures.py``), so the whole bilinear footprint is a
+    single 16-byte row.
+
     tex: dict of per-pixel int arrays page,x,y,w,h (mip-0 placement).
     """
     sw = jnp.maximum(tex["w"] >> level, 1)
@@ -60,18 +64,12 @@ def _bilinear_at_level(atlas, tex, mip_y, uv, level):
     fx = (st_x - ix0.astype(jnp.float32))[..., None]
     fy = (st_y - iy0.astype(jnp.float32))[..., None]
 
-    def wrap(i, n):
-        return jnp.remainder(i, n)
-
-    x0 = bx + wrap(ix0, sw)
-    x1 = bx + wrap(ix0 + 1, sw)
-    y0 = by + wrap(iy0, sh)
-    y1 = by + wrap(iy0 + 1, sh)
-    pg = tex["page"]
-    c00 = _gather_rgba(atlas, pg, y0, x0)
-    c10 = _gather_rgba(atlas, pg, y0, x1)
-    c01 = _gather_rgba(atlas, pg, y1, x0)
-    c11 = _gather_rgba(atlas, pg, y1, x1)
+    x0 = bx + jnp.remainder(ix0, sw)
+    y0 = by + jnp.remainder(iy0, sh)
+    p, h, w, _ = atlas.shape
+    flat = (tex["page"] * h + y0) * w + x0
+    blk = atlas.reshape(-1, 16)[flat].astype(jnp.float32) * (1.0 / 255.0)
+    c00, c10, c01, c11 = blk[..., 0:4], blk[..., 4:8], blk[..., 8:12], blk[..., 12:16]
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy
@@ -89,22 +87,12 @@ def compute_lod(uv: jnp.ndarray, tex_w, tex_h) -> jnp.ndarray:
     return jnp.log2(jnp.maximum(rho, 1e-20))
 
 
-def sample_texture(atlas, tex_table, mip_y, handle, uv, lod=None) -> jnp.ndarray:
-    """Trilinear (or bilinear if lod None) sample.
+def sample_texture_rows(atlas, mip_y, tex, n_mips, uv, lod=None) -> jnp.ndarray:
+    """Core sampler on pre-fetched table rows.
 
-    atlas: [P,2S,S,4] uint8; tex_table [N,6] int32; mip_y [L] int32;
-    handle [...]: texture id (invalid ids are clamped — caller masks);
-    uv [...,2]; lod [...] or None. Returns rgba f32 [...,4].
+    tex: dict of per-pixel int arrays page/x/y/w/h; n_mips per-pixel int;
+    uv [...,2]; lod [...] or None (bilinear at mip 0). Returns f32 [...,4].
     """
-    row = tex_table[jnp.clip(handle, 0, tex_table.shape[0] - 1)]
-    tex = {
-        "page": row[..., 0],
-        "x": row[..., 1],
-        "y": row[..., 2],
-        "w": row[..., 3],
-        "h": row[..., 4],
-    }
-    n_mips = row[..., 5]
     if lod is None:
         return _bilinear_at_level(atlas, tex, mip_y, uv, jnp.zeros_like(n_mips))
     lodc = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
@@ -114,6 +102,24 @@ def sample_texture(atlas, tex_table, mip_y, handle, uv, lod=None) -> jnp.ndarray
     c0 = _bilinear_at_level(atlas, tex, mip_y, uv, l0)
     c1 = _bilinear_at_level(atlas, tex, mip_y, uv, l1)
     return c0 * (1 - f) + c1 * f
+
+
+def sample_texture(atlas, tex_table, mip_y, handle, uv, lod=None) -> jnp.ndarray:
+    """Trilinear (or bilinear if lod None) sample by texture handle.
+
+    atlas: [P,2S,S,16] uint8 block atlas; tex_table [N,6] int32; mip_y [L]
+    int32; handle [...]: texture id (invalid ids clamped — caller masks);
+    uv [...,2]. Returns rgba f32 [...,4].
+    """
+    row = tex_table[jnp.clip(handle, 0, tex_table.shape[0] - 1)]
+    tex = {
+        "page": row[..., 0],
+        "x": row[..., 1],
+        "y": row[..., 2],
+        "w": row[..., 3],
+        "h": row[..., 4],
+    }
+    return sample_texture_rows(atlas, mip_y, tex, row[..., 5], uv, lod)
 
 
 # --- cubemap --------------------------------------------------------------
