@@ -77,6 +77,7 @@ class RenderConfig:
     shadow_extent: int = 4096  # reference RenderScene.cpp:26
     skybox: bool = True
     grid: bool = False        # reference constructs but never draws it (SURVEY §2.3)
+    show_shadow_quad: bool = False  # TexturedQuad grayscale shadow-map preview
     translucency: bool = True # depth-peeled back-to-front blend pass
     translucency_layers: int = 2  # peel depth (reference sorts per mesh; 2+ is order-correct per pixel)
     raster: RasterConfig = dataclasses.field(default_factory=RasterConfig)

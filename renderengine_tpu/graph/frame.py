@@ -25,8 +25,10 @@ from ..raster import reference_raster as rref
 from ..raster.setup import triangle_setup, vertex_transform
 from ..raster.tiled import rasterize_tiled
 from ..raster.pallas_raster import rasterize_pallas
-from ..shading import pbr, skybox
+from ..shading import pbr, phong, skybox
+from ..shading import grid as grid_mod
 from ..shading import shadow as shadow_mod
+from ..shading.textured_quad import draw_textured_quad
 from ..shading.srgb import encode_srgb8
 from ..scene.camera import ViewProperties
 from . import uniforms
@@ -146,14 +148,18 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
         "debug_equation": params["debug_equation"],
     }
 
+    from ..core.config import ShadingModel
+    shade = (pbr.brdf_lighting if config.shading == ShadingModel.PBR
+             else phong.phong_lighting)
+
     # opaque base pass
     setup = triangle_setup(vo.clip, scene["tri_vidx"], scene["n_opaque"], w, h,
                            config.cull_mode)
     g = rasterize(setup, h, w, config.raster, backend)
 
     frag = resolve_attributes(scene, vo, setup.coef, g.tri_id, h, w)
-    rgba = pbr.brdf_lighting(scene, frag["pos"], frag["uv"], frag["normal"],
-                             frag["mat_id"], view_args, shadow_maps, shadow_tf)
+    rgba = shade(scene, frag["pos"], frag["uv"], frag["normal"],
+                 frag["mat_id"], view_args, shadow_maps, shadow_tf)
 
     # skybox where nothing was drawn (reference draws it last at far depth).
     # Reference quirk kept: the cubemap is a Unorm format sampled raw
@@ -179,14 +185,26 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
             gt = rasterize(setup_t, h, w, config.raster, backend,
                            peel_bounds=(prev, g.depth))
             frag_t = resolve_attributes(scene, vo, setup_t.coef, gt.tri_id, h, w)
-            rgba_t = pbr.brdf_lighting(scene, frag_t["pos"], frag_t["uv"],
-                                       frag_t["normal"], frag_t["mat_id"],
-                                       view_args, shadow_maps, shadow_tf)
+            rgba_t = shade(scene, frag_t["pos"], frag_t["uv"],
+                           frag_t["normal"], frag_t["mat_id"],
+                           view_args, shadow_maps, shadow_tf)
             layers.append((frag_t["covered"], rgba_t))
             prev = jnp.where(frag_t["covered"], gt.depth, 2.0)
         for covered_t, rgba_t in reversed(layers):
             a = jnp.clip(rgba_t[..., 3], 0.0, 1.0) * covered_t
             rgb = rgb * (1.0 - a[..., None]) + rgba_t[..., :3] * a[..., None]
+
+    # editor ground grid (drawable form of the reference's never-drawn
+    # Grid, SURVEY 2.3; blended + depth-tested against the opaque z-buffer)
+    if config.grid:
+        rgb = grid_mod.render_grid(params["inv_vp"], params["view"],
+                                   params["proj"], g.depth, rgb)
+
+    # shadow-map preview overlay (TexturedQuad grayscale mode)
+    if config.show_shadow_quad and shadow_maps is not None:
+        # shadow_maps are packed blocks; texel (y,x) is block channel 0
+        draw_src = shadow_maps[0, :-2, :-2, 0]
+        rgb = draw_textured_quad(rgb, draw_src, grayscale=True)
 
     if config.ssaa > 1:
         f = config.ssaa
@@ -243,6 +261,7 @@ class FrameRenderer:
         vp = view_props or ViewProperties.from_camera(cam)
         params = vp.as_arrays()
         params["inv_vp_rot"] = skybox.skybox_ray_matrix(vp.view, vp.proj)
+        params["inv_vp"] = grid_mod.grid_unproject_matrix(vp.view, vp.proj)
         if self.n_shadows > 0:
             params["shadow_viewproj"] = self._fitting.shadow_transforms_for_scene(self.scene_host)
         return params

@@ -6,7 +6,7 @@ one small host->device transfer per frame instead of a dozen, which
 matters both for dispatch latency and for keeping the jit signature flat.
 
 Layout (floats): view 16 | proj 16 | pos 3 | exposure 1 | debug_input 1 |
-debug_equation 1 | inv_vp_rot 16 | shadow_viewproj NS*16.
+debug_equation 1 | inv_vp_rot 16 | inv_vp 16 | shadow_viewproj NS*16.
 """
 
 from __future__ import annotations
@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-HEADER = 16 + 16 + 3 + 1 + 1 + 1 + 16  # 54
+HEADER = 16 + 16 + 3 + 1 + 1 + 1 + 16 + 16  # 70
 
 
 def pack_params(params: dict, n_shadows: int) -> np.ndarray:
@@ -26,8 +26,9 @@ def pack_params(params: dict, n_shadows: int) -> np.ndarray:
     u[36] = np.float32(int(params["debug_input"]))
     u[37] = np.float32(int(params["debug_equation"]))
     u[38:54] = np.asarray(params["inv_vp_rot"], np.float32).ravel()
+    u[54:70] = np.asarray(params.get("inv_vp", np.eye(4)), np.float32).ravel()
     if n_shadows > 0:
-        u[54:] = np.asarray(params["shadow_viewproj"], np.float32).ravel()[: 16 * n_shadows]
+        u[70:] = np.asarray(params["shadow_viewproj"], np.float32).ravel()[: 16 * n_shadows]
     return u
 
 
@@ -40,7 +41,8 @@ def unpack_params(u: jnp.ndarray, n_shadows: int) -> dict:
         "debug_input": u[36].astype(jnp.int32),
         "debug_equation": u[37].astype(jnp.int32),
         "inv_vp_rot": u[38:54].reshape(4, 4),
+        "inv_vp": u[54:70].reshape(4, 4),
     }
     if n_shadows > 0:
-        params["shadow_viewproj"] = u[54 : 54 + 16 * n_shadows].reshape(n_shadows, 4, 4)
+        params["shadow_viewproj"] = u[70 : 70 + 16 * n_shadows].reshape(n_shadows, 4, 4)
     return params
