@@ -32,6 +32,8 @@ def main():
 
     import jax
 
+    from renderengine_tpu.core import engine
+    engine.init()
     from renderengine_tpu.core.config import RenderConfig
     from renderengine_tpu.graph.frame import FrameRenderer
     from renderengine_tpu.scene import procedural

@@ -47,6 +47,9 @@ def main(argv=None) -> int:
     if not parser.parse(argv):
         return -1
 
+    from ..core import engine
+    engine.init()
+
     if parser.has("gameDir"):
         asset_path.set_game_directory(parser.get_string("gameDir"))
     asset_path.set_engine_directory(asset_path.default_engine_directory())

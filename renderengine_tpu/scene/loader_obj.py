@@ -77,8 +77,34 @@ def _parse_mtl(path: Path, scene: Scene, search_dir: Path) -> dict:
 
 
 def load_obj(path, scene: Scene | None = None) -> Scene:
+    """Loads an OBJ. Uses the native C++ tokenizer when available; the
+    Python path below is the reference implementation and fallback."""
     path = Path(path)
     scene = scene or Scene()
+
+    from ..native import parse_obj
+
+    native = parse_obj(path)
+    if native is not None:
+        mats = {}
+        for lib in native["mtllibs"]:
+            mats.update(_parse_mtl(path.parent / lib, scene, path.parent))
+        default_mat = scene.materials.create_material_instance(MaterialInstanceInfo())
+        handles = [mats.get(n, default_mat) for n in native["mat_names"]]
+        t = len(native["mat"])
+        for mi in np.unique(native["mat"]):
+            sel = native["mat"] == mi
+            pos = native["pos"][sel].reshape(-1, 3)
+            nrm = native["nrm"][sel].reshape(-1, 3)
+            uv = native["uv"][sel].reshape(-1, 2)
+            node = scene.tree.create_node(np.eye(4, dtype=np.float32),
+                                          AABB.from_points(pos) if len(pos) else AABB())
+            base = scene.meshes.add_vertices(pos, nrm, uv)
+            idx = np.arange(len(pos), dtype=np.uint32) + base
+            handle = handles[mi] if 0 <= mi < len(handles) else default_mat
+            scene.meshes.add_mesh(idx, handle, node)
+        del t
+        return scene
     positions: list = []
     normals: list = []
     uvs: list = []

@@ -41,7 +41,19 @@ def write_png(path: str, image: np.ndarray) -> None:
 
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
-    """Undo PNG per-row filters. Row loop in Python, vector math in numpy."""
+    """Undo PNG per-row filters. Uses the native helper when available
+    (the per-byte Sub/Average/Paeth recurrences are ~1000x faster in C++);
+    falls back to a Python row loop."""
+    from ..native import unfilter_png
+
+    native = unfilter_png(raw.tobytes(), h, stride, bpp)
+    if native is not None:
+        return native
+    return _unfilter_py(raw, h, stride, bpp)
+
+
+def _unfilter_py(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Pure-Python fallback."""
     out = np.zeros((h, stride), np.uint8)
     pos = 0
     prev = np.zeros(stride, np.int32)

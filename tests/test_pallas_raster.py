@@ -12,8 +12,8 @@ from test_tiled import random_setup
 
 class TestPallasMatchesReference:
     def test_exact_match_random(self, rng):
-        w, h = 96, 80
-        s = random_setup(rng, n=40, w=w, h=h)
+        w, h = 64, 48
+        s = random_setup(rng, n=16, w=w, h=h)
         ref = rasterize_reference(s, h, w)
         pal = rasterize_pallas(s, h, w, tile_h=8, tile_w=16, chunk=8,
                                max_pairs=8192, interpret=True)
@@ -22,7 +22,7 @@ class TestPallasMatchesReference:
 
     def test_exact_match_back_cull_odd_extent(self, rng):
         w, h = 53, 37
-        s = random_setup(rng, n=25, w=w, h=h, cull=CullMode.BACK)
+        s = random_setup(rng, n=12, w=w, h=h, cull=CullMode.BACK)
         ref = rasterize_reference(s, h, w)
         pal = rasterize_pallas(s, h, w, tile_h=8, tile_w=16, chunk=4,
                                max_pairs=8192, interpret=True)
