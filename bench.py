@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--backend", type=str, default=None)
     ap.add_argument("--tris", type=int, default=260_000)
     ap.add_argument("--textures", type=int, default=200)
+    ap.add_argument("--pairs-per-tri", type=int, default=4)
+    ap.add_argument("--no-translucency", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -48,8 +50,12 @@ def main():
     scene = procedural.sponza_scene(width=args.width, height=args.height,
                                     n_textures=args.textures,
                                     target_tris=args.tris)
+    import dataclasses
+    from renderengine_tpu.core.config import RasterConfig
     cfg = RenderConfig(width=args.width, height=args.height,
-                       shadow_extent=args.shadow_extent)
+                       shadow_extent=args.shadow_extent,
+                       translucency=not args.no_translucency,
+                       raster=RasterConfig(pairs_per_tri=args.pairs_per_tri))
     r = FrameRenderer(scene, cfg, backend=args.backend)
     n_tris = int(np.asarray(r.scene_dev["n_tris"]))
     print(f"# scene: {n_tris} tris, {len(scene.textures)} textures, "

@@ -58,6 +58,7 @@ class RasterConfig:
     tile_w: int = 128        # pixel cols per tile (VPU lane width)
     tri_chunk: int = 16      # triangles rastered per tile per inner step
     max_tris_per_tile: int = 2048  # bin capacity; overflow counted + reported
+    pairs_per_tri: int = 4   # pair-table budget multiplier (overflow is counted)
     use_pallas: bool = True  # Pallas kernel vs pure-jnp tile loop
 
 
@@ -80,6 +81,7 @@ class RenderConfig:
     show_shadow_quad: bool = False  # TexturedQuad grayscale shadow-map preview
     translucency: bool = True # depth-peeled back-to-front blend pass
     translucency_layers: int = 2  # peel depth (reference sorts per mesh; 2+ is order-correct per pixel)
+    translucency_tile_fraction: float = 0.25  # screen-fraction budget for sparse peel shading
     raster: RasterConfig = dataclasses.field(default_factory=RasterConfig)
 
     def render_extent(self) -> tuple[int, int]:

@@ -35,10 +35,10 @@ from . import uniforms
 from .uniforms import unpack_params
 
 
-def _pair_budget(n_tris: int) -> int:
-    """Static pair-table budget: generous for big near-camera triangles
-    while staying O(T). Overflow is counted, not silent."""
-    return 8 * n_tris + 4096
+def _pair_budget(n_tris: int, pairs_per_tri: int = 4) -> int:
+    """Static pair-table budget. Overflow is counted, not silent; the
+    counter is surfaced via FrameRenderer.check_binning()."""
+    return pairs_per_tri * n_tris + 8192
 
 
 def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
@@ -52,11 +52,13 @@ def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
         if full_height is not None:
             raise NotImplementedError("row slicing lands with the sharded pallas path")
         return rasterize_pallas(setup, height, width, rc.tile_h, rc.tile_w,
-                                rc.tri_chunk, _pair_budget(setup.coef.shape[0]),
+                                rc.tri_chunk,
+                                _pair_budget(setup.coef.shape[0], rc.pairs_per_tri),
                                 tri_offset, peel_bounds=peel_bounds)
     if backend == "tiled":
         return rasterize_tiled(setup, height, width, rc.tile_h, rc.tile_w,
-                               rc.tri_chunk, _pair_budget(setup.coef.shape[0]),
+                               rc.tri_chunk,
+                               _pair_budget(setup.coef.shape[0], rc.pairs_per_tri),
                                tri_offset, y0=y0, full_height=full_height,
                                peel_bounds=peel_bounds)
     return rref.rasterize_reference(setup, height, width, tri_offset=tri_offset,
@@ -64,17 +66,24 @@ def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
                                     peel_bounds=peel_bounds)
 
 
-def resolve_attributes(scene, vo, coef, tri_id, height, width,
-                       y0=0, full_height: int | None = None):
+def resolve_attributes(scene, vo, coef, g, height, width,
+                       y0=0, full_height: int | None = None,
+                       tri_table: str = "tri_packed"):
     """G-buffer resolve: per-pixel perspective-correct vertex attributes.
     Replaces hardware attribute interpolation feeding surface_pbr.frag.
 
-    Gather budget per pixel: 1 coef row (bary), 1 tri_packed row
-    (vidx+material), 3 packed vertex-attribute rows.
+    Gather budget per pixel: 1 tri row (vidx+material) + 3 packed
+    vertex-attribute rows; barycentrics come straight from the pallas
+    kernel when available (g.bary), else are recomputed from coef.
     """
-    bary, _ = rref.barycentrics_at(coef, tri_id, height, width, y0, full_height)
+    tri_id = g.tri_id
+    if g.bary is not None:
+        b01 = g.bary
+        bary = jnp.concatenate([b01, 1.0 - b01[..., :1] - b01[..., 1:2]], axis=-1)
+    else:
+        bary, _ = rref.barycentrics_at(coef, tri_id, height, width, y0, full_height)
     safe_tri = jnp.maximum(tri_id, 0)
-    trow = scene["tri_packed"][safe_tri]          # [H,W,8] one gather
+    trow = scene[tri_table][safe_tri]             # [H,W,8] one gather
     vidx = trow[..., 0:3]
     b = bary[..., None]
 
@@ -91,6 +100,53 @@ def resolve_attributes(scene, vo, coef, tri_id, height, width,
         "mat_id": trow[..., 3],
         "covered": tri_id >= 0,
     }
+
+
+def shade_sparse(shade_fn, frag, height: int, width: int,
+                 tile_h: int = 8, tile_w: int = 128,
+                 max_tiles: int | None = None):
+    """Run a resolve+shade function only on tiles with coverage — for
+    passes that touch few pixels (translucent peel layers). Covered tiles
+    are gathered into a compact [K*th, tw] pseudo-image (quad derivatives
+    stay tile-local), processed, and scattered back. K is a static budget
+    (top-k by coverage); tiles beyond it go unshaded.
+
+    ``frag``: dict of [H,W(,C)] planes handed to ``shade_fn`` compacted;
+    must contain "covered". Returns rgba [H,W,4], zeros where unshaded.
+    """
+    nty = -(-height // tile_h)
+    ntx = -(-width // tile_w)
+    n_tiles = nty * ntx
+    if max_tiles is None:
+        max_tiles = max(1, n_tiles // 4)
+    max_tiles = min(max_tiles, n_tiles)
+    ph, pw = nty * tile_h - height, ntx * tile_w - width
+
+    def tilefy(a, fill=0):
+        a = jnp.pad(a, ((0, ph), (0, pw)) + ((0, 0),) * (a.ndim - 2),
+                    constant_values=fill)
+        a = a.reshape(nty, tile_h, ntx, tile_w, *a.shape[2:])
+        a = jnp.moveaxis(a, 2, 1)
+        return a.reshape(n_tiles, tile_h, tile_w, *a.shape[4:])
+
+    cov_tiles = tilefy(frag["covered"])
+    cov_any = cov_tiles.reshape(n_tiles, -1).any(-1)
+    _, sel = jax.lax.top_k(cov_any.astype(jnp.int32), max_tiles)
+
+    def gather_img(a):
+        t = tilefy(a)[sel]                           # [K,th,tw,...]
+        return t.reshape(max_tiles * tile_h, tile_w, *t.shape[3:])
+
+    sub = {k: gather_img(v) for k, v in frag.items()}
+    rgba_sub = shade_fn(sub)
+
+    # scatter tiles back
+    r = rgba_sub.reshape(max_tiles, tile_h, tile_w, 4)
+    out = jnp.zeros((n_tiles, tile_h, tile_w, 4), rgba_sub.dtype)
+    out = out.at[sel].set(r, mode="drop")
+    out = out.reshape(nty, ntx, tile_h, tile_w, 4)
+    out = jnp.moveaxis(out, 2, 1).reshape(nty * tile_h, ntx * tile_w, 4)
+    return out[:height, :width]
 
 
 def render_shadow_maps(scene, world_pos, shadow_viewproj, extent: int,
@@ -117,17 +173,31 @@ def render_shadow_pass(scene, uniform, config: RenderConfig, n_shadows: int,
     (``RenderScene.cpp:170-181``), while the shadow *transforms* keep
     updating per frame (``ShadowSystem::Update``); we replicate both."""
     params = unpack_params(uniform, n_shadows)
-    vo = vertex_transform(scene, params["view"], params["proj"])
-    maps = render_shadow_maps(scene, vo.world_pos, params["shadow_viewproj"],
+    maps = render_shadow_maps(scene, scene["world_pos"], params["shadow_viewproj"],
                               config.shadow_extent, n_shadows,
                               config.raster, backend)
     # pack once per (cached) render: 3x3 PCF becomes 4 block gathers
     return shadow_mod.pack_shadow_blocks(maps)
 
 
+def cached_vertex_outputs(scene, view, proj):
+    """Vertex stage over the world-space cache (static transforms paid at
+    upload): per-frame work is one 4x4 application per vertex, no gathers."""
+    from ..raster.setup import VertexOutputs
+
+    world = scene["world_pos"]
+    proj = jnp.asarray(proj, jnp.float32)
+    view = jnp.asarray(view, jnp.float32)
+    vp = (proj[:, :, None] * view[None, :, :]).sum(1)
+    world_h = jnp.concatenate([world, jnp.ones_like(world[:, :1])], axis=-1)
+    clip = (vp[None, :, :] * world_h[:, None, :]).sum(-1)
+    return VertexOutputs(world, scene["world_normal"], scene["uvs"], clip)
+
+
 def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
                  n_shadows: int, backend: str = "reference",
-                 has_translucent: bool = False) -> jnp.ndarray:
+                 has_translucent: bool = False,
+                 slots_used=(True, True, True, True)) -> jnp.ndarray:
     """The per-frame pass chain (minus the cached shadow depth).
     scene: device dict; uniform: packed per-frame float32 vector
     (``graph.uniforms``); shadow_maps: packed blocks or None.
@@ -135,7 +205,7 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     h, w = config.render_extent()
     params = unpack_params(uniform, n_shadows)
 
-    vo = vertex_transform(scene, params["view"], params["proj"])
+    vo = cached_vertex_outputs(scene, params["view"], params["proj"])
 
     shadow_tf = None
     if config.shadows and n_shadows > 0:
@@ -149,15 +219,17 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     }
 
     from ..core.config import ShadingModel
-    shade = (pbr.brdf_lighting if config.shading == ShadingModel.PBR
-             else phong.phong_lighting)
+    from functools import partial as _partial
+    base_shade = (pbr.brdf_lighting if config.shading == ShadingModel.PBR
+                  else phong.phong_lighting)
+    shade = _partial(base_shade, slots_used=slots_used)
 
     # opaque base pass
     setup = triangle_setup(vo.clip, scene["tri_vidx"], scene["n_opaque"], w, h,
                            config.cull_mode)
     g = rasterize(setup, h, w, config.raster, backend)
 
-    frag = resolve_attributes(scene, vo, setup.coef, g.tri_id, h, w)
+    frag = resolve_attributes(scene, vo, setup.coef, g, h, w)
     rgba = shade(scene, frag["pos"], frag["uv"], frag["normal"],
                  frag["mat_id"], view_args, shadow_maps, shadow_tf)
 
@@ -176,20 +248,39 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     # the reference's per-mesh back-to-front sorted draws with culling off
     # (RenderScene.cpp:127-159, GraphicsPipelineCache.cpp:307).
     if config.translucency and has_translucent:
-        setup_t = triangle_setup(vo.clip, scene["tri_vidx"], scene["n_tris"],
-                                 w, h, CullMode.NONE,
-                                 first_tri=scene["n_opaque"])
+        # dedicated (small) blend draw list: the peels bin/raster only it
+        setup_t = triangle_setup(vo.clip, scene["blend_tri_vidx"],
+                                 scene["n_blend"], w, h, CullMode.NONE)
         prev = jnp.full((h, w), -1.0, jnp.float32)
         layers = []
+        n_tiles = (-(-h // config.raster.tile_h)) * (-(-w // config.raster.tile_w))
+        budget = max(1, int(n_tiles * config.translucency_tile_fraction))
+
+        def resolve_and_shade(fr):
+            # resolve + shade on the compacted pseudo-image (few tiles)
+            gsub = rref.GBuffer(depth=None, tri_id=fr["tri_id"], bary=fr["bary"])
+            fsub = resolve_attributes(scene, vo, setup_t.coef, gsub,
+                                      *fr["tri_id"].shape,
+                                      tri_table="blend_tri_packed")
+            return shade(scene, fsub["pos"], fsub["uv"], fsub["normal"],
+                         fsub["mat_id"], view_args, shadow_maps, shadow_tf)
+
         for _ in range(config.translucency_layers):
             gt = rasterize(setup_t, h, w, config.raster, backend,
                            peel_bounds=(prev, g.depth))
-            frag_t = resolve_attributes(scene, vo, setup_t.coef, gt.tri_id, h, w)
-            rgba_t = shade(scene, frag_t["pos"], frag_t["uv"],
-                           frag_t["normal"], frag_t["mat_id"],
-                           view_args, shadow_maps, shadow_tf)
-            layers.append((frag_t["covered"], rgba_t))
-            prev = jnp.where(frag_t["covered"], gt.depth, 2.0)
+            covered_t = gt.tri_id >= 0
+            if gt.bary is None:  # non-pallas backends: recompute bary densely
+                bary_t, _ = rref.barycentrics_at(setup_t.coef, gt.tri_id, h, w)
+                bary_t = bary_t[..., :2]
+            else:
+                bary_t = gt.bary
+            rgba_t = shade_sparse(
+                resolve_and_shade,
+                {"covered": covered_t, "tri_id": gt.tri_id, "bary": bary_t},
+                h, w, config.raster.tile_h, config.raster.tile_w,
+                max_tiles=budget)
+            layers.append((covered_t, rgba_t))
+            prev = jnp.where(covered_t, gt.depth, 2.0)
         for covered_t, rgba_t in reversed(layers):
             a = jnp.clip(rgba_t[..., 3], 0.0, 1.0) * covered_t
             rgb = rgb * (1.0 - a[..., None]) + rgba_t[..., :3] * a[..., None]
@@ -202,8 +293,9 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
 
     # shadow-map preview overlay (TexturedQuad grayscale mode)
     if config.show_shadow_quad and shadow_maps is not None:
-        # shadow_maps are packed blocks; texel (y,x) is block channel 0
-        draw_src = shadow_maps[0, :-2, :-2, 0]
+        # packed u16 4x4 blocks: texel (y,x) = block at anchor (y+1,x+1),
+        # window slot (1,1)
+        draw_src = shadow_maps[0, 1:-1, 1:-1, 5].astype(jnp.float32) / 65535.0
         rgb = draw_textured_quad(rgb, draw_src, grayscale=True)
 
     if config.ssaa > 1:
@@ -242,10 +334,14 @@ class FrameRenderer:
             else:
                 backend = "tiled"
         self.backend = backend
-        has_translucent = int(dev["n_tris"]) > int(dev["n_opaque"])
+        has_translucent = int(dev["n_blend"]) > 0
+        slots_used = tuple(bool((dev[k] >= 0).any()) for k in
+                           ("mat_tex_base", "mat_tex_emissive",
+                            "mat_tex_orm", "mat_tex_normal"))
         self._fn = jax.jit(partial(render_frame, config=config,
                                    n_shadows=self.n_shadows, backend=backend,
-                                   has_translucent=has_translucent))
+                                   has_translucent=has_translucent,
+                                   slots_used=slots_used))
         self._shadow_fn = jax.jit(partial(render_shadow_pass, config=config,
                                           n_shadows=self.n_shadows,
                                           backend=backend))

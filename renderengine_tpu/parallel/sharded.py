@@ -49,7 +49,7 @@ def pad_scene_for_mesh(scene_dev: dict, n_devices: int) -> dict:
     pad = (-v) % n_devices
     if pad:
         scene_dev = dict(scene_dev)
-        for k in ("positions", "normals", "uvs"):
+        for k in ("positions", "normals", "uvs", "world_pos", "world_normal"):
             scene_dev[k] = np.concatenate(
                 [scene_dev[k], np.zeros((pad,) + scene_dev[k].shape[1:],
                                         scene_dev[k].dtype)])
@@ -71,7 +71,8 @@ def render_frame_sharded(scene, params, config: RenderConfig, n_shadows: int,
     assert n_tris_static % d == 0, "padded triangle count must divide the mesh"
     ts = n_tris_static // d
 
-    vert_specs = {k: P(AXIS) for k in ("positions", "normals", "uvs", "vert_node")}
+    vert_specs = {k: P(AXIS) for k in ("positions", "normals", "uvs", "vert_node",
+                                       "world_pos", "world_normal")}
     scene_specs = {k: vert_specs.get(k, P()) for k in scene}
 
     def per_device(scene_l, params_l):

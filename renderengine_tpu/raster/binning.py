@@ -62,10 +62,17 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
     # search costing ~80ms/Mquery on TPU; a scatter of segment heads + a
     # cummax fill is a handful of fast passes instead.
     tri = _segment_ids_from_offsets(offsets, span, max_pairs)
-    local = slots - offsets[tri]
-    dy = local // nx[tri]
-    dx = local - dy * nx[tri]
-    tile = (ty0[tri] + dy) * ntx + (tx0[tri] + dx)
+    # one packed row gather per slot (gathers are priced per index), and
+    # f32 division with an exact fixup instead of slow integer division
+    bin_rows = jnp.stack([offsets, nx, ty0 * ntx + tx0, tx0], axis=-1)  # [T,4]
+    row = bin_rows[tri]                                                 # [P,4]
+    local = slots - row[..., 0]
+    nxv = row[..., 1]
+    dy = jnp.floor(local.astype(jnp.float32) / nxv.astype(jnp.float32)).astype(jnp.int32)
+    rem = local - dy * nxv
+    dy = jnp.where(rem < 0, dy - 1, jnp.where(rem >= nxv, dy + 1, dy))
+    dx = local - dy * nxv
+    tile = row[..., 2] + dy * ntx + dx
     slot_valid = slots < jnp.minimum(total, max_pairs)
     key = jnp.where(slot_valid, tile, n_tiles).astype(jnp.int32)  # invalid sorts last
 

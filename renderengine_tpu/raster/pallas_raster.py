@@ -53,9 +53,9 @@ def _raster_kernel(
     peel: bool,
 ):
     if peel:
-        bounds_ref, depth_ref, tri_ref, data_buf, sems = rest
+        bounds_ref, depth_ref, tri_ref, bary_ref, data_buf, sems = rest
     else:
-        depth_ref, tri_ref, data_buf, sems = rest
+        depth_ref, tri_ref, bary_ref, data_buf, sems = rest
     tile = pl.program_id(0)
     start = starts_ref[tile]
     count = counts_ref[tile]
@@ -82,7 +82,7 @@ def _raster_kernel(
             d.start()
 
     def step_body(step, carry):
-        dmin, idmin = carry
+        dmin, idmin, b0c, b1c = carry
         slot = step % 2
 
         @pl.when(step + 1 < n_steps)
@@ -101,7 +101,7 @@ def _raster_kernel(
 
         # statically unrolled per-triangle evaluation: each triangle's
         # planes broadcast over the whole tile (straight-line VPU code)
-        dmin_i, idmin_i = dmin, idmin
+        dmin_i, idmin_i, b0_i, b1_i = dmin, idmin, b0c, b1c
         for k in range(CHUNK):
             e0 = c[0, k] * px + c[1, k] * py + c[2, k]
             e1 = c[3, k] * px + c[4, k] * py + c[5, k]
@@ -126,13 +126,23 @@ def _raster_kernel(
             # so lowest pair == lowest triangle on exact depth ties; the
             # caller maps pair -> triangle with one gather.
             idmin_i = jnp.where(take, g, idmin_i)
-        return dmin_i, idmin_i
+            # winner barycentrics (perspective-correct lambdas), saving the
+            # shading pass its coefficient re-gather
+            esum = e0 + e1 + e2
+            inv = 1.0 / jnp.where(esum == 0, 1.0, esum)
+            b0_i = jnp.where(take, e0 * inv, b0_i)
+            b1_i = jnp.where(take, e1 * inv, b1_i)
+        return dmin_i, idmin_i, b0_i, b1_i
 
     dmin0 = jnp.ones((tile_h, tile_w), jnp.float32)
     idmin0 = jnp.full((tile_h, tile_w), _BIG_ID, jnp.int32)
-    dmin, idmin = jax.lax.fori_loop(0, n_steps, step_body, (dmin0, idmin0))
+    z0 = jnp.zeros((tile_h, tile_w), jnp.float32)
+    dmin, idmin, b0, b1 = jax.lax.fori_loop(0, n_steps, step_body,
+                                            (dmin0, idmin0, z0, z0))
     depth_ref[0, :, :] = dmin
     tri_ref[0, :, :] = idmin
+    bary_ref[0, 0, :, :] = b0
+    bary_ref[0, 1, :, :] = b1
 
 
 def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
@@ -215,6 +225,8 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tile_h, tile_w), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, N_ROWS, CHUNK), jnp.float32),
@@ -226,12 +238,13 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     if peel:
         args.append(_tile_bounds(peel_bounds, height, width, tile_h, tile_w,
                                  nty, ntx))
-    depth, tri = pl.pallas_call(
+    depth, tri, bary = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 2, tile_h, tile_w), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
@@ -243,4 +256,6 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     pair_idx = untile(tri)
     won = pair_idx != _BIG_ID
     tri_id = jnp.where(won, pair_tri[jnp.where(won, pair_idx, 0)], -1)
-    return GBuffer(untile(depth), tri_id)
+    b0 = untile(bary[:, 0])
+    b1 = untile(bary[:, 1])
+    return GBuffer(untile(depth), tri_id, jnp.stack([b0, b1], axis=-1))

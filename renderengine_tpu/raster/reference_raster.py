@@ -27,6 +27,8 @@ NO_TRI = jnp.int32(-1)
 class GBuffer(NamedTuple):
     depth: jnp.ndarray   # [H,W] f32 in [0,1]; 1.0 where empty (cleared)
     tri_id: jnp.ndarray  # [H,W] i32; -1 where empty
+    bary: jnp.ndarray | None = None  # [H,W,2] winner (b0, b1); b2 = 1-b0-b1
+                                     # (pallas backend fills this in-kernel)
 
 
 def _coverage_and_depth(coef, tie, p):

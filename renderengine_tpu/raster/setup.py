@@ -54,6 +54,7 @@ class TriSetup(NamedTuple):
     tie: jnp.ndarray       # [T,3] bool — accept E==0 (top-left rule)
     valid: jnp.ndarray     # [T] bool
     bbox: jnp.ndarray      # [T,4] i32 (x0,y0,x1,y1) inclusive pixel bounds
+    packed: jnp.ndarray    # [T,24] f32 kernel rows (coef 15 | tie 3 | pad 6)
 
 
 def vertex_transform(scene: dict, view: jnp.ndarray, proj: jnp.ndarray) -> VertexOutputs:
@@ -156,7 +157,12 @@ def triangle_setup(
     tri_ids = jnp.arange(tri_vidx.shape[0], dtype=jnp.int32)
     in_range = (tri_ids < n_tris) & (tri_ids >= first_tri)
     valid = orient_ok & ~out & in_range & (x1 >= x0) & (y1 >= y0)
-    return TriSetup(coef.astype(jnp.float32), tie, valid, bbox)
+    coef = coef.astype(jnp.float32)
+    t = coef.shape[0]
+    packed = jnp.concatenate(
+        [coef.reshape(t, 15), tie.astype(jnp.float32),
+         jnp.zeros((t, 6), jnp.float32)], axis=-1)
+    return TriSetup(coef, tie, valid, bbox, packed)
 
 
 def pixel_vectors(height: int, width: int, y0: int = 0,
@@ -184,4 +190,5 @@ def restrict_rows(setup: TriSetup, y0, slice_h: int, full_height: int) -> TriSet
     ny1 = jnp.clip(bbox[:, 3] - y0, 0, slice_h - 1)
     inside = (bbox[:, 3] >= y0) & (bbox[:, 1] < y0 + slice_h)
     new_bbox = jnp.stack([bbox[:, 0], ny0, bbox[:, 2], ny1], axis=-1)
-    return TriSetup(setup.coef, setup.tie, setup.valid & inside, new_bbox)
+    return TriSetup(setup.coef, setup.tie, setup.valid & inside, new_bbox,
+                    setup.packed)

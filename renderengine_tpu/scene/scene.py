@@ -89,16 +89,43 @@ class Scene:
             transforms = np.eye(4, dtype=np.float32)[None]
             normal_mats = np.eye(3, dtype=np.float32)[None]
 
+        # world-space vertex cache: static scenes pay the node-transform
+        # gather once at upload (the shadow-dirty-flag philosophy applied
+        # to the vertex stage); per-frame vertex work is just clip = VP @ world
+        tfv = transforms[np.clip(vert_node, 0, len(transforms) - 1)]
+        wh = (tfv[:, :3, :3] * pos[:, None, :]).sum(-1) + tfv[:, :3, 3]
+        ww = (tfv[:, 3, :3] * pos).sum(-1) + tfv[:, 3, 3]
+        world_pos = (wh / ww[:, None]).astype(np.float32)
+        nmv = normal_mats[np.clip(vert_node, 0, len(normal_mats) - 1)]
+        wn = (nmv * nrm[:, None, :]).sum(-1)
+        wn_n = np.linalg.norm(wn, axis=-1, keepdims=True)
+        world_normal = (wn / np.maximum(wn_n, 1e-20)).astype(np.float32)
+
+        # separate translucent ("blend") draw list: the peel passes bin and
+        # raster only these (usually few) triangles
+        n_blend = n_tris - n_opaque
+        bpad = (-n_blend) % 64 if n_blend else 64
+        blend_vidx = np.concatenate([tri_vidx[n_opaque:n_tris],
+                                     np.zeros((bpad, 3), np.int32)])
+        blend_mat = np.concatenate([tri_mat[n_opaque:n_tris], np.zeros(bpad, np.int32)])
+        blend_node = np.concatenate([tri_node[n_opaque:n_tris], np.zeros(bpad, np.int32)])
+
         device = {
             "positions": pos,
             "normals": nrm,
             "uvs": uv,
             "vert_node": vert_node,
+            "world_pos": world_pos,
+            "world_normal": world_normal,
             "tri_vidx": tri_vidx,
             "tri_material": tri_mat,
             "tri_node": tri_node,
             "n_tris": np.int32(n_tris),
             "n_opaque": np.int32(n_opaque),
+            "blend_tri_vidx": blend_vidx,
+            "blend_tri_material": blend_mat,
+            "blend_tri_node": blend_node,
+            "n_blend": np.int32(n_blend),
             "transforms": transforms,
             "normal_mats": normal_mats,
         }
@@ -126,6 +153,11 @@ def _pack_rows(device: dict) -> dict:
     tri_packed[:, 0:3] = device["tri_vidx"]
     tri_packed[:, 3] = device["tri_material"]
     tri_packed[:, 4] = device["tri_node"]
+    tb = len(device["blend_tri_vidx"])
+    blend_tri_packed = np.zeros((tb, 8), np.int32)
+    blend_tri_packed[:, 0:3] = device["blend_tri_vidx"]
+    blend_tri_packed[:, 3] = device["blend_tri_material"]
+    blend_tri_packed[:, 4] = device["blend_tri_node"]
 
     m = len(device["mat_base_color"])
     mat_core = np.zeros((m, 16), np.float32)
@@ -147,4 +179,5 @@ def _pack_rows(device: dict) -> dict:
         rows[~valid] = np.array([-1, 0, 0, 1, 1, 1], np.float32)
         mat_tex[:, 6 * si : 6 * si + 6] = rows
 
-    return {"tri_packed": tri_packed, "mat_core": mat_core, "mat_tex": mat_tex}
+    return {"tri_packed": tri_packed, "blend_tri_packed": blend_tri_packed,
+            "mat_core": mat_core, "mat_tex": mat_tex}

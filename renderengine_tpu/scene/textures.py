@@ -232,9 +232,14 @@ class TextureCache:
                 atlas[page, ry : ry + mh, x >> lvl : (x >> lvl) + mw] = blk
 
         cube = self.cubemap if self.cubemap is not None else np.zeros((6, 1, 1, 4), np.uint8)
+        # cube block layout (clamp-to-edge): one 16B gather per bilinear tap
+        cx = np.concatenate([cube[:, :, 1:], cube[:, :, -1:]], axis=2)
+        cy = np.concatenate([cube[:, 1:], cube[:, -1:]], axis=1)
+        cxy = np.concatenate([cx[:, 1:], cx[:, -1:]], axis=1)
+        cube_blk = np.concatenate([cube, cx, cy, cxy], axis=-1)  # [6,S,S,16]
         return {
             "atlas": atlas,
             "tex_table": table,
             "mip_y": mip_y,
-            "cubemap": cube,
+            "cubemap": cube_blk,
         }

@@ -74,10 +74,14 @@ def _sample_slot(scene, tex, uv, duv_dx, duv_dy, default):
     return jnp.where(tex["valid"][..., None], s, default)
 
 
-def remap_material(scene, mat_id, frag_pos, uv, frag_normal):
+def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
+                   slots_used=(True, True, True, True)):
     """GetBaseColor/GetEmissive/GetNormal/GetOcclusionRoughnessMetallic +
     RemapMaterial (``pbr.glsl:100-233``). Material state arrives as two
-    packed row gathers (mat_core, mat_tex — see scene._pack_rows)."""
+    packed row gathers (mat_core, mat_tex — see scene._pack_rows).
+
+    ``slots_used``: static per-scene flags (base, emissive, orm, normal);
+    a slot no material uses skips its texture sampling entirely."""
     core = scene["mat_core"][mat_id]      # [...,16]
     mtex = scene["mat_tex"][mat_id]       # [...,24]
     m = {
@@ -92,29 +96,42 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal):
     duv_dx = sampling.quad_dfdx(uv)
     duv_dy = sampling.quad_dfdy(uv)
 
-    tb = _slot(mtex, 0)
-    base_tex = _sample_slot(scene, tb, uv, duv_dx, duv_dy, jnp.ones(4))
-    base_color = m["mat_base_color"] * jnp.concatenate(
-        [srgb_to_linear(base_tex[..., :3]), base_tex[..., 3:4]], axis=-1)
-    base_color = jnp.where(tb["valid"][..., None], base_color, m["mat_base_color"])
+    if slots_used[0]:
+        tb = _slot(mtex, 0)
+        base_tex = _sample_slot(scene, tb, uv, duv_dx, duv_dy, jnp.ones(4))
+        base_color = m["mat_base_color"] * jnp.concatenate(
+            [srgb_to_linear(base_tex[..., :3]), base_tex[..., 3:4]], axis=-1)
+        base_color = jnp.where(tb["valid"][..., None], base_color, m["mat_base_color"])
+    else:
+        base_color = jnp.broadcast_to(m["mat_base_color"], mat_id.shape + (4,))
 
-    te = _slot(mtex, 1)
-    em_tex = _sample_slot(scene, te, uv, duv_dx, duv_dy, jnp.ones(4))
-    emissive = m["mat_emissive"] * jnp.concatenate(
-        [srgb_to_linear(em_tex[..., :3]), em_tex[..., 3:4]], axis=-1)
-    emissive = jnp.where(te["valid"][..., None], emissive, m["mat_emissive"])
+    if slots_used[1]:
+        te = _slot(mtex, 1)
+        em_tex = _sample_slot(scene, te, uv, duv_dx, duv_dy, jnp.ones(4))
+        emissive = m["mat_emissive"] * jnp.concatenate(
+            [srgb_to_linear(em_tex[..., :3]), em_tex[..., 3:4]], axis=-1)
+        emissive = jnp.where(te["valid"][..., None], emissive, m["mat_emissive"])
+    else:
+        emissive = jnp.broadcast_to(m["mat_emissive"], mat_id.shape + (4,))
 
-    to = _slot(mtex, 2)
-    orm_tex = _sample_slot(scene, to, uv, duv_dx, duv_dy, jnp.ones(4))
-    ho = to["valid"]
-    occ = jnp.where(ho, m["mat_ao"] * orm_tex[..., 0], m["mat_ao"])
-    prough = jnp.where(ho, m["mat_roughness"] * orm_tex[..., 1], m["mat_roughness"])
-    metal = jnp.where(ho, m["mat_metallic"] * orm_tex[..., 2], m["mat_metallic"])
+    if slots_used[2]:
+        to = _slot(mtex, 2)
+        orm_tex = _sample_slot(scene, to, uv, duv_dx, duv_dy, jnp.ones(4))
+        ho = to["valid"]
+        occ = jnp.where(ho, m["mat_ao"] * orm_tex[..., 0], m["mat_ao"])
+        prough = jnp.where(ho, m["mat_roughness"] * orm_tex[..., 1], m["mat_roughness"])
+        metal = jnp.where(ho, m["mat_metallic"] * orm_tex[..., 2], m["mat_metallic"])
+    else:
+        occ, prough, metal = m["mat_ao"], m["mat_roughness"], m["mat_metallic"]
 
     # normal mapping via screen-space derivatives (pbr.glsl:121-145)
-    tn_slot = _slot(mtex, 3)
-    hn = tn_slot["valid"]
-    tn = _sample_slot(scene, tn_slot, uv, duv_dx, duv_dy, jnp.full(4, 0.5))[..., :3] * 2.0 - 1.0
+    if slots_used[3]:
+        tn_slot = _slot(mtex, 3)
+        hn = tn_slot["valid"]
+        tn = _sample_slot(scene, tn_slot, uv, duv_dx, duv_dy, jnp.full(4, 0.5))[..., :3] * 2.0 - 1.0
+    else:
+        hn = jnp.zeros(mat_id.shape, bool)
+        tn = jnp.zeros(mat_id.shape + (3,), jnp.float32)
     q1 = sampling.quad_dfdx(frag_pos)
     q2 = sampling.quad_dfdy(frag_pos)
     st1 = duv_dx
@@ -179,13 +196,14 @@ def _spot_attenuation(l, light_dir, cos_inner, cos_outer):
 # --- the full lighting function (pbr.glsl:385-451) -------------------------
 
 def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
-                  shadow_maps=None, shadow_transforms=None):
+                  shadow_maps=None, shadow_transforms=None,
+                  slots_used=(True, True, True, True)):
     """Port of ``BRDF_Lighting``. Returns rgba (linear, pre-sRGB-encode).
 
     view_args: dict with view_pos [3], exposure, debug_input, debug_equation.
     shadow_maps: [NS,E,E] f32 or None; shadow_transforms: [NS,4,4].
     """
-    mat = remap_material(scene, mat_id, frag_pos, uv, frag_normal)
+    mat = remap_material(scene, mat_id, frag_pos, uv, frag_normal, slots_used)
 
     n = mat["normal"]
     v = view_args["view_pos"] - frag_pos

@@ -18,7 +18,8 @@ from .pbr import _slot, _sample_slot
 
 
 def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
-                   shadow_maps=None, shadow_transforms=None):
+                   shadow_maps=None, shadow_transforms=None,
+                   slots_used=(True, True, True, True)):
     """Port of ``PhongLighting`` (phong.glsl:38-81), summed over lights.
     Light colors map: ambient = 0.03*color, diffuse = specular =
     intensity*color. Returns rgba (linear)."""
@@ -26,11 +27,14 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
     mtex = scene["mat_tex"][mat_id]
     duv_dx = sampling.quad_dfdx(uv)
     duv_dy = sampling.quad_dfdy(uv)
-    tb = _slot(mtex, 0)
-    base_tex = _sample_slot(scene, tb, uv, duv_dx, duv_dy, jnp.ones(4))
-    diffuse_p = core[..., 0:4] * jnp.concatenate(
-        [srgb_to_linear(base_tex[..., :3]), base_tex[..., 3:4]], axis=-1)
-    diffuse_p = jnp.where(tb["valid"][..., None], diffuse_p, core[..., 0:4])
+    if slots_used[0]:
+        tb = _slot(mtex, 0)
+        base_tex = _sample_slot(scene, tb, uv, duv_dx, duv_dy, jnp.ones(4))
+        diffuse_p = core[..., 0:4] * jnp.concatenate(
+            [srgb_to_linear(base_tex[..., :3]), base_tex[..., 3:4]], axis=-1)
+        diffuse_p = jnp.where(tb["valid"][..., None], diffuse_p, core[..., 0:4])
+    else:
+        diffuse_p = jnp.broadcast_to(core[..., 0:4], mat_id.shape + (4,))
     spec_p = core[..., 8:9]  # f0 as the specular strength
     rough = jnp.clip(core[..., 10], 0.089, 1.0)
     shininess = jnp.maximum(2.0 / (rough * rough * rough * rough) - 2.0, 1.0)

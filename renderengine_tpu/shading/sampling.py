@@ -126,7 +126,9 @@ def sample_texture(atlas, tex_table, mip_y, handle, uv, lod=None) -> jnp.ndarray
 
 def sample_cubemap(cube: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Bilinear cubemap sample (GL/Vulkan face conventions). cube
-    [6,S,S,4] uint8; dirs [...,3]. Returns rgba f32 [...,4]."""
+    [6,S,S,16] uint8 2x2 blocks (clamp-to-edge baked in — see
+    scene.textures.build_atlas); dirs [...,3]. Returns rgba f32 [...,4].
+    One gather per sample."""
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
     # face selection
@@ -152,14 +154,9 @@ def sample_cubemap(cube: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     fx = (st_x - ix0.astype(jnp.float32))[..., None]
     fy = (st_y - iy0.astype(jnp.float32))[..., None]
     x0 = jnp.clip(ix0, 0, s - 1)       # clamp-to-edge within the face
-    x1 = jnp.clip(ix0 + 1, 0, s - 1)
     y0 = jnp.clip(iy0, 0, s - 1)
-    y1 = jnp.clip(iy0 + 1, 0, s - 1)
-    flatcube = cube.reshape(-1, 4)
-
-    def fetch(yy, xx):
-        return flatcube[(face * s + yy) * s + xx].astype(jnp.float32) * (1.0 / 255.0)
-
-    top = fetch(y0, x0) * (1 - fx) + fetch(y0, x1) * fx
-    bot = fetch(y1, x0) * (1 - fx) + fetch(y1, x1) * fx
+    blk = cube.reshape(-1, 16)[(face * s + y0) * s + x0].astype(jnp.float32) * (1.0 / 255.0)
+    c00, c10, c01, c11 = blk[..., 0:4], blk[..., 4:8], blk[..., 8:12], blk[..., 12:16]
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy

@@ -17,16 +17,24 @@ import jax.numpy as jnp
 
 
 def pack_shadow_blocks(shadow_maps: jnp.ndarray) -> jnp.ndarray:
-    """[NS,E,E] depth -> [NS,E+2,E+2,4] blocks over a 1.0-padded map.
+    """[NS,E,E] depth -> [NS,E+2,E+2,16] uint16 4x4 blocks: the whole 3x3
+    PCF footprint (anchored one texel up-left of the nearest texel) in ONE
+    gather. Depth is quantized to 16-bit unorm — the quantization step
+    (1.5e-5) is far below the minimum shadow bias (0.005), so compare
+    results are unchanged in practice. White (1.0) border baked in.
 
-    Block (j,i) = padded texels {(j,i),(j,i+1),(j+1,i),(j+1,i+1)}, where
-    padded coords are original + 1 (1 texel of white border on the low
-    side, 2 on the high side).
+    Block at anchor index a (a = clip(center-texel, -1, E) + 1) holds
+    original rows/cols [a-2, a+2) = the 4x4 window starting one texel
+    before the anchor.
     """
-    p = jnp.pad(shadow_maps, ((0, 0), (1, 2), (1, 2)), constant_values=1.0)
-    return jnp.stack(
-        [p[:, :-1, :-1], p[:, :-1, 1:], p[:, 1:, :-1], p[:, 1:, 1:]], axis=-1
-    )
+    q = jnp.round(jnp.clip(shadow_maps, 0.0, 1.0) * 65535.0).astype(jnp.uint16)
+    p = jnp.pad(q, ((0, 0), (2, 3), (2, 3)), constant_values=65535)
+    e = shadow_maps.shape[1]
+    rows = []
+    for dy in range(4):
+        for dx in range(4):
+            rows.append(p[:, dy : dy + e + 2, dx : dx + e + 2])
+    return jnp.stack(rows, axis=-1)
 
 
 def compute_shadow_directional(shadow_blocks, shadow_transforms, shadow_index,
@@ -57,38 +65,24 @@ def compute_shadow_directional(shadow_blocks, shadow_transforms, shadow_index,
     ix = jnp.floor(u).astype(jnp.int32)
     iy = jnp.floor(v).astype(jnp.int32)
 
-    flat = shadow_blocks.reshape(-1, 4)
+    # ONE 32-byte gather fetches the whole 4x4 window
+    ay = jnp.clip(iy, -1, e) + 1
+    ax = jnp.clip(ix, -1, e) + 1
+    blk = shadow_blocks.reshape(-1, 16)[(idx * ep2 + ay) * ep2 + ax]  # [H,W,16]
+    blk = blk.astype(jnp.float32) * (1.0 / 65535.0)
 
-    def block(by, bx):
-        cy = jnp.clip(by, 0, e + 1)
-        cx = jnp.clip(bx, 0, e + 1)
-        return flat[(idx * ep2 + cy) * ep2 + cx]   # [H,W,4]
-
-    b00 = block(iy, ix)
-    b01 = block(iy, ix + 2)
-    b10 = block(iy + 2, ix)
-    b11 = block(iy + 2, ix + 2)
-
-    threshold = (current - bias)[..., None]  # broadcast over block texels
-
+    threshold = current - bias
     shadow = jnp.zeros_like(current)
     for dy in (-1, 0, 1):
-        r = 0 if dy < 1 else 1
-        sub_y = (dy + 1) % 2
         for dx in (-1, 0, 1):
-            c = 0 if dx < 1 else 1
-            sub_x = (dx + 1) % 2
-            b = (b00, b01, b10, b11)[r * 2 + c]
-            d = b[..., sub_y * 2 + sub_x]
-            # texture() coordinate for this tap: nearest-texel semantics
-            # with white border outside [0,1)
+            d = blk[..., (dy + 1) * 4 + (dx + 1)]
+            # texture() tap with white border outside [0,1)
             tu = (u + dx) / e
             tv = (v + dy) / e
             inb = (tu >= 0.0) & (tu < 1.0) & (tv >= 0.0) & (tv < 1.0)
             d = jnp.where(inb, d, 1.0)
-            shadow = shadow + jnp.where(current - bias > d, 1.0, 0.0)
+            shadow = shadow + jnp.where(threshold > d, 1.0, 0.0)
     shadow = shadow / 9.0
-    del threshold
 
     # no shadow outside the light's far plane (shadow.glsl:37-39)
     return jnp.where(current > 1.0, 0.0, shadow)

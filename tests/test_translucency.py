@@ -52,7 +52,8 @@ class TestTranslucency:
     def test_two_layer_blend_order(self):
         sc = _layered_scene()
         cfg = RenderConfig(width=32, height=32, shadows=False, skybox=False,
-                           translucency=True, translucency_layers=2)
+                           translucency=True, translucency_layers=2,
+                           translucency_tile_fraction=1.0)  # full-screen panes
         r = FrameRenderer(sc, cfg, backend="reference")
         img = np.asarray(r.render()).astype(np.float32) / 255.0
         from renderengine_tpu.shading.srgb import srgb_to_linear
