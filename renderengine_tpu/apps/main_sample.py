@@ -44,6 +44,7 @@ def main(argv=None) -> int:
     parser.add_option("shadowExtent", "shadow map resolution (default 2048)")
     parser.add_option("noShadows", "disable the shadow pass")
     parser.add_option("fps", "pace the loop to this fps (default off)")
+    parser.add_option("hud", "burn an FPS/stats HUD into the frames")
     if not parser.parse(argv):
         return -1
 
@@ -86,7 +87,15 @@ def main(argv=None) -> int:
             inputs.on_cursor(x + width / max(frames, 1) * 0.25, y)
         return True
 
+    hud_on = parser.get_bool("hud")
+
     def on_present(frame: np.ndarray):
+        if hud_on:
+            from ..utils import hud
+            frame = np.ascontiguousarray(frame)
+            fps_now = loop.fps()
+            hud.draw_stats(frame, fps_now, 1000.0 / max(fps_now, 1e-6),
+                           scene.meshes.triangle_count)
         path = out if frames == 1 else str(Path(out).with_suffix("")) + f"_{len(saved):04d}.png"
         png.write_png(path, frame)
         saved.append(path)
