@@ -179,5 +179,9 @@ def _pack_rows(device: dict) -> dict:
         rows[~valid] = np.array([-1, 0, 0, 1, 1, 1], np.float32)
         mat_tex[:, 6 * si : 6 * si + 6] = rows
 
+    # single f16 row per material: core 16 | tex 24 (f16 is exact for the
+    # descriptor ints <= 2048; color quantization ~5e-4 is below the 8-bit
+    # output step). One gather instead of two 64/96-byte ones.
+    mat_all = np.concatenate([mat_core, mat_tex], axis=-1).astype(np.float16)
     return {"tri_packed": tri_packed, "blend_tri_packed": blend_tri_packed,
-            "mat_core": mat_core, "mat_tex": mat_tex}
+            "mat_core": mat_core, "mat_tex": mat_tex, "mat_all": mat_all}

@@ -82,8 +82,9 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
 
     ``slots_used``: static per-scene flags (base, emissive, orm, normal);
     a slot no material uses skips its texture sampling entirely."""
-    core = scene["mat_core"][mat_id]      # [...,16]
-    mtex = scene["mat_tex"][mat_id]       # [...,24]
+    row = scene["mat_all"][mat_id].astype(jnp.float32)  # one f16[40] gather
+    core = row[..., :16]
+    mtex = row[..., 16:]
     m = {
         "mat_base_color": core[..., 0:4],
         "mat_emissive": core[..., 4:8],

@@ -23,8 +23,9 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
     """Port of ``PhongLighting`` (phong.glsl:38-81), summed over lights.
     Light colors map: ambient = 0.03*color, diffuse = specular =
     intensity*color. Returns rgba (linear)."""
-    core = scene["mat_core"][mat_id]
-    mtex = scene["mat_tex"][mat_id]
+    row = scene["mat_all"][mat_id].astype(jnp.float32)
+    core = row[..., :16]
+    mtex = row[..., 16:]
     duv_dx = sampling.quad_dfdx(uv)
     duv_dy = sampling.quad_dfdy(uv)
     if slots_used[0]:

@@ -1,0 +1,43 @@
+"""Multi-chip sharded frame must match the single-device frame (CPU mesh
+with virtual devices; conftest forces 8)."""
+
+import numpy as np
+import jax
+
+from renderengine_tpu.core.config import RenderConfig
+from renderengine_tpu.graph.frame import FrameRenderer
+from renderengine_tpu.parallel import sharded
+from renderengine_tpu.scene import procedural
+
+
+class TestShardedEquivalence:
+    def test_two_device_frame_matches_single(self):
+        w, h = 64, 32
+        sc = procedural.cube_scene(width=w, height=h)
+        cfg = RenderConfig(width=w, height=h, shadow_extent=32,
+                           translucency=False)
+
+        single = np.asarray(FrameRenderer(sc, cfg, backend="tiled").render())
+
+        mesh = sharded.make_mesh(2)
+        fn, scene_dev, params_builder = sharded.build_sharded_renderer(
+            sc, cfg, mesh, backend="tiled")
+        multi = np.asarray(fn(jax.device_put(scene_dev), params_builder()))
+
+        assert multi.shape == single.shape
+        # raster/shading math is identical per pixel; tiny fp differences
+        # can only come from the all_gather'd vertex path (same values) —
+        # expect bit-exact agreement
+        mismatch = (multi != single).mean()
+        assert mismatch == 0.0, f"sharded frame differs on {mismatch:.2%} of bytes"
+
+    def test_eight_device_runs(self):
+        sc = procedural.sponza_scene(width=64, height=32, n_textures=4,
+                                     target_tris=600)
+        cfg = RenderConfig(width=64, height=32, shadow_extent=32)
+        mesh = sharded.make_mesh(8)
+        fn, scene_dev, params_builder = sharded.build_sharded_renderer(
+            sc, cfg, mesh, backend="tiled")
+        img = np.asarray(fn(jax.device_put(scene_dev), params_builder()))
+        assert img.shape == (32, 64, 4)
+        assert img.any()
