@@ -43,27 +43,31 @@ def _pair_budget(n_tris: int, pairs_per_tri: int = 4) -> int:
 
 def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
               tri_offset: int = 0, y0=0, full_height: int | None = None,
-              peel_bounds=None):
+              peel_bounds=None, attr_planes=None):
     """Raster backend dispatch — decided at trace time (one compiled
     executable per backend, like pipelines per GraphicsPipelineInfo).
     ``y0``/``full_height`` render a row slice of a taller virtual viewport
-    (multi-chip image sharding)."""
+    (multi-chip image sharding). Returns (GBuffer, attrs-or-None): the
+    pallas backend interpolates vertex attributes in-kernel when
+    ``attr_planes`` is given."""
     if backend == "pallas":
         if full_height is not None:
             raise NotImplementedError("row slicing lands with the sharded pallas path")
-        return rasterize_pallas(setup, height, width, rc.tile_h, rc.tile_w,
-                                rc.tri_chunk,
-                                _pair_budget(setup.coef.shape[0], rc.pairs_per_tri),
-                                tri_offset, peel_bounds=peel_bounds)
+        out = rasterize_pallas(setup, height, width, rc.tile_h, rc.tile_w,
+                               rc.tri_chunk,
+                               _pair_budget(setup.coef.shape[0], rc.pairs_per_tri),
+                               tri_offset, peel_bounds=peel_bounds,
+                               attr_planes=attr_planes)
+        return out if attr_planes is not None else (out, None)
     if backend == "tiled":
         return rasterize_tiled(setup, height, width, rc.tile_h, rc.tile_w,
                                rc.tri_chunk,
                                _pair_budget(setup.coef.shape[0], rc.pairs_per_tri),
                                tri_offset, y0=y0, full_height=full_height,
-                               peel_bounds=peel_bounds)
+                               peel_bounds=peel_bounds), None
     return rref.rasterize_reference(setup, height, width, tri_offset=tri_offset,
                                     y0=y0, full_height=full_height,
-                                    peel_bounds=peel_bounds)
+                                    peel_bounds=peel_bounds), None
 
 
 def resolve_attributes(scene, vo, coef, g, height, width,
@@ -161,7 +165,7 @@ def render_shadow_maps(scene, world_pos, shadow_viewproj, extent: int,
         clip = (m[None, :, :] * world_h[:, None, :]).sum(-1)
         s = triangle_setup(clip, scene["tri_vidx"], scene["n_tris"], extent, extent,
                            CullMode.FRONT)
-        g = rasterize(s, extent, extent, rc, backend)
+        g, _ = rasterize(s, extent, extent, rc, backend)
         maps.append(g.depth)
     return jnp.stack(maps)
 
@@ -225,11 +229,22 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     shade = _partial(base_shade, slots_used=slots_used)
 
     # opaque base pass
+    from ..raster.pallas_raster import attribute_planes
+
     setup = triangle_setup(vo.clip, scene["tri_vidx"], scene["n_opaque"], w, h,
                            config.cull_mode)
-    g = rasterize(setup, h, w, config.raster, backend)
+    ap = (attribute_planes(setup, vo, scene["tri_vidx"])
+          if backend == "pallas" else None)
+    g, attrs = rasterize(setup, h, w, config.raster, backend, attr_planes=ap)
 
-    frag = resolve_attributes(scene, vo, setup.coef, g, h, w)
+    if attrs is not None:
+        safe_tri = jnp.maximum(g.tri_id, 0)
+        trow = scene["tri_packed"][safe_tri]
+        frag = {"pos": attrs[..., 0:3], "normal": attrs[..., 3:6],
+                "uv": attrs[..., 6:8], "mat_id": trow[..., 3],
+                "covered": g.tri_id >= 0}
+    else:
+        frag = resolve_attributes(scene, vo, setup.coef, g, h, w)
     rgba = shade(scene, frag["pos"], frag["uv"], frag["normal"],
                  frag["mat_id"], view_args, shadow_maps, shadow_tf)
 
@@ -251,6 +266,8 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
         # dedicated (small) blend draw list: the peels bin/raster only it
         setup_t = triangle_setup(vo.clip, scene["blend_tri_vidx"],
                                  scene["n_blend"], w, h, CullMode.NONE)
+        ap_t = (attribute_planes(setup_t, vo, scene["blend_tri_vidx"])
+                if backend == "pallas" else None)
         prev = jnp.full((h, w), -1.0, jnp.float32)
         layers = []
         n_tiles = (-(-h // config.raster.tile_h)) * (-(-w // config.raster.tile_w))
@@ -258,25 +275,36 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
 
         def resolve_and_shade(fr):
             # resolve + shade on the compacted pseudo-image (few tiles)
-            gsub = rref.GBuffer(depth=None, tri_id=fr["tri_id"], bary=fr["bary"])
-            fsub = resolve_attributes(scene, vo, setup_t.coef, gsub,
-                                      *fr["tri_id"].shape,
-                                      tri_table="blend_tri_packed")
+            if "attrs" in fr:
+                safe_t = jnp.maximum(fr["tri_id"], 0)
+                trow_t = scene["blend_tri_packed"][safe_t]
+                fsub = {"pos": fr["attrs"][..., 0:3],
+                        "normal": fr["attrs"][..., 3:6],
+                        "uv": fr["attrs"][..., 6:8],
+                        "mat_id": trow_t[..., 3]}
+            else:
+                gsub = rref.GBuffer(depth=None, tri_id=fr["tri_id"], bary=fr["bary"])
+                fsub = resolve_attributes(scene, vo, setup_t.coef, gsub,
+                                          *fr["tri_id"].shape,
+                                          tri_table="blend_tri_packed")
             return shade(scene, fsub["pos"], fsub["uv"], fsub["normal"],
                          fsub["mat_id"], view_args, shadow_maps, shadow_tf)
 
         for _ in range(config.translucency_layers):
-            gt = rasterize(setup_t, h, w, config.raster, backend,
-                           peel_bounds=(prev, g.depth))
+            gt, attrs_t = rasterize(setup_t, h, w, config.raster, backend,
+                                    peel_bounds=(prev, g.depth),
+                                    attr_planes=ap_t)
             covered_t = gt.tri_id >= 0
-            if gt.bary is None:  # non-pallas backends: recompute bary densely
+            sp_in = {"covered": covered_t, "tri_id": gt.tri_id}
+            if attrs_t is not None:
+                sp_in["attrs"] = attrs_t
+            elif gt.bary is not None:
+                sp_in["bary"] = gt.bary
+            else:  # non-pallas backends: recompute bary densely
                 bary_t, _ = rref.barycentrics_at(setup_t.coef, gt.tri_id, h, w)
-                bary_t = bary_t[..., :2]
-            else:
-                bary_t = gt.bary
+                sp_in["bary"] = bary_t[..., :2]
             rgba_t = shade_sparse(
-                resolve_and_shade,
-                {"covered": covered_t, "tri_id": gt.tri_id, "bary": bary_t},
+                resolve_and_shade, sp_in,
                 h, w, config.raster.tile_h, config.raster.tile_w,
                 max_tiles=budget)
             layers.append((covered_t, rgba_t))
@@ -351,6 +379,31 @@ class FrameRenderer:
     def mark_shadows_dirty(self) -> None:
         """Re-render shadow depth next frame (scene or light changed)."""
         self._shadows_dirty = True
+
+    def binning_stats(self, view_props=None) -> dict:
+        """One-off host check of the pair-table budget for the current
+        camera: {'live': pairs used, 'budget': capacity, 'overflow':
+        dropped pairs}. Overflow > 0 means raise RasterConfig.pairs_per_tri."""
+        from ..raster.binning import bin_triangles
+
+        h, w = self.config.render_extent()
+        u = uniforms.pack_params(self.params_for_camera(view_props), self.n_shadows)
+        params = unpack_params(jnp.asarray(u), self.n_shadows)
+        budget = _pair_budget(self.scene_dev["tri_vidx"].shape[0],
+                              self.config.raster.pairs_per_tri)
+
+        @jax.jit
+        def stats(scene, view, proj):
+            vo = cached_vertex_outputs(scene, view, proj)
+            s = triangle_setup(vo.clip, scene["tri_vidx"], scene["n_opaque"],
+                               w, h, self.config.cull_mode)
+            b = bin_triangles(s, h, w, self.config.raster.tile_h,
+                              self.config.raster.tile_w, budget)
+            return b.pair_valid.sum(), b.n_overflow
+
+        live, overflow = stats(self.scene_dev, params["view"], params["proj"])
+        return {"live": int(live), "budget": int(budget),
+                "overflow": int(overflow)}
 
     def params_for_camera(self, view_props: ViewProperties | None = None) -> dict:
         cam = self.scene_host.camera

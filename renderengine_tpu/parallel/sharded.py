@@ -103,8 +103,8 @@ def render_frame_sharded(scene, params, config: RenderConfig, n_shadows: int,
                 s = triangle_setup(clip_s, tri_slice, n_local,
                                    config.shadow_extent, config.shadow_extent,
                                    CullMode.FRONT)
-                g = fgraph.rasterize(s, config.shadow_extent, config.shadow_extent,
-                                     config.raster, backend)
+                g, _ = fgraph.rasterize(s, config.shadow_extent, config.shadow_extent,
+                                        config.raster, backend)
                 maps.append(g.depth)
             from ..shading import shadow as shadow_mod
 
@@ -117,8 +117,8 @@ def render_frame_sharded(scene, params, config: RenderConfig, n_shadows: int,
                                w, h, config.cull_mode)
         y0 = idx * hs
         setup_slice = restrict_rows(setup, y0, hs, h)
-        g = fgraph.rasterize(setup_slice, hs, w, config.raster, backend,
-                             y0=y0, full_height=h)
+        g, _ = fgraph.rasterize(setup_slice, hs, w, config.raster, backend,
+                                y0=y0, full_height=h)
         frag = _resolve_slice(scene_l, world_pos, world_nrm, uv,
                               setup.coef, g.tri_id, hs, w, y0, h)
 

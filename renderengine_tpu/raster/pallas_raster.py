@@ -2,9 +2,10 @@
 
 Grid: one program per framebuffer tile. Per-tile triangle lists come from
 ``binning.bin_triangles``; pair data is re-laid-out OUTSIDE the kernel
-(dense XLA gathers) into a lane-major table
+(one dense XLA row gather) into a lane-major table
 
-    pair_data [24, P] f32   rows: e0(3) e1(3) e2(3) z(3) w(3) tie(3) pad(6)
+    pair_data [24|48, P] f32   rows: e0(3) e1(3) e2(3) z(3) w(3) tie(3)
+                               pad(6) [+ attribute planes 8x3]
     (the kernel records winning PAIR indices; pair -> triangle-id is one
     XLA gather afterwards, so no second DMA stream is needed)
 
@@ -12,10 +13,15 @@ The kernel DMAs each tile's segment from its 128-aligned floor (live
 pairs selected by a per-pair global-index test), so the memory traffic is
 nothing but aligned, sequential, double-buffered DMA:
 
-    HBM pair_data[:, start + k*128 : +128] --DMA--> VMEM
+    HBM pair_data[:, base + k*128 : +128] --DMA--> VMEM
     evaluate edge/depth planes over the tile's pixels (VPU f32 FMAs,
     statically unrolled over the chunk)
     fold the (depth, lowest-id) winner into the tile's VMEM z-buffer
+
+With ``attr_planes`` the kernel also interpolates the winner's vertex
+attributes in-register (pos3 | normal3 | uv2 as rational planes
+sum(E_i u_i)/sum(E_i)), replacing the deferred resolve stage's per-pixel
+vertex gathers with per-triangle plane math.
 
 This is the TPU translation of the reference's hot loop
 (``RenderScene::RenderBasePass`` draw calls -> fragment coverage): instead
@@ -40,8 +46,20 @@ from .reference_raster import GBuffer
 from .setup import TriSetup
 
 _BIG_ID = 2**31 - 1
-CHUNK = 128  # DMA alignment quantum (lane width)
-N_ROWS = 24  # 15 coefficient rows + 3 tie rows + sublane padding to 8
+CHUNK = 128   # DMA alignment quantum (lane width)
+N_ROWS = 24   # 15 coefficient rows + 3 tie rows + sublane padding to 8
+N_ATTRS = 8   # pos3 | normal3 | uv2
+N_ROWS_ATTR = N_ROWS + 3 * N_ATTRS  # 48
+
+
+def attribute_planes(setup: TriSetup, vo, tri_vidx) -> jnp.ndarray:
+    """[T,24] f32 rational attribute planes: row triplet 3k..3k+2 is
+    arow_k = sum_i u_ik * e_i, so attr_k(p) = (arow_k . p) / sum(E_i)."""
+    vattr = jnp.concatenate([vo.world_pos, vo.world_normal, vo.uv], axis=-1)
+    corners = vattr[tri_vidx]                 # [T,3,8]
+    e = setup.coef[:, 0:3, :]                 # [T,3(edges),3(xyc)]
+    planes = (corners[:, :, :, None] * e[:, :, None, :]).sum(1)  # [T,8,3]
+    return planes.reshape(planes.shape[0], 3 * N_ATTRS)
 
 
 def _raster_kernel(
@@ -50,12 +68,16 @@ def _raster_kernel(
     # inputs (HBM + optional VMEM bounds block)
     pair_data_hbm, *rest,
     tile_h: int, tile_w: int, width: int, full_height: int, ntx: int,
-    peel: bool,
+    peel: bool, interp: bool,
 ):
-    if peel:
-        bounds_ref, depth_ref, tri_ref, bary_ref, data_buf, sems = rest
-    else:
-        depth_ref, tri_ref, bary_ref, data_buf, sems = rest
+    rest = list(rest)
+    bounds_ref = rest.pop(0) if peel else None
+    depth_ref = rest.pop(0)
+    tri_ref = rest.pop(0)
+    bary_ref = rest.pop(0)
+    attr_ref = rest.pop(0) if interp else None
+    data_buf, sems = rest
+
     tile = pl.program_id(0)
     start = starts_ref[tile]
     count = counts_ref[tile]
@@ -81,8 +103,11 @@ def _raster_kernel(
         for d in dma(0, 0):
             d.start()
 
+    n_attr_carry = N_ATTRS if interp else 0
+
     def step_body(step, carry):
-        dmin, idmin, b0c, b1c = carry
+        dmin, idmin, b0c, b1c = carry[0], carry[1], carry[2], carry[3]
+        attrs_c = list(carry[4:])
         slot = step % 2
 
         @pl.when(step + 1 < n_steps)
@@ -93,7 +118,7 @@ def _raster_kernel(
         for d in dma(slot, step):
             d.wait()
 
-        c = data_buf[slot]        # [24, CHUNK]
+        c = data_buf[slot]        # [N_ROWS(_ATTR), CHUNK]
         base = base0 + step * CHUNK
         if peel:
             prev_d = bounds_ref[0, 0]   # nearest already-peeled layer
@@ -126,23 +151,31 @@ def _raster_kernel(
             # so lowest pair == lowest triangle on exact depth ties; the
             # caller maps pair -> triangle with one gather.
             idmin_i = jnp.where(take, g, idmin_i)
-            # winner barycentrics (perspective-correct lambdas), saving the
-            # shading pass its coefficient re-gather
             esum = e0 + e1 + e2
             inv = 1.0 / jnp.where(esum == 0, 1.0, esum)
+            # winner barycentrics (perspective-correct lambdas)
             b0_i = jnp.where(take, e0 * inv, b0_i)
             b1_i = jnp.where(take, e1 * inv, b1_i)
-        return dmin_i, idmin_i, b0_i, b1_i
+            if interp:
+                for a in range(N_ATTRS):
+                    num = (c[N_ROWS + 3 * a, k] * px
+                           + c[N_ROWS + 3 * a + 1, k] * py
+                           + c[N_ROWS + 3 * a + 2, k])
+                    attrs_c[a] = jnp.where(take, num * inv, attrs_c[a])
+        return (dmin_i, idmin_i, b0_i, b1_i, *attrs_c)
 
     dmin0 = jnp.ones((tile_h, tile_w), jnp.float32)
     idmin0 = jnp.full((tile_h, tile_w), _BIG_ID, jnp.int32)
     z0 = jnp.zeros((tile_h, tile_w), jnp.float32)
-    dmin, idmin, b0, b1 = jax.lax.fori_loop(0, n_steps, step_body,
-                                            (dmin0, idmin0, z0, z0))
-    depth_ref[0, :, :] = dmin
-    tri_ref[0, :, :] = idmin
-    bary_ref[0, 0, :, :] = b0
-    bary_ref[0, 1, :, :] = b1
+    init = (dmin0, idmin0, z0, z0) + tuple(z0 for _ in range(n_attr_carry))
+    out = jax.lax.fori_loop(0, n_steps, step_body, init)
+    depth_ref[0, :, :] = out[0]
+    tri_ref[0, :, :] = out[1]
+    bary_ref[0, 0, :, :] = out[2]
+    bary_ref[0, 1, :, :] = out[3]
+    if interp:
+        for a in range(N_ATTRS):
+            attr_ref[0, a, :, :] = out[4 + a]
 
 
 def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
@@ -150,19 +183,23 @@ def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
     prev, zmax = peel_bounds
     ph = nty * tile_h - height
     pw = ntx * tile_w - width
+
     def tile(a, fill):
         a = jnp.pad(a, ((0, ph), (0, pw)), constant_values=fill)
         a = a.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
         return a.reshape(nty * ntx, tile_h, tile_w)
+
     return jnp.stack([tile(prev, 2.0), tile(zmax, -1.0)], axis=1)
 
 
-def _pack_pairs(setup: TriSetup, bins, tri_offset: int):
-    """Gather sorted-pair coefficients into the kernel's lane-major layout.
+def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None):
+    """Gather sorted-pair rows into the kernel's lane-major layout — ONE
+    row gather per pair (setup pre-packs coef+tie; attribute planes are
+    appended when interpolating in-kernel).
 
-    Returns (pair_data [24, P2] f32, pair_tri [P2] i32); P2 = the pair
+    Returns (pair_data [N_ROWS(_ATTR), P2] f32, pair_tri [P2] i32); P2 =
     budget rounded up so the last aligned DMA stays in bounds. Dead slots
-    (invalid pairs) carry zero coefficients => never cover."""
+    carry zero coefficients => never cover."""
     t = setup.coef.shape[0]
     max_pairs = bins.pair_tri.shape[0]
     p2 = (-(-max_pairs // CHUNK)) * CHUNK + CHUNK
@@ -170,11 +207,9 @@ def _pack_pairs(setup: TriSetup, bins, tri_offset: int):
     live = jnp.pad(bins.pair_valid, (0, p2 - max_pairs))
     tri = jnp.pad(jnp.clip(bins.pair_tri, 0, t - 1), (0, p2 - max_pairs))
     tri = jnp.where(live, tri, 0)
-    coef = jnp.where(live[:, None, None], setup.coef[tri], 0.0)  # [P2,5,3]
-    tie = setup.tie[tri].astype(jnp.float32)                     # [P2,3]
-    pair_data = jnp.concatenate(
-        [coef.reshape(p2, 15), tie,
-         jnp.zeros((p2, N_ROWS - 18), jnp.float32)], axis=-1).T  # [24, P2]
+    rows = setup.packed if attr_planes is None else jnp.concatenate(
+        [setup.packed, attr_planes], axis=-1)
+    pair_data = jnp.where(live[:, None], rows[tri], 0.0).T  # [rows, P2]
     pair_tri = jnp.where(live, tri + tri_offset, _BIG_ID)
     return pair_data, pair_tri
 
@@ -184,14 +219,19 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
                      chunk: int = CHUNK, max_pairs: int | None = None,
                      tri_offset: int = 0, interpret: bool = False,
                      y0=0, full_height: int | None = None,
-                     peel_bounds=None) -> GBuffer:
-    """Bin + pack + Pallas raster. Same result as ``rasterize_tiled``/
+                     peel_bounds=None, attr_planes=None):
+    """Bin + pack + Pallas raster. Same G-buffer as ``rasterize_tiled``/
     ``rasterize_reference`` (asserted in tests). ``chunk`` is fixed at 128
     by DMA alignment; the arg is accepted for API parity and ignored.
 
     ``peel_bounds``: optional (prev_depth [H,W], zmax [H,W]) — keep only
     fragments with prev < depth <= zmax (depth-peeling for the sorted
-    translucent pass)."""
+    translucent pass).
+
+    ``attr_planes``: optional [T,24] from ``attribute_planes`` — the kernel
+    then interpolates pos/normal/uv for the winner, and the return value is
+    (GBuffer, attrs [H,W,8]); otherwise returns (GBuffer, None).
+    """
     del chunk
     t = setup.coef.shape[0]
     fh = height if full_height is None else full_height
@@ -203,33 +243,47 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     nty = -(-height // tile_h)
     n_tiles = ntx * nty
 
-    pair_data, pair_tri = _pack_pairs(setup, bins, tri_offset)
+    interp = attr_planes is not None
+    n_rows = N_ROWS_ATTR if interp else N_ROWS
+    pair_data, pair_tri = _pack_pairs(setup, bins, tri_offset, attr_planes)
 
     peel = peel_bounds is not None
     kernel = functools.partial(
         _raster_kernel,
         tile_h=tile_h, tile_w=tile_w,
-        width=width, full_height=fh, ntx=ntx, peel=peel,
+        width=width, full_height=fh, ntx=ntx, peel=peel, interp=interp,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if peel:
         in_specs.append(pl.BlockSpec((1, 2, tile_h, tile_w),
                                      lambda i, *_: (i, 0, 0, 0),
                                      memory_space=pltpu.VMEM))
+    out_specs = [
+        pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, tile_h, tile_w), lambda i, *_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles, 2, tile_h, tile_w), jnp.float32),
+    ]
+    if interp:
+        out_specs.append(pl.BlockSpec((1, N_ATTRS, tile_h, tile_w),
+                                      lambda i, *_: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles, N_ATTRS, tile_h, tile_w),
+                                              jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, tile_h, tile_w), lambda i, *_: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, N_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, n_rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -238,16 +292,13 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     if peel:
         args.append(_tile_bounds(peel_bounds, height, width, tile_h, tile_w,
                                  nty, ntx))
-    depth, tri, bary = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, 2, tile_h, tile_w), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    depth, tri, bary = outs[0], outs[1], outs[2]
 
     def untile(a):
         a = a.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
@@ -258,4 +309,8 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     tri_id = jnp.where(won, pair_tri[jnp.where(won, pair_idx, 0)], -1)
     b0 = untile(bary[:, 0])
     b1 = untile(bary[:, 1])
-    return GBuffer(untile(depth), tri_id, jnp.stack([b0, b1], axis=-1))
+    g = GBuffer(untile(depth), tri_id, jnp.stack([b0, b1], axis=-1))
+    if not interp:
+        return g
+    attrs = jnp.stack([untile(outs[3][:, a]) for a in range(N_ATTRS)], axis=-1)
+    return g, attrs
