@@ -239,9 +239,10 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
 
     if attrs is not None:
         safe_tri = jnp.maximum(g.tri_id, 0)
-        trow = scene["tri_packed"][safe_tri]
+        # only the material id is still needed per pixel: a 4-byte gather
         frag = {"pos": attrs[..., 0:3], "normal": attrs[..., 3:6],
-                "uv": attrs[..., 6:8], "mat_id": trow[..., 3],
+                "uv": attrs[..., 6:8],
+                "mat_id": scene["tri_material"][safe_tri],
                 "covered": g.tri_id >= 0}
     else:
         frag = resolve_attributes(scene, vo, setup.coef, g, h, w)
@@ -277,11 +278,10 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
             # resolve + shade on the compacted pseudo-image (few tiles)
             if "attrs" in fr:
                 safe_t = jnp.maximum(fr["tri_id"], 0)
-                trow_t = scene["blend_tri_packed"][safe_t]
                 fsub = {"pos": fr["attrs"][..., 0:3],
                         "normal": fr["attrs"][..., 3:6],
                         "uv": fr["attrs"][..., 6:8],
-                        "mat_id": trow_t[..., 3]}
+                        "mat_id": scene["blend_tri_material"][safe_t]}
             else:
                 gsub = rref.GBuffer(depth=None, tri_id=fr["tri_id"], bary=fr["bary"])
                 fsub = resolve_attributes(scene, vo, setup_t.coef, gsub,
