@@ -59,6 +59,7 @@ class RasterConfig:
     tri_chunk: int = 16      # triangles rastered per tile per inner step
     max_tris_per_tile: int = 2048  # bin capacity; overflow counted + reported
     pairs_per_tri: int = 4   # pair-table budget multiplier (overflow is counted)
+    auto_tune_pairs: bool = True  # size the budget from the initial camera (2x headroom)
     use_pallas: bool = True  # Pallas kernel vs pure-jnp tile loop
 
 

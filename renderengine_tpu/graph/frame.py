@@ -14,6 +14,7 @@ cache entry (``RenderLoop.cpp:150-171``).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -362,6 +363,11 @@ class FrameRenderer:
             else:
                 backend = "tiled"
         self.backend = backend
+        if backend in ("pallas", "tiled") and config.raster.auto_tune_pairs:
+            self.config = config = config.replace(
+                raster=dataclasses.replace(
+                    config.raster,
+                    pairs_per_tri=self._estimate_pairs_per_tri()))
         has_translucent = int(dev["n_blend"]) > 0
         slots_used = tuple(bool((dev[k] >= 0).any()) for k in
                            ("mat_tex_base", "mat_tex_emissive",
@@ -375,6 +381,37 @@ class FrameRenderer:
                                           backend=backend))
         self._shadow_maps = None
         self._shadows_dirty = True
+
+    def _estimate_pairs_per_tri(self) -> int:
+        """Size the pair-table budget from the initial camera: count the
+        (tile, triangle) pairs the scene actually produces (one cheap jit —
+        setup + span sum, no sort) and keep 2x headroom, floor 2. The
+        overflow counter (binning_stats) still guards camera changes."""
+        cfg = self.config
+        h, w = cfg.render_extent()
+        vp = ViewProperties.from_camera(self.scene_host.camera)
+
+        @jax.jit
+        def total_pairs(scene, view, proj):
+            vo = cached_vertex_outputs(scene, view, proj)
+            s = triangle_setup(vo.clip, scene["tri_vidx"], scene["n_opaque"],
+                               w, h, cfg.cull_mode)
+            tx0 = s.bbox[:, 0] // cfg.raster.tile_w
+            ty0 = s.bbox[:, 1] // cfg.raster.tile_h
+            tx1 = s.bbox[:, 2] // cfg.raster.tile_w
+            ty1 = s.bbox[:, 3] // cfg.raster.tile_h
+            span = jnp.where(s.valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
+            return span.sum()
+
+        total = int(total_pairs(self.scene_dev, jnp.asarray(vp.view),
+                                jnp.asarray(vp.proj)))
+        t = int(self.scene_dev["tri_vidx"].shape[0])
+        need = max(2, -(-2 * total // max(t, 1)))
+        # round up to the next power of two, capped
+        p = 2
+        while p < need and p < 32:
+            p *= 2
+        return p
 
     def mark_shadows_dirty(self) -> None:
         """Re-render shadow depth next frame (scene or light changed)."""
