@@ -176,3 +176,41 @@ class TestPngIO:
         g = rng.integers(0, 255, (8, 8), dtype=np.uint8)
         png.write_png(str(tmp_path / "g.png"), g)
         np.testing.assert_array_equal(png.read_png(str(tmp_path / "g.png"))[..., 0], g)
+
+
+class TestGlb:
+    def test_glb_container(self, tmp_path):
+        import struct
+        from renderengine_tpu.scene.loader_gltf import load_gltf
+
+        # wrap a minimal gltf (external-buffer-free) into a GLB container
+        pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        idx = np.array([0, 1, 2, 0], np.uint16)  # +1 pad to 4-byte align
+        blob = pos.tobytes() + idx.tobytes()
+        gltf = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0]}],
+            "nodes": [{"mesh": 0}],
+            "meshes": [{"primitives": [{"attributes": {"POSITION": 0},
+                                        "indices": 1}]}],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+                {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+            ],
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+                {"buffer": 0, "byteOffset": 36, "byteLength": 6},
+            ],
+            "buffers": [{"byteLength": len(blob)}],
+        }
+        jsn = json.dumps(gltf).encode()
+        jsn += b" " * ((4 - len(jsn) % 4) % 4)
+        glb = struct.pack("<III", 0x46546C67, 2, 0)
+        glb += struct.pack("<II", len(jsn), 0x4E4F534A) + jsn
+        glb += struct.pack("<II", len(blob), 0x004E4942) + blob
+        glb = glb[:8] + struct.pack("<I", len(glb)) + glb[12:]
+        p = tmp_path / "tri.glb"
+        p.write_bytes(glb)
+        sc = load_gltf(p)
+        assert sc.meshes.triangle_count == 1
