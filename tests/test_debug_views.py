@@ -69,3 +69,17 @@ class TestPhongModel:
                              shading=ShadingModel.PHONG)).render())
         assert (ph_img != pbr_img).any()
         assert ph_img[..., :3].mean() > 10  # actually lit
+
+
+class TestSSAA:
+    def test_supersampled_frame_shape_and_smoothing(self):
+        sc = procedural.cube_scene(width=48, height=32)
+        base = np.asarray(FrameRenderer(
+            sc, RenderConfig(width=48, height=32, shadow_extent=32,
+                             translucency=False)).render())
+        ss = np.asarray(FrameRenderer(
+            sc, RenderConfig(width=48, height=32, ssaa=2, shadow_extent=32,
+                             translucency=False)).render())
+        assert ss.shape == base.shape
+        # supersampling must produce intermediate edge values somewhere
+        assert (ss != base).any()
