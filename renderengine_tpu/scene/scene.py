@@ -9,7 +9,8 @@ back-to-front per frame, ``:127-159``).
 TPU-native: ``upload()`` produces one flat dict of device arrays (the
 "DeviceScene") consumed by the jitted frame function. The opaque/translucent
 split becomes two triangle index ranges; back-to-front ordering of
-translucent triangles happens on device per frame (``raster/order.py``).
+translucent triangles is handled by depth peeling in the frame graph
+(``graph/frame.py``).
 """
 
 from __future__ import annotations

@@ -52,7 +52,6 @@ def draw_text(frame: np.ndarray, text: str, x: int = 4, y: int = 4,
         region = frame[y : y + gh, cx : cx + gw, :3]
         mask = g.astype(bool)
         region[mask] = np.asarray(color, np.uint8)
-        # drop shadow for readability
         cx += gw + scale
     return frame
 
