@@ -44,13 +44,15 @@ def _pair_budget(n_tris: int, pairs_per_tri: int = 4) -> int:
 
 def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
               tri_offset: int = 0, y0=0, full_height: int | None = None,
-              peel_bounds=None, attr_planes=None):
+              peel_bounds=None, attr_planes=None, tri_mat=None,
+              prepared=None):
     """Raster backend dispatch — decided at trace time (one compiled
     executable per backend, like pipelines per GraphicsPipelineInfo).
     ``y0``/``full_height`` render a row slice of a taller virtual viewport
     (multi-chip image sharding). Returns (GBuffer, attrs-or-None): the
     pallas backend interpolates vertex attributes in-kernel when
-    ``attr_planes`` is given."""
+    ``attr_planes`` is given, and fills GBuffer.mat_id when ``tri_mat``
+    is given. ``prepared`` reuses a pallas bin+pack across peel layers."""
     if backend == "pallas":
         if full_height is not None:
             raise NotImplementedError("row slicing lands with the sharded pallas path")
@@ -58,7 +60,8 @@ def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
                                rc.tri_chunk,
                                _pair_budget(setup.coef.shape[0], rc.pairs_per_tri),
                                tri_offset, peel_bounds=peel_bounds,
-                               attr_planes=attr_planes)
+                               attr_planes=attr_planes, tri_mat=tri_mat,
+                               prepared=prepared)
         return out if attr_planes is not None else (out, None)
     if backend == "tiled":
         return rasterize_tiled(setup, height, width, rc.tile_h, rc.tile_w,
@@ -236,14 +239,16 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
                            config.cull_mode)
     ap = (attribute_planes(setup, vo, scene["tri_vidx"])
           if backend == "pallas" else None)
-    g, attrs = rasterize(setup, h, w, config.raster, backend, attr_planes=ap)
+    g, attrs = rasterize(setup, h, w, config.raster, backend, attr_planes=ap,
+                         tri_mat=scene["tri_material"])
 
     if attrs is not None:
-        safe_tri = jnp.maximum(g.tri_id, 0)
-        # only the material id is still needed per pixel: a 4-byte gather
+        if g.mat_id is not None:
+            mat_id = g.mat_id          # rode the pair-aux word: no gather
+        else:
+            mat_id = scene["tri_material"][jnp.maximum(g.tri_id, 0)]
         frag = {"pos": attrs[..., 0:3], "normal": attrs[..., 3:6],
-                "uv": attrs[..., 6:8],
-                "mat_id": scene["tri_material"][safe_tri],
+                "uv": attrs[..., 6:8], "mat_id": mat_id,
                 "covered": g.tri_id >= 0}
     else:
         frag = resolve_attributes(scene, vo, setup.coef, g, h, w)
@@ -270,6 +275,14 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
                                  scene["n_blend"], w, h, CullMode.NONE)
         ap_t = (attribute_planes(setup_t, vo, scene["blend_tri_vidx"])
                 if backend == "pallas" else None)
+        prep_t = None
+        if backend == "pallas":
+            # bin + pack ONCE: every peel rasters the same blend geometry
+            from ..raster.pallas_raster import prepare_pallas_pairs
+            prep_t = prepare_pallas_pairs(
+                setup_t, h, w, config.raster.tile_h, config.raster.tile_w,
+                _pair_budget(setup_t.coef.shape[0], config.raster.pairs_per_tri),
+                attr_planes=ap_t, tri_mat=scene["blend_tri_material"])
         prev = jnp.full((h, w), -1.0, jnp.float32)
         layers = []
         n_tiles = (-(-h // config.raster.tile_h)) * (-(-w // config.raster.tile_w))
@@ -278,11 +291,14 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
         def resolve_and_shade(fr):
             # resolve + shade on the compacted pseudo-image (few tiles)
             if "attrs" in fr:
-                safe_t = jnp.maximum(fr["tri_id"], 0)
+                if "mat_id" in fr:
+                    mat_t = fr["mat_id"]
+                else:
+                    mat_t = scene["blend_tri_material"][jnp.maximum(fr["tri_id"], 0)]
                 fsub = {"pos": fr["attrs"][..., 0:3],
                         "normal": fr["attrs"][..., 3:6],
                         "uv": fr["attrs"][..., 6:8],
-                        "mat_id": scene["blend_tri_material"][safe_t]}
+                        "mat_id": mat_t}
             else:
                 gsub = rref.GBuffer(depth=None, tri_id=fr["tri_id"], bary=fr["bary"])
                 fsub = resolve_attributes(scene, vo, setup_t.coef, gsub,
@@ -294,9 +310,11 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
         for _ in range(config.translucency_layers):
             gt, attrs_t = rasterize(setup_t, h, w, config.raster, backend,
                                     peel_bounds=(prev, g.depth),
-                                    attr_planes=ap_t)
+                                    attr_planes=ap_t, prepared=prep_t)
             covered_t = gt.tri_id >= 0
             sp_in = {"covered": covered_t, "tri_id": gt.tri_id}
+            if gt.mat_id is not None:
+                sp_in["mat_id"] = gt.mat_id
             if attrs_t is not None:
                 sp_in["attrs"] = attrs_t
             elif gt.bary is not None:
@@ -322,9 +340,9 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
 
     # shadow-map preview overlay (TexturedQuad grayscale mode)
     if config.show_shadow_quad and shadow_maps is not None:
-        # packed u16 4x4 blocks: texel (y,x) = block at anchor (y+1,x+1),
-        # window slot (1,1)
-        draw_src = shadow_maps[0, 1:-1, 1:-1, 5].astype(jnp.float32) / 65535.0
+        # packed u16 4x4 stride-2 windows: even texel (2a-2, 2b-2) lives at
+        # window (a, b) slot (0, 0); a half-res preview is plenty
+        draw_src = shadow_maps[0, 1:, 1:, 0].astype(jnp.float32) / 65535.0
         rgb = draw_textured_quad(rgb, draw_src, grayscale=True)
 
     if config.ssaa > 1:

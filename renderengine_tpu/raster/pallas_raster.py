@@ -35,6 +35,7 @@ lowest-id ties; ids ascend within a bin, so strict-less keeps the lowest).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -192,14 +193,31 @@ def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
     return jnp.stack([tile(prev, 2.0), tile(zmax, -1.0)], axis=1)
 
 
-def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None):
+MAT_SHIFT = 20                 # pair_aux: tri(+offset) in low 20 bits,
+MAT_LIMIT = 2047               # material id in bits 20..30 (< 2047 so the
+TRI_LIMIT = (1 << MAT_SHIFT)   # packed value never collides with _BIG_ID)
+
+
+class PreparedPairs(NamedTuple):
+    """Binned + packed pair tables, reusable across raster passes over the
+    same geometry+camera (e.g. successive depth-peel layers)."""
+    bins: object                 # TileBins
+    pair_data: jnp.ndarray       # [N_ROWS(_ATTR), P2] f32 lane-major rows
+    pair_aux: jnp.ndarray        # [P2] i32 tri(+offset) | mat<<20; _BIG_ID dead
+    has_mat: bool                # static: whether mat ids are packed in aux
+
+
+def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None,
+                tri_mat=None):
     """Gather sorted-pair rows into the kernel's lane-major layout — ONE
     row gather per pair (setup pre-packs coef+tie; attribute planes are
     appended when interpolating in-kernel).
 
-    Returns (pair_data [N_ROWS(_ATTR), P2] f32, pair_tri [P2] i32); P2 =
-    budget rounded up so the last aligned DMA stays in bounds. Dead slots
-    carry zero coefficients => never cover."""
+    Returns a PreparedPairs; P2 = budget rounded up so the last aligned DMA
+    stays in bounds. Dead slots carry zero coefficients => never cover.
+    When ``tri_mat`` ([T] i32 material ids) is given and the id spaces fit,
+    the material rides the same aux word as the triangle id, so the shading
+    pass needs no separate [H,W] material gather."""
     t = setup.coef.shape[0]
     max_pairs = bins.pair_tri.shape[0]
     p2 = (-(-max_pairs // CHUNK)) * CHUNK + CHUNK
@@ -210,8 +228,25 @@ def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None):
     rows = setup.packed if attr_planes is None else jnp.concatenate(
         [setup.packed, attr_planes], axis=-1)
     pair_data = jnp.where(live[:, None], rows[tri], 0.0).T  # [rows, P2]
-    pair_tri = jnp.where(live, tri + tri_offset, _BIG_ID)
-    return pair_data, pair_tri
+    aux = tri + tri_offset
+    has_mat = tri_mat is not None and t + tri_offset <= TRI_LIMIT
+    if has_mat:
+        aux = aux | (jnp.clip(tri_mat[tri], 0, MAT_LIMIT - 1) << MAT_SHIFT)
+    pair_aux = jnp.where(live, aux, _BIG_ID)
+    return PreparedPairs(bins, pair_data, pair_aux, has_mat)
+
+
+def prepare_pallas_pairs(setup: TriSetup, height: int, width: int,
+                         tile_h: int = 8, tile_w: int = 128,
+                         max_pairs: int | None = None, tri_offset: int = 0,
+                         attr_planes=None, tri_mat=None) -> PreparedPairs:
+    """Bin + pack for ``rasterize_pallas``. Split out so passes over the
+    same geometry (successive depth-peel layers) bin and pack once."""
+    t = setup.coef.shape[0]
+    if max_pairs is None:
+        max_pairs = 4 * t
+    bins = bin_triangles(setup, height, width, tile_h, tile_w, max_pairs)
+    return _pack_pairs(setup, bins, tri_offset, attr_planes, tri_mat)
 
 
 def rasterize_pallas(setup: TriSetup, height: int, width: int,
@@ -219,7 +254,8 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
                      chunk: int = CHUNK, max_pairs: int | None = None,
                      tri_offset: int = 0, interpret: bool = False,
                      y0=0, full_height: int | None = None,
-                     peel_bounds=None, attr_planes=None):
+                     peel_bounds=None, attr_planes=None, tri_mat=None,
+                     prepared: PreparedPairs | None = None):
     """Bin + pack + Pallas raster. Same G-buffer as ``rasterize_tiled``/
     ``rasterize_reference`` (asserted in tests). ``chunk`` is fixed at 128
     by DMA alignment; the arg is accepted for API parity and ignored.
@@ -231,13 +267,15 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     ``attr_planes``: optional [T,24] from ``attribute_planes`` — the kernel
     then interpolates pos/normal/uv for the winner, and the return value is
     (GBuffer, attrs [H,W,8]); otherwise returns (GBuffer, None).
+
+    ``tri_mat``: optional [T] i32 material ids — rides the pair-aux word so
+    the G-buffer's ``mat_id`` plane costs no extra gather.
+
+    ``prepared``: a ``prepare_pallas_pairs`` result to reuse (skips binning
+    and packing; ``max_pairs``/``tri_offset``/``tri_mat`` are then ignored).
     """
     del chunk
-    t = setup.coef.shape[0]
     fh = height if full_height is None else full_height
-    if max_pairs is None:
-        max_pairs = 4 * t
-    bins = bin_triangles(setup, height, width, tile_h, tile_w, max_pairs)
 
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
@@ -245,7 +283,12 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
 
     interp = attr_planes is not None
     n_rows = N_ROWS_ATTR if interp else N_ROWS
-    pair_data, pair_tri = _pack_pairs(setup, bins, tri_offset, attr_planes)
+    if prepared is None:
+        prepared = prepare_pallas_pairs(setup, height, width, tile_h, tile_w,
+                                        max_pairs, tri_offset, attr_planes,
+                                        tri_mat)
+    bins, pair_data, pair_aux = (prepared.bins, prepared.pair_data,
+                                 prepared.pair_aux)
 
     peel = peel_bounds is not None
     kernel = functools.partial(
@@ -306,10 +349,16 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
 
     pair_idx = untile(tri)
     won = pair_idx != _BIG_ID
-    tri_id = jnp.where(won, pair_tri[jnp.where(won, pair_idx, 0)], -1)
+    aux = pair_aux[jnp.where(won, pair_idx, 0)]     # ONE [H,W] gather
+    if prepared.has_mat:
+        tri_id = jnp.where(won, aux & (TRI_LIMIT - 1), -1)
+        mat_id = jnp.where(won, aux >> MAT_SHIFT, 0)
+    else:
+        tri_id = jnp.where(won, aux, -1)
+        mat_id = None
     b0 = untile(bary[:, 0])
     b1 = untile(bary[:, 1])
-    g = GBuffer(untile(depth), tri_id, jnp.stack([b0, b1], axis=-1))
+    g = GBuffer(untile(depth), tri_id, jnp.stack([b0, b1], axis=-1), mat_id)
     if not interp:
         return g
     attrs = jnp.stack([untile(outs[3][:, a]) for a in range(N_ATTRS)], axis=-1)

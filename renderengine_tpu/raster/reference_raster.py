@@ -29,6 +29,9 @@ class GBuffer(NamedTuple):
     tri_id: jnp.ndarray  # [H,W] i32; -1 where empty
     bary: jnp.ndarray | None = None  # [H,W,2] winner (b0, b1); b2 = 1-b0-b1
                                      # (pallas backend fills this in-kernel)
+    mat_id: jnp.ndarray | None = None  # [H,W] i32 winner material; 0 where
+                                       # empty (pallas fills it from the
+                                       # pair table when tri_mat is given)
 
 
 def _coverage_and_depth(coef, tie, p):

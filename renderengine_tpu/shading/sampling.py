@@ -64,8 +64,11 @@ def _bilinear_at_level(atlas, tex, mip_y, uv, level):
     fx = (st_x - ix0.astype(jnp.float32))[..., None]
     fy = (st_y - iy0.astype(jnp.float32))[..., None]
 
-    x0 = bx + jnp.remainder(ix0, sw)
-    y0 = by + jnp.remainder(iy0, sh)
+    # REPEAT wrap. Atlas texture sizes are snapped to powers of two
+    # (scene/textures.py), so the wrap is a mask — integer remainder by a
+    # per-pixel divisor is ~2x slower on the VPU (measured).
+    x0 = bx + (ix0 & (sw - 1))
+    y0 = by + (iy0 & (sh - 1))
     p, h, w, _ = atlas.shape
     flat = (tex["page"] * h + y0) * w + x0
     blk = atlas.reshape(-1, 16)[flat].astype(jnp.float32) * (1.0 / 255.0)
