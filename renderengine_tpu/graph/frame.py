@@ -42,6 +42,16 @@ def _pair_budget(n_tris: int, pairs_per_tri: int = 4) -> int:
     return pairs_per_tri * n_tris + 8192
 
 
+def _effective_tiles(rc: RasterConfig, backend: str) -> tuple[int, int]:
+    """Binning tile dims per backend: the pallas kernel owns its subtile
+    shape (8x16 = one vreg of lanes); the jnp tiled backend uses the
+    RasterConfig dims (8x128 dense vreg tiles)."""
+    if backend == "pallas":
+        from ..raster.pallas_raster import TILE_H, TILE_W
+        return TILE_H, TILE_W
+    return rc.tile_h, rc.tile_w
+
+
 def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
               tri_offset: int = 0, y0=0, full_height: int | None = None,
               peel_bounds=None, attr_planes=None, tri_mat=None,
@@ -54,12 +64,12 @@ def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
     ``attr_planes`` is given, and fills GBuffer.mat_id when ``tri_mat``
     is given. ``prepared`` reuses a pallas bin+pack across peel layers."""
     if backend == "pallas":
-        if full_height is not None:
-            raise NotImplementedError("row slicing lands with the sharded pallas path")
-        out = rasterize_pallas(setup, height, width, rc.tile_h, rc.tile_w,
-                               rc.tri_chunk,
-                               _pair_budget(setup.coef.shape[0], rc.pairs_per_tri),
-                               tri_offset, peel_bounds=peel_bounds,
+        out = rasterize_pallas(setup, height, width,
+                               max_pairs=_pair_budget(setup.coef.shape[0],
+                                                      rc.pairs_per_tri),
+                               tri_offset=tri_offset, y0=y0,
+                               full_height=full_height,
+                               peel_bounds=peel_bounds,
                                attr_planes=attr_planes, tri_mat=tri_mat,
                                prepared=prepared)
         return out if attr_planes is not None else (out, None)
@@ -205,13 +215,18 @@ def cached_vertex_outputs(scene, view, proj):
 def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
                  n_shadows: int, backend: str = "reference",
                  has_translucent: bool = False,
-                 slots_used=(True, True, True, True)) -> jnp.ndarray:
+                 slots_used=(True, True, True, True),
+                 return_stats: bool = False):
     """The per-frame pass chain (minus the cached shadow depth).
     scene: device dict; uniform: packed per-frame float32 vector
     (``graph.uniforms``); shadow_maps: packed blocks or None.
-    Returns [H,W,4] uint8 (sRGB-encoded, like the swapchain)."""
+    Returns [H,W,4] uint8 (sRGB-encoded, like the swapchain); with
+    ``return_stats`` also a dict with ``pair_overflow`` (i32 scalar: binned
+    pairs that did not fit the static budget this frame — nonzero means
+    dropped triangles; FrameRenderer reacts by re-tuning + re-jitting)."""
     h, w = config.render_extent()
     params = unpack_params(uniform, n_shadows)
+    overflow = jnp.zeros((), jnp.int32)
 
     vo = cached_vertex_outputs(scene, params["view"], params["proj"])
 
@@ -239,8 +254,24 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
                            config.cull_mode)
     ap = (attribute_planes(setup, vo, scene["tri_vidx"])
           if backend == "pallas" else None)
+    prep = None
+    if backend == "pallas":
+        from ..raster.pallas_raster import prepare_pallas_pairs
+        prep = prepare_pallas_pairs(
+            setup, h, w,
+            max_pairs=_pair_budget(setup.coef.shape[0],
+                                   config.raster.pairs_per_tri),
+            attr_planes=ap, tri_mat=scene["tri_material"])
+        overflow = overflow + prep.bins.n_overflow
+    elif return_stats and backend == "tiled":
+        from ..raster.binning import bin_triangles
+        b = bin_triangles(setup, h, w, config.raster.tile_h,
+                          config.raster.tile_w,
+                          _pair_budget(setup.coef.shape[0],
+                                       config.raster.pairs_per_tri))
+        overflow = overflow + b.n_overflow
     g, attrs = rasterize(setup, h, w, config.raster, backend, attr_planes=ap,
-                         tri_mat=scene["tri_material"])
+                         tri_mat=scene["tri_material"], prepared=prep)
 
     if attrs is not None:
         if g.mat_id is not None:
@@ -280,9 +311,11 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
             # bin + pack ONCE: every peel rasters the same blend geometry
             from ..raster.pallas_raster import prepare_pallas_pairs
             prep_t = prepare_pallas_pairs(
-                setup_t, h, w, config.raster.tile_h, config.raster.tile_w,
-                _pair_budget(setup_t.coef.shape[0], config.raster.pairs_per_tri),
+                setup_t, h, w,
+                max_pairs=_pair_budget(setup_t.coef.shape[0],
+                                       config.raster.pairs_per_tri),
                 attr_planes=ap_t, tri_mat=scene["blend_tri_material"])
+            overflow = overflow + prep_t.bins.n_overflow
         prev = jnp.full((h, w), -1.0, jnp.float32)
         layers = []
         n_tiles = (-(-h // config.raster.tile_h)) * (-(-w // config.raster.tile_w))
@@ -349,7 +382,10 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
         f = config.ssaa
         rgb = rgb.reshape(config.height, f, config.width, f, 3).mean(axis=(1, 3))
 
-    return encode_srgb8(rgb)
+    img = encode_srgb8(rgb)
+    if return_stats:
+        return img, {"pair_overflow": overflow}
+    return img
 
 
 class FrameRenderer:
@@ -387,18 +423,38 @@ class FrameRenderer:
                     config.raster,
                     pairs_per_tri=self._estimate_pairs_per_tri()))
         has_translucent = int(dev["n_blend"]) > 0
+        if (has_translucent and config.translucency
+                and backend in ("pallas", "tiled")
+                and config.raster.auto_tune_pairs):
+            self.config = config = config.replace(
+                translucency_tile_fraction=min(
+                    config.translucency_tile_fraction,
+                    self._estimate_blend_tile_fraction()))
         slots_used = tuple(bool((dev[k] >= 0).any()) for k in
                            ("mat_tex_base", "mat_tex_emissive",
                             "mat_tex_orm", "mat_tex_normal"))
-        self._fn = jax.jit(partial(render_frame, config=config,
-                                   n_shadows=self.n_shadows, backend=backend,
-                                   has_translucent=has_translucent,
-                                   slots_used=slots_used))
+        self._has_translucent = has_translucent
+        self._slots_used = slots_used
+        # react-to-overflow: the frame fn also reports the binning
+        # overflow counter; render() polls it (without stalling the
+        # async pipeline) and re-tunes + re-jits when triangles dropped
+        self._react_overflow = (backend in ("pallas", "tiled")
+                                and config.raster.auto_tune_pairs)
+        self._pending_overflow = []
+        self._rebuild_frame_fn()
         self._shadow_fn = jax.jit(partial(render_shadow_pass, config=config,
                                           n_shadows=self.n_shadows,
                                           backend=backend))
         self._shadow_maps = None
         self._shadows_dirty = True
+
+    def _rebuild_frame_fn(self) -> None:
+        self._fn = jax.jit(partial(render_frame, config=self.config,
+                                   n_shadows=self.n_shadows,
+                                   backend=self.backend,
+                                   has_translucent=self._has_translucent,
+                                   slots_used=self._slots_used,
+                                   return_stats=self._react_overflow))
 
     def _estimate_pairs_per_tri(self) -> int:
         """Size the pair-table budget from the initial camera: count the
@@ -407,6 +463,7 @@ class FrameRenderer:
         overflow counter (binning_stats) still guards camera changes."""
         cfg = self.config
         h, w = cfg.render_extent()
+        eth, etw = _effective_tiles(cfg.raster, self.backend)
         vp = ViewProperties.from_camera(self.scene_host.camera)
 
         @jax.jit
@@ -414,10 +471,10 @@ class FrameRenderer:
             vo = cached_vertex_outputs(scene, view, proj)
             s = triangle_setup(vo.clip, scene["tri_vidx"], scene["n_opaque"],
                                w, h, cfg.cull_mode)
-            tx0 = s.bbox[:, 0] // cfg.raster.tile_w
-            ty0 = s.bbox[:, 1] // cfg.raster.tile_h
-            tx1 = s.bbox[:, 2] // cfg.raster.tile_w
-            ty1 = s.bbox[:, 3] // cfg.raster.tile_h
+            tx0 = s.bbox[:, 0] // etw
+            ty0 = s.bbox[:, 1] // eth
+            tx1 = s.bbox[:, 2] // etw
+            ty1 = s.bbox[:, 3] // eth
             span = jnp.where(s.valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
             return span.sum()
 
@@ -430,6 +487,34 @@ class FrameRenderer:
         while p < need and p < 32:
             p *= 2
         return p
+
+    def _estimate_blend_tile_fraction(self) -> float:
+        """Size the sparse peel-shading tile budget from the initial camera:
+        the translucent draw list usually covers a small screen fraction
+        (hanging banners, glass), so shading a fixed 25% of tiles per layer
+        wastes most of the pass. Upper-bounds covered tiles by the summed
+        per-triangle tile spans, with 2x headroom and a small floor."""
+        cfg = self.config
+        h, w = cfg.render_extent()
+        n_tiles = (-(-h // cfg.raster.tile_h)) * (-(-w // cfg.raster.tile_w))
+        vp = ViewProperties.from_camera(self.scene_host.camera)
+
+        @jax.jit
+        def blend_spans(scene, view, proj):
+            vo = cached_vertex_outputs(scene, view, proj)
+            s = triangle_setup(vo.clip, scene["blend_tri_vidx"],
+                               scene["n_blend"], w, h, CullMode.NONE)
+            tx0 = s.bbox[:, 0] // cfg.raster.tile_w
+            ty0 = s.bbox[:, 1] // cfg.raster.tile_h
+            tx1 = s.bbox[:, 2] // cfg.raster.tile_w
+            ty1 = s.bbox[:, 3] // cfg.raster.tile_h
+            span = jnp.where(s.valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
+            return span.sum()
+
+        spans = int(blend_spans(self.scene_dev, jnp.asarray(vp.view),
+                                jnp.asarray(vp.proj)))
+        tiles = min(max(2 * spans, 16), n_tiles)
+        return tiles / n_tiles
 
     def mark_shadows_dirty(self) -> None:
         """Re-render shadow depth next frame (scene or light changed)."""
@@ -446,14 +531,14 @@ class FrameRenderer:
         params = unpack_params(jnp.asarray(u), self.n_shadows)
         budget = _pair_budget(self.scene_dev["tri_vidx"].shape[0],
                               self.config.raster.pairs_per_tri)
+        eth, etw = _effective_tiles(self.config.raster, self.backend)
 
         @jax.jit
         def stats(scene, view, proj):
             vo = cached_vertex_outputs(scene, view, proj)
             s = triangle_setup(vo.clip, scene["tri_vidx"], scene["n_opaque"],
                                w, h, self.config.cull_mode)
-            b = bin_triangles(s, h, w, self.config.raster.tile_h,
-                              self.config.raster.tile_w, budget)
+            b = bin_triangles(s, h, w, eth, etw, budget)
             return b.pair_valid.sum(), b.n_overflow
 
         live, overflow = stats(self.scene_dev, params["view"], params["proj"])
@@ -474,10 +559,46 @@ class FrameRenderer:
         return uniforms.pack_params(self.params_for_camera(view_props),
                                     self.n_shadows)
 
+    def _poll_overflow(self) -> None:
+        """Consume ready overflow counters from in-flight frames; on a
+        nonzero count, double the pair budget and re-jit (the "re-jit on
+        observed overflow" reaction — a one-frame hitch instead of
+        silently dropping geometry when the camera enters a dense view).
+        Never blocks on an unfinished frame unless the queue is deep."""
+        grew = False
+        while self._pending_overflow:
+            a = self._pending_overflow[0]
+            if (not grew and len(self._pending_overflow) <= 3
+                    and hasattr(a, "is_ready") and not a.is_ready()):
+                break
+            self._pending_overflow.pop(0)
+            if grew or int(a) == 0:
+                continue
+            rc = self.config.raster
+            if rc.pairs_per_tri >= 64:
+                continue   # budget cap; binning_stats() remains the probe
+            from ..utils.log import get_logger
+            get_logger().warning(
+                "pair budget overflow (%d dropped pairs): re-tuning "
+                "pairs_per_tri %d -> %d and re-jitting",
+                int(a), rc.pairs_per_tri, rc.pairs_per_tri * 2)
+            self.config = self.config.replace(
+                raster=dataclasses.replace(rc,
+                                           pairs_per_tri=rc.pairs_per_tri * 2))
+            self._rebuild_frame_fn()
+            grew = True
+
     def render(self, view_props: ViewProperties | None = None) -> jnp.ndarray:
         """Returns the device image array (async); np.asarray() to fetch."""
+        if self._react_overflow:
+            self._poll_overflow()
         u = self.uniform_for_camera(view_props)
         if self.n_shadows > 0 and self._shadows_dirty:
             self._shadow_maps = self._shadow_fn(self.scene_dev, u)
             self._shadows_dirty = False
-        return self._fn(self.scene_dev, u, self._shadow_maps)
+        out = self._fn(self.scene_dev, u, self._shadow_maps)
+        if self._react_overflow:
+            img, stats = out
+            self._pending_overflow.append(stats["pair_overflow"])
+            return img
+        return out

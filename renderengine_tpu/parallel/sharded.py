@@ -39,6 +39,11 @@ AXIS = "image"
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
+    if len(devs) < n:
+        raise RuntimeError(
+            f"make_mesh({n}) on a {len(devs)}-device platform "
+            f"({devs[0].platform}); a silently smaller mesh would fake "
+            "multi-chip coverage")
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 

@@ -1,22 +1,27 @@
 """Pallas TPU tile rasterizer — the production raster kernel.
 
-Grid: one program per framebuffer tile. Per-tile triangle lists come from
-``binning.bin_triangles``; pair data is re-laid-out OUTSIDE the kernel
-(one dense XLA row gather) into a lane-major table
+Grid: one program per 8x16-pixel subtile (128 pixels = one VPU vreg of
+lanes). Per-tile triangle lists come from ``binning.bin_triangles``; pair
+data is laid out OUTSIDE the kernel (one dense XLA row gather) as
 
-    pair_data [24|48, P] f32   rows: e0(3) e1(3) e2(3) z(3) w(3) tie(3)
-                               pad(6) [+ attribute planes 8x3]
-    (the kernel records winning PAIR indices; pair -> triangle-id is one
-    XLA gather afterwards, so no second DMA stream is needed)
+    pair_data [P2, 24|48] f32   cols: e0(3) e1(3) e2(3) z(3) w(3)
+                                      tie-eps(3) [pad | attr planes 8x3]
 
-The kernel DMAs each tile's segment from its 128-aligned floor (live
-pairs selected by a per-pair global-index test), so the memory traffic is
-nothing but aligned, sequential, double-buffered DMA:
+The kernel DMAs each tile's segment in [CHUNK, cols] slabs and evaluates
+**8 pairs at a time across the VPU's sublanes**: a group's coefficient
+columns broadcast as (8,1) against the subtile's (1,128) pixel vectors, so
+one vector op advances 8 triangles x 128 pixels. Each sublane keeps an
+independent (depth, lowest-pair) winner; a 3-op masked fold merges the 8
+sublane candidates at tile end. This is ~6x less vector work per pair than
+evaluating one triangle over an 8x128 tile, and the group loop is bounded
+by the tile's live count (empty slots cost nothing).
 
-    HBM pair_data[:, base + k*128 : +128] --DMA--> VMEM
-    evaluate edge/depth planes over the tile's pixels (VPU f32 FMAs,
-    statically unrolled over the chunk)
-    fold the (depth, lowest-id) winner into the tile's VMEM z-buffer
+Tie rule without branches: the pack stage stores eps_i = 1e-35 for edges
+that accept E==0 (top-left rule) and the kernel tests ``E + eps_i > 0``.
+1e-35 is normal in f32 (no FTZ flush) and far below any nonzero |E| the
+setup FMAs can produce, so the biased test is bit-exact with
+``(E > 0) | ((E == 0) & tie)`` — asserted against the brute-force model in
+tests/test_pallas_raster.py.
 
 With ``attr_planes`` the kernel also interpolates the winner's vertex
 attributes in-register (pos3 | normal3 | uv2 as rational planes
@@ -25,11 +30,13 @@ vertex gathers with per-triangle plane math.
 
 This is the TPU translation of the reference's hot loop
 (``RenderScene::RenderBasePass`` draw calls -> fragment coverage): instead
-of one triangle at a time through a hardware rasterizer, each tile
-processes its bin with all VPU lanes covering the tile's pixels.
+of one triangle at a time through a hardware rasterizer, tiles process
+their bins with all VPU lanes covering pixels and all sublanes covering
+triangles.
 
 Winner semantics match ``reference_raster`` exactly (LessOrEqual +
-lowest-id ties; ids ascend within a bin, so strict-less keeps the lowest).
+lowest-id ties; ids ascend within a bin and within each sublane's
+subsequence; the final fold breaks equal depths by lowest pair index).
 """
 
 from __future__ import annotations
@@ -47,14 +54,22 @@ from .reference_raster import GBuffer
 from .setup import TriSetup
 
 _BIG_ID = 2**31 - 1
-CHUNK = 128   # DMA alignment quantum (lane width)
-N_ROWS = 24   # 15 coefficient rows + 3 tie rows + sublane padding to 8
-N_ATTRS = 8   # pos3 | normal3 | uv2
-N_ROWS_ATTR = N_ROWS + 3 * N_ATTRS  # 48
+_TIE_EPS = 1e-35          # normal f32; survives TPU FTZ, vanishes vs any |E|
+CHUNK = 64                # pairs per DMA slab
+GROUP = 8                 # pairs evaluated per step (across sublanes)
+TILE_H = 8                # subtile pixel rows
+TILE_W = 16               # subtile pixel cols (TILE_H * TILE_W = 128 lanes)
+N_ATTRS = 8               # pos3 | normal3 | uv2
+# 15 plane coefs + 3 tie-eps [+ 8 attr planes x 3] padded to one lane tile:
+# HBM DMA slices must span full 128-lane tiles, so rows are 128 f32 wide
+# (the extra bytes ride an already-pipelined DMA; bandwidth is not the
+# bottleneck at <0.5 GB/frame).
+N_COLS = 128
+N_COLS_ATTR = 128
 
 
 def attribute_planes(setup: TriSetup, vo, tri_vidx) -> jnp.ndarray:
-    """[T,24] f32 rational attribute planes: row triplet 3k..3k+2 is
+    """[T,24] f32 rational attribute planes: column triplet 3k..3k+2 is
     arow_k = sum_i u_ik * e_i, so attr_k(p) = (arow_k . p) / sum(E_i)."""
     vattr = jnp.concatenate([vo.world_pos, vo.world_normal, vo.uv], axis=-1)
     corners = vattr[tri_vidx]                 # [T,3,8]
@@ -69,7 +84,7 @@ def _raster_kernel(
     # inputs (HBM + optional VMEM bounds block)
     pair_data_hbm, *rest,
     tile_h: int, tile_w: int, width: int, full_height: int, ntx: int,
-    peel: bool, interp: bool,
+    chunk: int, peel: bool, interp: bool,
 ):
     rest = list(rest)
     bounds_ref = rest.pop(0) if peel else None
@@ -82,105 +97,115 @@ def _raster_kernel(
     tile = pl.program_id(0)
     start = starts_ref[tile]
     count = counts_ref[tile]
-    base0 = (start // CHUNK) * CHUNK          # aligned DMA floor
+    base0 = (start // GROUP) * GROUP          # sublane-aligned DMA floor
     span_end = start + count
     n_steps = jnp.where(count > 0,
-                        (span_end - base0 + CHUNK - 1) // CHUNK, 0)
+                        (span_end - base0 + chunk - 1) // chunk, 0)
 
     org_x = (tile % ntx) * tile_w
     org_y = (tile // ntx) * tile_h + y0_ref[0]
-    lx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    ly = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-    px = org_x.astype(jnp.float32) + lx + (0.5 - width * 0.5)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h * tile_w), 1)
+    lx = (lane % tile_w).astype(jnp.float32)
+    ly = (lane // tile_w).astype(jnp.float32)
+    px = org_x.astype(jnp.float32) + lx + (0.5 - width * 0.5)    # (1,128)
     py = org_y.astype(jnp.float32) + ly + (0.5 - full_height * 0.5)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)     # (8,1)
+
+    if peel:
+        prev_d = bounds_ref[0, 0, :].reshape(1, -1)   # nearest peeled layer
+        zmax = bounds_ref[0, 1, :].reshape(1, -1)     # opaque depth bound
 
     def dma(slot, step):
-        off = pl.multiple_of(base0 + step * CHUNK, CHUNK)
-        return (pltpu.make_async_copy(pair_data_hbm.at[:, pl.ds(off, CHUNK)],
-                                      data_buf.at[slot], sems.at[slot]),)
+        off = base0 + step * chunk
+        return pltpu.make_async_copy(
+            pair_data_hbm.at[pl.ds(off, chunk), :],
+            data_buf.at[slot], sems.at[slot])
 
     @pl.when(n_steps > 0)
     def _():
-        for d in dma(0, 0):
-            d.start()
+        dma(0, 0).start()
 
     n_attr_carry = N_ATTRS if interp else 0
+    shape = (GROUP, tile_h * tile_w)
 
-    def step_body(step, carry):
-        dmin, idmin, b0c, b1c = carry[0], carry[1], carry[2], carry[3]
-        attrs_c = list(carry[4:])
+    def chunk_body(step, carry):
         slot = step % 2
 
         @pl.when(step + 1 < n_steps)
         def _():
-            for d in dma((step + 1) % 2, step + 1):
-                d.start()
+            dma((step + 1) % 2, step + 1).start()
 
-        for d in dma(slot, step):
-            d.wait()
+        dma(slot, step).wait()
 
-        c = data_buf[slot]        # [N_ROWS(_ATTR), CHUNK]
-        base = base0 + step * CHUNK
-        if peel:
-            prev_d = bounds_ref[0, 0]   # nearest already-peeled layer
-            zmax = bounds_ref[0, 1]     # opaque depth bound (LessOrEqual)
+        cbase = base0 + step * chunk
+        n_groups = jnp.clip((span_end - cbase + GROUP - 1) // GROUP,
+                            0, chunk // GROUP)
 
-        # statically unrolled per-triangle evaluation: each triangle's
-        # planes broadcast over the whole tile (straight-line VPU code)
-        dmin_i, idmin_i, b0_i, b1_i = dmin, idmin, b0c, b1c
-        for k in range(CHUNK):
-            e0 = c[0, k] * px + c[1, k] * py + c[2, k]
-            e1 = c[3, k] * px + c[4, k] * py + c[5, k]
-            e2 = c[6, k] * px + c[7, k] * py + c[8, k]
-            zn = c[9, k] * px + c[10, k] * py + c[11, k]
-            wn = c[12, k] * px + c[13, k] * py + c[14, k]
-            inside = (
-                ((e0 > 0) | ((e0 == 0) & (c[15, k] != 0)))
-                & ((e1 > 0) | ((e1 == 0) & (c[16, k] != 0)))
-                & ((e2 > 0) | ((e2 == 0) & (c[17, k] != 0)))
-            )
+        def group_body(g, cr):
+            dmin, idmin, b0c, b1c = cr[0], cr[1], cr[2], cr[3]
+            attrs_c = list(cr[4:])
+            cg = data_buf[slot, pl.ds(GROUP * g, GROUP), :]   # (8, cols)
+            idx = cbase + GROUP * g + sub               # (8,1) pair indices
+
+            e0 = cg[:, 0:1] * px + cg[:, 1:2] * py + cg[:, 2:3]
+            e1 = cg[:, 3:4] * px + cg[:, 4:5] * py + cg[:, 5:6]
+            e2 = cg[:, 6:7] * px + cg[:, 7:8] * py + cg[:, 8:9]
+            zn = cg[:, 9:10] * px + cg[:, 10:11] * py + cg[:, 11:12]
+            wn = cg[:, 12:13] * px + cg[:, 13:14] * py + cg[:, 14:15]
+            inside = (((e0 + cg[:, 15:16]) > 0)
+                      & ((e1 + cg[:, 16:17]) > 0)
+                      & ((e2 + cg[:, 17:18]) > 0))
             wpos = wn > 0
             d = zn / jnp.where(wpos, wn, 1.0)
-            g = base + k              # global pair index
             cover = (inside & wpos & (d >= 0) & (d <= 1)
-                     & (g >= start) & (g < span_end))
+                     & (idx >= start) & (idx < span_end))
             if peel:
                 cover = cover & (d > prev_d) & (d <= zmax)
-            take = cover & (d < dmin_i)
-            dmin_i = jnp.where(take, d, dmin_i)
-            # record the PAIR index; ids ascend within a bin (stable sort),
-            # so lowest pair == lowest triangle on exact depth ties; the
-            # caller maps pair -> triangle with one gather.
-            idmin_i = jnp.where(take, g, idmin_i)
+            take = cover & (d < dmin)
+            dmin = jnp.where(take, d, dmin)
+            # record the PAIR index; within a sublane ids ascend (stable
+            # sort), so strict-less keeps the lowest on exact depth ties;
+            # the cross-sublane fold below ties by lowest index too.
+            idmin = jnp.where(take, jnp.broadcast_to(idx, shape), idmin)
             esum = e0 + e1 + e2
             inv = 1.0 / jnp.where(esum == 0, 1.0, esum)
             # winner barycentrics (perspective-correct lambdas)
-            b0_i = jnp.where(take, e0 * inv, b0_i)
-            b1_i = jnp.where(take, e1 * inv, b1_i)
+            b0c = jnp.where(take, e0 * inv, b0c)
+            b1c = jnp.where(take, e1 * inv, b1c)
             if interp:
                 for a in range(N_ATTRS):
-                    num = (c[N_ROWS + 3 * a, k] * px
-                           + c[N_ROWS + 3 * a + 1, k] * py
-                           + c[N_ROWS + 3 * a + 2, k])
+                    num = (cg[:, 18 + 3 * a : 19 + 3 * a] * px
+                           + cg[:, 19 + 3 * a : 20 + 3 * a] * py
+                           + cg[:, 20 + 3 * a : 21 + 3 * a])
                     attrs_c[a] = jnp.where(take, num * inv, attrs_c[a])
-        return (dmin_i, idmin_i, b0_i, b1_i, *attrs_c)
+            return (dmin, idmin, b0c, b1c, *attrs_c)
 
-    dmin0 = jnp.ones((tile_h, tile_w), jnp.float32)
-    idmin0 = jnp.full((tile_h, tile_w), _BIG_ID, jnp.int32)
-    z0 = jnp.zeros((tile_h, tile_w), jnp.float32)
+        return jax.lax.fori_loop(0, n_groups, group_body, carry)
+
+    dmin0 = jnp.ones(shape, jnp.float32)
+    idmin0 = jnp.full(shape, _BIG_ID, jnp.int32)
+    z0 = jnp.zeros(shape, jnp.float32)
     init = (dmin0, idmin0, z0, z0) + tuple(z0 for _ in range(n_attr_carry))
-    out = jax.lax.fori_loop(0, n_steps, step_body, init)
-    depth_ref[0, :, :] = out[0]
-    tri_ref[0, :, :] = out[1]
-    bary_ref[0, 0, :, :] = out[2]
-    bary_ref[0, 1, :, :] = out[3]
+    out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
+
+    # fold the 8 per-sublane candidates: min depth, then lowest pair index
+    # among equal depths (exact f32 equality — same rounded values)
+    dc, idc = out[0], out[1]
+    dwin = jnp.min(dc, axis=0, keepdims=True)                 # (1,128)
+    meq = dc == dwin
+    idwin = jnp.min(jnp.where(meq, idc, _BIG_ID), axis=0, keepdims=True)
+    m2 = (meq & (idc == idwin)).astype(jnp.float32)
+    depth_ref[0, 0, :] = dwin[0]
+    tri_ref[0, 0, :] = idwin[0]
+    bary_ref[0, 0, :] = jnp.sum(out[2] * m2, axis=0)
+    bary_ref[0, 1, :] = jnp.sum(out[3] * m2, axis=0)
     if interp:
         for a in range(N_ATTRS):
-            attr_ref[0, a, :, :] = out[4 + a]
+            attr_ref[0, a, :] = jnp.sum(out[4 + a] * m2, axis=0)
 
 
 def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
-    """(prev[H,W], zmax[H,W]) -> [n_tiles, 2, th, tw] VMEM blocks."""
+    """(prev[H,W], zmax[H,W]) -> [n_tiles, 2, th*tw] lane-major rows."""
     prev, zmax = peel_bounds
     ph = nty * tile_h - height
     pw = ntx * tile_w - width
@@ -188,7 +213,7 @@ def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
     def tile(a, fill):
         a = jnp.pad(a, ((0, ph), (0, pw)), constant_values=fill)
         a = a.reshape(nty, tile_h, ntx, tile_w).transpose(0, 2, 1, 3)
-        return a.reshape(nty * ntx, tile_h, tile_w)
+        return a.reshape(nty * ntx, tile_h * tile_w)
 
     return jnp.stack([tile(prev, 2.0), tile(zmax, -1.0)], axis=1)
 
@@ -202,32 +227,38 @@ class PreparedPairs(NamedTuple):
     """Binned + packed pair tables, reusable across raster passes over the
     same geometry+camera (e.g. successive depth-peel layers)."""
     bins: object                 # TileBins
-    pair_data: jnp.ndarray       # [N_ROWS(_ATTR), P2] f32 lane-major rows
+    pair_data: jnp.ndarray       # [P2, 24|48] f32 pair-major coefficient rows
     pair_aux: jnp.ndarray        # [P2] i32 tri(+offset) | mat<<20; _BIG_ID dead
     has_mat: bool                # static: whether mat ids are packed in aux
 
 
 def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None,
-                tri_mat=None):
-    """Gather sorted-pair rows into the kernel's lane-major layout — ONE
-    row gather per pair (setup pre-packs coef+tie; attribute planes are
-    appended when interpolating in-kernel).
+                tri_mat=None, chunk: int = CHUNK):
+    """Gather sorted-pair rows into the kernel's pair-major layout — ONE
+    row gather per pair. Tie bits become the +eps test columns.
 
     Returns a PreparedPairs; P2 = budget rounded up so the last aligned DMA
-    stays in bounds. Dead slots carry zero coefficients => never cover.
+    slab stays in bounds. Dead slots carry zero coefficients => never cover.
     When ``tri_mat`` ([T] i32 material ids) is given and the id spaces fit,
     the material rides the same aux word as the triangle id, so the shading
     pass needs no separate [H,W] material gather."""
     t = setup.coef.shape[0]
     max_pairs = bins.pair_tri.shape[0]
-    p2 = (-(-max_pairs // CHUNK)) * CHUNK + CHUNK
+    p2 = (-(-max_pairs // chunk)) * chunk + chunk
+
+    eps = jnp.where(setup.tie, _TIE_EPS, 0.0).astype(jnp.float32)   # [T,3]
+    cols = [setup.coef.reshape(t, 15), eps]
+    n_cols = N_COLS
+    if attr_planes is not None:
+        cols.append(attr_planes)
+        n_cols = N_COLS_ATTR
+    rows = jnp.concatenate(cols, axis=-1)
+    rows = jnp.pad(rows, ((0, 0), (0, n_cols - rows.shape[1])))
 
     live = jnp.pad(bins.pair_valid, (0, p2 - max_pairs))
     tri = jnp.pad(jnp.clip(bins.pair_tri, 0, t - 1), (0, p2 - max_pairs))
     tri = jnp.where(live, tri, 0)
-    rows = setup.packed if attr_planes is None else jnp.concatenate(
-        [setup.packed, attr_planes], axis=-1)
-    pair_data = jnp.where(live[:, None], rows[tri], 0.0).T  # [rows, P2]
+    pair_data = jnp.where(live[:, None], rows[tri], 0.0)    # [P2, n_cols]
     aux = tri + tri_offset
     has_mat = tri_mat is not None and t + tri_offset <= TRI_LIMIT
     if has_mat:
@@ -237,28 +268,30 @@ def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None,
 
 
 def prepare_pallas_pairs(setup: TriSetup, height: int, width: int,
-                         tile_h: int = 8, tile_w: int = 128,
+                         tile_h: int = TILE_H, tile_w: int = TILE_W,
                          max_pairs: int | None = None, tri_offset: int = 0,
-                         attr_planes=None, tri_mat=None) -> PreparedPairs:
+                         attr_planes=None, tri_mat=None,
+                         chunk: int = CHUNK) -> PreparedPairs:
     """Bin + pack for ``rasterize_pallas``. Split out so passes over the
     same geometry (successive depth-peel layers) bin and pack once."""
     t = setup.coef.shape[0]
     if max_pairs is None:
         max_pairs = 4 * t
     bins = bin_triangles(setup, height, width, tile_h, tile_w, max_pairs)
-    return _pack_pairs(setup, bins, tri_offset, attr_planes, tri_mat)
+    return _pack_pairs(setup, bins, tri_offset, attr_planes, tri_mat, chunk)
 
 
 def rasterize_pallas(setup: TriSetup, height: int, width: int,
-                     tile_h: int = 8, tile_w: int = 128,
+                     tile_h: int = TILE_H, tile_w: int = TILE_W,
                      chunk: int = CHUNK, max_pairs: int | None = None,
                      tri_offset: int = 0, interpret: bool = False,
                      y0=0, full_height: int | None = None,
                      peel_bounds=None, attr_planes=None, tri_mat=None,
                      prepared: PreparedPairs | None = None):
     """Bin + pack + Pallas raster. Same G-buffer as ``rasterize_tiled``/
-    ``rasterize_reference`` (asserted in tests). ``chunk`` is fixed at 128
-    by DMA alignment; the arg is accepted for API parity and ignored.
+    ``rasterize_reference`` (asserted in tests). ``tile_h * tile_w`` must be
+    128 (one vreg of lanes); ``chunk`` is the DMA slab in pairs (multiple
+    of 8).
 
     ``peel_bounds``: optional (prev_depth [H,W], zmax [H,W]) — keep only
     fragments with prev < depth <= zmax (depth-peeling for the sorted
@@ -271,22 +304,28 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     ``tri_mat``: optional [T] i32 material ids — rides the pair-aux word so
     the G-buffer's ``mat_id`` plane costs no extra gather.
 
+    ``y0``/``full_height`` raster a row slice of a taller virtual viewport
+    (multi-chip image-space sharding).
+
     ``prepared``: a ``prepare_pallas_pairs`` result to reuse (skips binning
     and packing; ``max_pairs``/``tri_offset``/``tri_mat`` are then ignored).
     """
-    del chunk
+    if tile_h * tile_w != GROUP * TILE_W:
+        raise ValueError(f"tile_h*tile_w must be {GROUP * TILE_W}")
+    chunk = max(GROUP, (chunk // GROUP) * GROUP)
     fh = height if full_height is None else full_height
 
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     n_tiles = ntx * nty
+    npx = tile_h * tile_w
 
     interp = attr_planes is not None
-    n_rows = N_ROWS_ATTR if interp else N_ROWS
+    n_cols = N_COLS_ATTR if interp else N_COLS
     if prepared is None:
         prepared = prepare_pallas_pairs(setup, height, width, tile_h, tile_w,
                                         max_pairs, tri_offset, attr_planes,
-                                        tri_mat)
+                                        tri_mat, chunk)
     bins, pair_data, pair_aux = (prepared.bins, prepared.pair_data,
                                  prepared.pair_aux)
 
@@ -294,31 +333,32 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     kernel = functools.partial(
         _raster_kernel,
         tile_h=tile_h, tile_w=tile_w,
-        width=width, full_height=fh, ntx=ntx, peel=peel, interp=interp,
+        width=width, full_height=fh, ntx=ntx, chunk=chunk,
+        peel=peel, interp=interp,
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if peel:
-        in_specs.append(pl.BlockSpec((1, 2, tile_h, tile_w),
-                                     lambda i, *_: (i, 0, 0, 0),
+        in_specs.append(pl.BlockSpec((1, 2, npx),
+                                     lambda i, *_: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
     out_specs = [
-        pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((1, 1, npx), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_h, tile_w), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((1, 1, npx), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, tile_h, tile_w), lambda i, *_: (i, 0, 0, 0),
+        pl.BlockSpec((1, 2, npx), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles, 2, tile_h, tile_w), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.int32),
+        jax.ShapeDtypeStruct((n_tiles, 2, npx), jnp.float32),
     ]
     if interp:
-        out_specs.append(pl.BlockSpec((1, N_ATTRS, tile_h, tile_w),
-                                      lambda i, *_: (i, 0, 0, 0),
+        out_specs.append(pl.BlockSpec((1, N_ATTRS, npx),
+                                      lambda i, *_: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((n_tiles, N_ATTRS, tile_h, tile_w),
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles, N_ATTRS, npx),
                                               jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -326,7 +366,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, n_rows, CHUNK), jnp.float32),
+            pltpu.VMEM((2, chunk, n_cols), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -341,7 +381,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
-    depth, tri, bary = outs[0], outs[1], outs[2]
+    depth, tri, bary = outs[0][:, 0], outs[1][:, 0], outs[2]
 
     def untile(a):
         a = a.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)

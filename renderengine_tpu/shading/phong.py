@@ -23,7 +23,7 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
     """Port of ``PhongLighting`` (phong.glsl:38-81), summed over lights.
     Light colors map: ambient = 0.03*color, diffuse = specular =
     intensity*color. Returns rgba (linear)."""
-    row = scene["mat_all"][mat_id].astype(jnp.float32)
+    row = sampling.table_lookup(scene["mat_all"], mat_id)
     core = row[..., :16]
     mtex = row[..., 16:]
     duv_dx = sampling.quad_dfdx(uv)

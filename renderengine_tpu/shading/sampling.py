@@ -12,6 +12,7 @@ mip pyramid per page) is documented in ``scene/textures.py``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -33,6 +34,30 @@ def quad_dfdy(v: jnp.ndarray) -> jnp.ndarray:
         v = jnp.concatenate([v, v[-1:]], axis=0)
     d = v[1::2] - v[0::2]
     return jnp.repeat(d, 2, axis=0)[:h]
+
+
+def table_lookup(table: jnp.ndarray, idx: jnp.ndarray,
+                 max_rows_for_mxu: int = 1024) -> jnp.ndarray:
+    """Row fetch ``table[idx]`` routed through the fastest TPU path.
+
+    XLA's gather costs ~17-40 ns/index on TPU regardless of locality; for
+    SMALL tables a one-hot matmul on the MXU is ~5x cheaper at framebuffer
+    index counts (measured: 256x40 f32 ~3 ms vs ~40 ms gather at 2.07M
+    indices). One-hot rows select exactly one table row, so the contraction
+    is exact in f32 (HIGHEST avoids bf16 rounding of f16-valued tables).
+
+    table [N,C] float; idx [...] int32 (caller clamps). Falls back to a
+    plain gather for big tables or tiny index sets.
+    """
+    n = table.shape[0]
+    if n > max_rows_for_mxu or idx.size < 4 * n:
+        return table[idx].astype(jnp.float32)
+    flat = idx.reshape(-1)
+    oh = (flat[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :])
+    out = jnp.dot(oh.astype(jnp.float32), table.astype(jnp.float32),
+                  precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    return out.reshape(*idx.shape, table.shape[1])
 
 
 def _gather_rgba(atlas: jnp.ndarray, page, ry, rx) -> jnp.ndarray:
