@@ -83,6 +83,7 @@ class RenderConfig:
     translucency: bool = True # depth-peeled back-to-front blend pass
     translucency_layers: int = 2  # peel depth (reference sorts per mesh; 2+ is order-correct per pixel)
     translucency_tile_fraction: float = 0.25  # screen-fraction budget for sparse peel shading
+    blend_pair_budget: int = 0  # static blend-pass (tile,tri) pair budget; 0 = derive from raster.pairs_per_tri (blend geometry is few LARGE triangles — banners, glass — so its span profile needs its own budget, not the opaque per-tri one)
     raster: RasterConfig = dataclasses.field(default_factory=RasterConfig)
 
     def render_extent(self) -> tuple[int, int]:

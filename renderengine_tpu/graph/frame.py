@@ -55,7 +55,7 @@ def _effective_tiles(rc: RasterConfig, backend: str) -> tuple[int, int]:
 def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
               tri_offset: int = 0, y0=0, full_height: int | None = None,
               peel_bounds=None, attr_planes=None, tri_mat=None,
-              prepared=None):
+              prepared=None, max_pairs: int | None = None):
     """Raster backend dispatch — decided at trace time (one compiled
     executable per backend, like pipelines per GraphicsPipelineInfo).
     ``y0``/``full_height`` render a row slice of a taller virtual viewport
@@ -63,10 +63,11 @@ def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
     pallas backend interpolates vertex attributes in-kernel when
     ``attr_planes`` is given, and fills GBuffer.mat_id when ``tri_mat``
     is given. ``prepared`` reuses a pallas bin+pack across peel layers."""
+    if max_pairs is None:
+        max_pairs = _pair_budget(setup.coef.shape[0], rc.pairs_per_tri)
     if backend == "pallas":
         out = rasterize_pallas(setup, height, width,
-                               max_pairs=_pair_budget(setup.coef.shape[0],
-                                                      rc.pairs_per_tri),
+                               max_pairs=max_pairs,
                                tri_offset=tri_offset, y0=y0,
                                full_height=full_height,
                                peel_bounds=peel_bounds,
@@ -75,8 +76,7 @@ def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
         return out if attr_planes is not None else (out, None)
     if backend == "tiled":
         return rasterize_tiled(setup, height, width, rc.tile_h, rc.tile_w,
-                               rc.tri_chunk,
-                               _pair_budget(setup.coef.shape[0], rc.pairs_per_tri),
+                               rc.tri_chunk, max_pairs,
                                tri_offset, y0=y0, full_height=full_height,
                                peel_bounds=peel_bounds), None
     return rref.rasterize_reference(setup, height, width, tri_offset=tri_offset,
@@ -227,6 +227,7 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     h, w = config.render_extent()
     params = unpack_params(uniform, n_shadows)
     overflow = jnp.zeros((), jnp.int32)
+    blend_overflow = jnp.zeros((), jnp.int32)
 
     vo = cached_vertex_outputs(scene, params["view"], params["proj"])
 
@@ -306,16 +307,22 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
                                  scene["n_blend"], w, h, CullMode.NONE)
         ap_t = (attribute_planes(setup_t, vo, scene["blend_tri_vidx"])
                 if backend == "pallas" else None)
+        blend_budget = (config.blend_pair_budget
+                        or _pair_budget(setup_t.coef.shape[0],
+                                        config.raster.pairs_per_tri))
         prep_t = None
         if backend == "pallas":
             # bin + pack ONCE: every peel rasters the same blend geometry
             from ..raster.pallas_raster import prepare_pallas_pairs
             prep_t = prepare_pallas_pairs(
-                setup_t, h, w,
-                max_pairs=_pair_budget(setup_t.coef.shape[0],
-                                       config.raster.pairs_per_tri),
+                setup_t, h, w, max_pairs=blend_budget,
                 attr_planes=ap_t, tri_mat=scene["blend_tri_material"])
-            overflow = overflow + prep_t.bins.n_overflow
+            blend_overflow = prep_t.bins.n_overflow
+        elif return_stats and backend == "tiled":
+            from ..raster.binning import bin_triangles
+            bt = bin_triangles(setup_t, h, w, config.raster.tile_h,
+                               config.raster.tile_w, blend_budget)
+            blend_overflow = bt.n_overflow
         prev = jnp.full((h, w), -1.0, jnp.float32)
         layers = []
         n_tiles = (-(-h // config.raster.tile_h)) * (-(-w // config.raster.tile_w))
@@ -343,7 +350,8 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
         for _ in range(config.translucency_layers):
             gt, attrs_t = rasterize(setup_t, h, w, config.raster, backend,
                                     peel_bounds=(prev, g.depth),
-                                    attr_planes=ap_t, prepared=prep_t)
+                                    attr_planes=ap_t, prepared=prep_t,
+                                    max_pairs=blend_budget)
             covered_t = gt.tri_id >= 0
             sp_in = {"covered": covered_t, "tri_id": gt.tri_id}
             if gt.mat_id is not None:
@@ -384,7 +392,8 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
 
     img = encode_srgb8(rgb)
     if return_stats:
-        return img, {"pair_overflow": overflow}
+        return img, {"pair_overflow": overflow,
+                     "blend_pair_overflow": blend_overflow}
     return img
 
 
@@ -426,10 +435,11 @@ class FrameRenderer:
         if (has_translucent and config.translucency
                 and backend in ("pallas", "tiled")
                 and config.raster.auto_tune_pairs):
+            frac, blend_budget = self._estimate_blend_budgets()
             self.config = config = config.replace(
                 translucency_tile_fraction=min(
-                    config.translucency_tile_fraction,
-                    self._estimate_blend_tile_fraction()))
+                    config.translucency_tile_fraction, frac),
+                blend_pair_budget=blend_budget)
         slots_used = tuple(bool((dev[k] >= 0).any()) for k in
                            ("mat_tex_base", "mat_tex_emissive",
                             "mat_tex_orm", "mat_tex_normal"))
@@ -481,22 +491,22 @@ class FrameRenderer:
         total = int(total_pairs(self.scene_dev, jnp.asarray(vp.view),
                                 jnp.asarray(vp.proj)))
         t = int(self.scene_dev["tri_vidx"].shape[0])
-        need = max(2, -(-2 * total // max(t, 1)))
-        # round up to the next power of two, capped
-        p = 2
-        while p < need and p < 32:
-            p *= 2
-        return p
+        # 1.5x headroom, exact integer (the sort runs over the whole STATIC
+        # budget, so a pow2 round-up directly inflates the binning pass);
+        # overflow reaction (_poll_overflow) covers camera moves past it
+        return min(64, max(2, -(-3 * total // max(2 * t, 1))))
 
-    def _estimate_blend_tile_fraction(self) -> float:
-        """Size the sparse peel-shading tile budget from the initial camera:
-        the translucent draw list usually covers a small screen fraction
-        (hanging banners, glass), so shading a fixed 25% of tiles per layer
-        wastes most of the pass. Upper-bounds covered tiles by the summed
-        per-triangle tile spans, with 2x headroom and a small floor."""
+    def _estimate_blend_budgets(self) -> tuple[float, int]:
+        """Size the translucency budgets from the initial camera: the
+        translucent draw list is usually few LARGE triangles covering a
+        small screen fraction (hanging banners, glass), so neither the 25%
+        sparse-shading tile default nor the opaque per-tri pair budget fit
+        its span profile. Returns (shade tile fraction, raster pair budget),
+        both with 2x headroom; overflow reaction covers camera moves."""
         cfg = self.config
         h, w = cfg.render_extent()
         n_tiles = (-(-h // cfg.raster.tile_h)) * (-(-w // cfg.raster.tile_w))
+        eth, etw = _effective_tiles(cfg.raster, self.backend)
         vp = ViewProperties.from_camera(self.scene_host.camera)
 
         @jax.jit
@@ -504,17 +514,22 @@ class FrameRenderer:
             vo = cached_vertex_outputs(scene, view, proj)
             s = triangle_setup(vo.clip, scene["blend_tri_vidx"],
                                scene["n_blend"], w, h, CullMode.NONE)
-            tx0 = s.bbox[:, 0] // cfg.raster.tile_w
-            ty0 = s.bbox[:, 1] // cfg.raster.tile_h
-            tx1 = s.bbox[:, 2] // cfg.raster.tile_w
-            ty1 = s.bbox[:, 3] // cfg.raster.tile_h
-            span = jnp.where(s.valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
-            return span.sum()
 
-        spans = int(blend_spans(self.scene_dev, jnp.asarray(vp.view),
-                                jnp.asarray(vp.proj)))
-        tiles = min(max(2 * spans, 16), n_tiles)
-        return tiles / n_tiles
+            def spans(th, tw):
+                tx0 = s.bbox[:, 0] // tw
+                ty0 = s.bbox[:, 1] // th
+                tx1 = s.bbox[:, 2] // tw
+                ty1 = s.bbox[:, 3] // th
+                return jnp.where(s.valid,
+                                 (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0).sum()
+
+            return spans(cfg.raster.tile_h, cfg.raster.tile_w), spans(eth, etw)
+
+        shade_spans, pair_spans = blend_spans(
+            self.scene_dev, jnp.asarray(vp.view), jnp.asarray(vp.proj))
+        tiles = min(max(2 * int(shade_spans), 16), n_tiles)
+        budget = max(2 * int(pair_spans), 4096)
+        return tiles / n_tiles, budget
 
     def mark_shadows_dirty(self) -> None:
         """Re-render shadow depth next frame (scene or light changed)."""
@@ -559,34 +574,49 @@ class FrameRenderer:
         return uniforms.pack_params(self.params_for_camera(view_props),
                                     self.n_shadows)
 
+    # growth ceiling: the packed pair table is P2 x 512B, so cap the budget
+    # where the pack array reaches ~1 GB rather than letting repeated
+    # doubling OOM the chip
+    _MAX_PAIRS = 2_000_000
+
     def _poll_overflow(self) -> None:
         """Consume ready overflow counters from in-flight frames; on a
-        nonzero count, double the pair budget and re-jit (the "re-jit on
-        observed overflow" reaction — a one-frame hitch instead of
-        silently dropping geometry when the camera enters a dense view).
-        Never blocks on an unfinished frame unless the queue is deep."""
+        nonzero count, double the overflowing budget (opaque pairs_per_tri
+        or the blend pair budget — their span profiles differ wildly) and
+        re-jit: a one-frame hitch instead of silently dropping geometry
+        when the camera enters a dense view. Never blocks on an unfinished
+        frame unless the queue is deep."""
         grew = False
         while self._pending_overflow:
-            a = self._pending_overflow[0]
+            ov, blend_ov = self._pending_overflow[0]
             if (not grew and len(self._pending_overflow) <= 3
-                    and hasattr(a, "is_ready") and not a.is_ready()):
+                    and hasattr(ov, "is_ready") and not ov.is_ready()):
                 break
             self._pending_overflow.pop(0)
-            if grew or int(a) == 0:
+            if grew:
                 continue
-            rc = self.config.raster
-            if rc.pairs_per_tri >= 64:
-                continue   # budget cap; binning_stats() remains the probe
             from ..utils.log import get_logger
-            get_logger().warning(
-                "pair budget overflow (%d dropped pairs): re-tuning "
-                "pairs_per_tri %d -> %d and re-jitting",
-                int(a), rc.pairs_per_tri, rc.pairs_per_tri * 2)
-            self.config = self.config.replace(
-                raster=dataclasses.replace(rc,
-                                           pairs_per_tri=rc.pairs_per_tri * 2))
-            self._rebuild_frame_fn()
-            grew = True
+            cfg = self.config
+            rc = cfg.raster
+            t = int(self.scene_dev["tri_vidx"].shape[0])
+            if (int(ov) > 0 and rc.pairs_per_tri < 64
+                    and rc.pairs_per_tri * t < self._MAX_PAIRS):
+                get_logger().warning(
+                    "pair budget overflow (%d dropped): pairs_per_tri "
+                    "%d -> %d, re-jitting", int(ov), rc.pairs_per_tri,
+                    rc.pairs_per_tri * 2)
+                cfg = cfg.replace(raster=dataclasses.replace(
+                    rc, pairs_per_tri=rc.pairs_per_tri * 2))
+            bb = cfg.blend_pair_budget
+            if int(blend_ov) > 0 and 0 < bb < self._MAX_PAIRS:
+                get_logger().warning(
+                    "blend pair budget overflow (%d dropped): budget "
+                    "%d -> %d, re-jitting", int(blend_ov), bb, bb * 2)
+                cfg = cfg.replace(blend_pair_budget=bb * 2)
+            if cfg is not self.config:
+                self.config = cfg
+                self._rebuild_frame_fn()
+                grew = True
 
     def render(self, view_props: ViewProperties | None = None) -> jnp.ndarray:
         """Returns the device image array (async); np.asarray() to fetch."""
@@ -599,6 +629,7 @@ class FrameRenderer:
         out = self._fn(self.scene_dev, u, self._shadow_maps)
         if self._react_overflow:
             img, stats = out
-            self._pending_overflow.append(stats["pair_overflow"])
+            self._pending_overflow.append(
+                (stats["pair_overflow"], stats["blend_pair_overflow"]))
             return img
         return out

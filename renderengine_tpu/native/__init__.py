@@ -48,6 +48,14 @@ def load_library():
     lib.obj_mtllibs_len.restype = ctypes.c_int64
     lib.obj_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
     lib.obj_free.argtypes = [ctypes.c_void_p]
+    lib.jpeg_parse.restype = ctypes.c_void_p
+    lib.jpeg_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.jpeg_width.argtypes = [ctypes.c_void_p]
+    lib.jpeg_width.restype = ctypes.c_int32
+    lib.jpeg_height.argtypes = [ctypes.c_void_p]
+    lib.jpeg_height.restype = ctypes.c_int32
+    lib.jpeg_fetch_rgba.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.jpeg_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -64,6 +72,25 @@ def unfilter_png(raw: bytes, h: int, stride: int, bpp: int):
     if rc != 0:
         raise ValueError(f"PNG unfilter failed ({rc})")
     return out
+
+
+def decode_jpeg(data: bytes):
+    """Native baseline-JPEG decode; returns uint8 [h, w, 4] RGBA or None
+    if the library is unavailable or the stream is unsupported (e.g.
+    progressive SOF2 — the loader reports those)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    h = lib.jpeg_parse(data, len(data))
+    if not h:
+        return None
+    try:
+        height, width = lib.jpeg_height(h), lib.jpeg_width(h)
+        out = np.empty((height, width, 4), np.uint8)
+        lib.jpeg_fetch_rgba(h, out.ctypes.data_as(ctypes.c_void_p))
+        return out
+    finally:
+        lib.jpeg_free(h)
 
 
 def parse_obj(path: str):

@@ -13,6 +13,7 @@
 //
 // Plain C ABI, consumed via ctypes (no pybind11 in this image).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -215,5 +216,334 @@ extern "C" void obj_fetch(void* h, float* pos, float* nrm, float* uv,
 }
 
 extern "C" void obj_free(void* h) { delete (ObjData*)h; }
+
+}  // extern "C"
+
+// --- baseline JPEG decoder ---------------------------------------------------
+// Sequential-DCT baseline JFIF (SOF0/SOF1), 8-bit, 1 or 3 components, any
+// sampling factors up to 4x4, DRI/RSTn restarts. Plays the role of
+// stb_image's JPEG path (reference TextureCache.cpp:67 loads the skybox
+// .jpgs and any Sponza asset set via stb). Progressive (SOF2) is rejected;
+// the loader reports it so assets can be transcoded.
+//
+// Chroma upsampling is nearest-neighbor; IDCT is exact float separable.
+// Both are within the codec's allowed decoder variance (ITU T.81 annex A).
+
+namespace jpegdec {
+
+struct Huff {
+  uint8_t lens[17] = {0};   // codes per bit length
+  uint8_t vals[256] = {0};
+  int32_t mincode[17], maxcode[18], valptr[17];
+  void build() {
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; ++l) {
+      valptr[l] = k;
+      mincode[l] = code;
+      code += lens[l];
+      k += lens[l];
+      maxcode[l] = code - 1;
+      code <<= 1;
+    }
+    maxcode[17] = 0x7fffffff;
+  }
+};
+
+struct Comp {
+  int id = 0, h = 1, v = 1, tq = 0, td = 0, ta = 0;
+  int dc_pred = 0;
+  int bw = 0, bh = 0;             // plane size in blocks
+  std::vector<uint8_t> plane;     // bw*8 x bh*8 samples
+};
+
+struct Jpeg {
+  int w = 0, h = 0, ncomp = 0;
+  int hmax = 1, vmax = 1, restart_interval = 0;
+  uint16_t qt[4][64] = {{0}};
+  Huff hdc[4], hac[4];
+  Comp comp[3];
+  const uint8_t* data = nullptr;
+  int64_t len = 0, pos = 0;
+  uint32_t bitbuf = 0;
+  int bitcnt = 0;
+  bool marker_pending = false;  // next bytes are a marker: pad, don't consume
+  bool ok = false;
+
+  int byte() { return pos < len ? data[pos++] : -1; }
+
+  void refill() {
+    while (bitcnt <= 24) {
+      int b = 0;
+      if (!marker_pending && pos < len) {
+        b = data[pos++];
+        if (b == 0xFF) {
+          int m = pos < len ? data[pos] : 0xD9;
+          if (m == 0x00) ++pos;  // stuffed byte
+          else { --pos; marker_pending = true; b = 0; }  // leave pos AT 0xFF
+        }
+      }
+      bitbuf |= (uint32_t)b << (24 - bitcnt);
+      bitcnt += 8;
+    }
+  }
+
+  int getbits(int n) {
+    if (n == 0) return 0;
+    refill();
+    int v = (int)(bitbuf >> (32 - n));
+    bitbuf <<= n;
+    bitcnt -= n;
+    return v;
+  }
+
+  int decode_huff(const Huff& t) {
+    refill();
+    int code = 0;
+    for (int l = 1; l <= 16; ++l) {
+      code = (code << 1) | (int)(bitbuf >> 31);
+      bitbuf <<= 1;
+      --bitcnt;
+      if (code <= t.maxcode[l])
+        return t.vals[t.valptr[l] + code - t.mincode[l]];
+    }
+    return -1;
+  }
+
+  static int extend(int v, int s) {
+    return (s && v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
+  }
+
+  bool decode_block(Comp& c, float* out) {
+    int zz[64] = {0};
+    int s = decode_huff(hdc[c.td]);
+    if (s < 0 || s > 11) return false;
+    c.dc_pred += extend(getbits(s), s);
+    zz[0] = c.dc_pred;
+    for (int k = 1; k < 64;) {
+      int rs = decode_huff(hac[c.ta]);
+      if (rs < 0) return false;
+      int r = rs >> 4, sz = rs & 15;
+      if (sz == 0) {
+        if (r == 15) { k += 16; continue; }  // ZRL
+        break;                                // EOB
+      }
+      k += r;
+      if (k > 63) return false;
+      zz[k++] = extend(getbits(sz), sz);
+    }
+    static const uint8_t zig[64] = {
+        0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+    const uint16_t* q = qt[c.tq];
+    for (int k = 0; k < 64; ++k) out[zig[k]] = (float)(zz[k] * q[k]);
+    return true;
+  }
+};
+
+// exact separable float IDCT (precomputed cos basis), then level shift
+static void idct8x8(const float* in, uint8_t* out, int stride) {
+  static float cs[8][8];
+  static bool init = false;
+  if (!init) {
+    for (int x = 0; x < 8; ++x)
+      for (int u = 0; u < 8; ++u)
+        cs[x][u] = (u == 0 ? 0.353553390593f : 0.5f) *
+                   cosf((2 * x + 1) * u * 3.14159265358979f / 16.0f);
+    init = true;
+  }
+  float tmp[64];
+  for (int y = 0; y < 8; ++y)       // rows: sum over u
+    for (int x = 0; x < 8; ++x) {
+      float s = 0;
+      for (int u = 0; u < 8; ++u) s += cs[x][u] * in[y * 8 + u];
+      tmp[y * 8 + x] = s;
+    }
+  for (int x = 0; x < 8; ++x)       // cols: sum over v
+    for (int y = 0; y < 8; ++y) {
+      float s = 0;
+      for (int v = 0; v < 8; ++v) s += cs[y][v] * tmp[v * 8 + x];
+      int p = (int)lrintf(s) + 128;
+      out[y * stride + x] = (uint8_t)(p < 0 ? 0 : p > 255 ? 255 : p);
+    }
+}
+
+static bool parse(Jpeg& J) {
+  if (J.len < 4 || J.data[0] != 0xFF || J.data[1] != 0xD8) return false;
+  J.pos = 2;
+  bool have_sof = false;
+  while (J.pos + 3 < J.len) {
+    if (J.data[J.pos] != 0xFF) return false;
+    int m = J.data[J.pos + 1];
+    J.pos += 2;
+    if (m == 0xD9) break;                      // EOI
+    if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) continue;
+    int seg = (J.data[J.pos] << 8) | J.data[J.pos + 1];
+    int64_t next = J.pos + seg;
+    J.pos += 2;
+    if (m == 0xDB) {                           // DQT
+      while (J.pos < next) {
+        int pq_tq = J.byte();
+        int tq = pq_tq & 15, pq = pq_tq >> 4;
+        if (tq > 3) return false;
+        for (int k = 0; k < 64; ++k)
+          J.qt[tq][k] = pq ? (uint16_t)((J.byte() << 8) | J.byte())
+                           : (uint16_t)J.byte();
+      }
+    } else if (m == 0xC4) {                    // DHT
+      while (J.pos < next) {
+        int tc_th = J.byte();
+        Huff& t = (tc_th >> 4) ? J.hac[tc_th & 3] : J.hdc[tc_th & 3];
+        int total = 0;
+        for (int l = 1; l <= 16; ++l) total += (t.lens[l] = (uint8_t)J.byte());
+        if (total > 256) return false;
+        for (int k = 0; k < total; ++k) t.vals[k] = (uint8_t)J.byte();
+        t.build();
+      }
+    } else if (m == 0xC0 || m == 0xC1) {       // SOF0/1 baseline
+      J.byte();  // precision (8)
+      J.h = (J.byte() << 8) | J.byte();
+      J.w = (J.byte() << 8) | J.byte();
+      J.ncomp = J.byte();
+      if (J.ncomp != 1 && J.ncomp != 3) return false;
+      for (int i = 0; i < J.ncomp; ++i) {
+        Comp& c = J.comp[i];
+        c.id = J.byte();
+        int hv = J.byte();
+        c.h = hv >> 4; c.v = hv & 15;
+        c.tq = J.byte();
+        if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4) return false;
+        if (c.h > J.hmax) J.hmax = c.h;
+        if (c.v > J.vmax) J.vmax = c.v;
+      }
+      have_sof = true;
+    } else if (m == 0xC2) {                    // progressive: unsupported
+      return false;
+    } else if (m == 0xDD) {                    // DRI
+      J.restart_interval = (J.data[J.pos] << 8) | J.data[J.pos + 1];
+    } else if (m == 0xDA) {                    // SOS -> entropy data
+      if (!have_sof) return false;
+      int ns = J.byte();
+      if (ns != J.ncomp) return false;
+      for (int i = 0; i < ns; ++i) {
+        int id = J.byte(), tt = J.byte();
+        for (int k = 0; k < J.ncomp; ++k)
+          if (J.comp[k].id == id) {
+            J.comp[k].td = tt >> 4;
+            J.comp[k].ta = tt & 15;
+          }
+      }
+      J.byte(); J.byte(); J.byte();  // Ss/Se/Ah-Al (baseline: 0,63,0)
+
+      int mcux = (J.w + 8 * J.hmax - 1) / (8 * J.hmax);
+      int mcuy = (J.h + 8 * J.vmax - 1) / (8 * J.vmax);
+      for (int i = 0; i < J.ncomp; ++i) {
+        Comp& c = J.comp[i];
+        c.bw = mcux * c.h;
+        c.bh = mcuy * c.v;
+        c.plane.assign((size_t)c.bw * 8 * c.bh * 8, 0);
+      }
+      int todo = J.restart_interval ? J.restart_interval : 0x7fffffff;
+      float blk[64];
+      for (int my = 0; my < mcuy; ++my)
+        for (int mx = 0; mx < mcux; ++mx) {
+          if (todo == 0) {  // align to byte, expect RSTn
+            J.bitbuf = 0; J.bitcnt = 0; J.marker_pending = false;
+            while (J.pos + 1 < J.len &&
+                   !(J.data[J.pos] == 0xFF && J.data[J.pos + 1] >= 0xD0 &&
+                     J.data[J.pos + 1] <= 0xD7))
+              ++J.pos;
+            if (J.pos + 1 < J.len) J.pos += 2;
+            for (int i = 0; i < J.ncomp; ++i) J.comp[i].dc_pred = 0;
+            todo = J.restart_interval;
+          }
+          for (int i = 0; i < J.ncomp; ++i) {
+            Comp& c = J.comp[i];
+            for (int by = 0; by < c.v; ++by)
+              for (int bx = 0; bx < c.h; ++bx) {
+                if (!J.decode_block(c, blk)) return false;
+                int px = (mx * c.h + bx) * 8, py = (my * c.v + by) * 8;
+                idct8x8(blk, c.plane.data() + (size_t)py * c.bw * 8 + px,
+                        c.bw * 8);
+              }
+          }
+          --todo;
+        }
+      J.ok = true;
+      return true;
+    }
+    J.pos = next;
+  }
+  return false;
+}
+
+}  // namespace jpegdec
+
+extern "C" {
+
+void* jpeg_parse(const uint8_t* data, int64_t len) {
+  auto* J = new jpegdec::Jpeg();
+  J->data = data;
+  J->len = len;
+  if (!jpegdec::parse(*J)) { delete J; return nullptr; }
+  return J;
+}
+
+int32_t jpeg_width(void* h) { return ((jpegdec::Jpeg*)h)->w; }
+int32_t jpeg_height(void* h) { return ((jpegdec::Jpeg*)h)->h; }
+
+// out: w*h*4 RGBA8 (alpha 255); JFIF YCbCr -> RGB. Subsampled chroma is
+// upsampled with a centered triangle (bilinear) filter — the same weights
+// as libjpeg's "fancy" 2x upsampling, generalized to any factor.
+void jpeg_fetch_rgba(void* hnd, uint8_t* out) {
+  auto& J = *(jpegdec::Jpeg*)hnd;
+  for (int y = 0; y < J.h; ++y)
+    for (int x = 0; x < J.w; ++x) {
+      uint8_t* px = out + ((size_t)y * J.w + x) * 4;
+      if (J.ncomp == 1) {
+        const jpegdec::Comp& c = J.comp[0];
+        uint8_t g = c.plane[(size_t)y * c.bw * 8 + x];
+        px[0] = px[1] = px[2] = g;
+      } else {
+        float ycc[3];
+        for (int i = 0; i < 3; ++i) {
+          const jpegdec::Comp& c = J.comp[i];
+          int stride = c.bw * 8;
+          if (c.h == J.hmax && c.v == J.vmax) {
+            ycc[i] = (float)c.plane[(size_t)y * stride + x];
+            continue;
+          }
+          int cw = (J.w * c.h + J.hmax - 1) / J.hmax;   // valid chroma extent
+          int ch = (J.h * c.v + J.vmax - 1) / J.vmax;
+          float fx = (x + 0.5f) * c.h / J.hmax - 0.5f;
+          float fy = (y + 0.5f) * c.v / J.vmax - 0.5f;
+          int x0 = (int)floorf(fx), y0 = (int)floorf(fy);
+          float ax = fx - x0, ay = fy - y0;
+          int x1 = x0 + 1, y1 = y0 + 1;
+          x0 = x0 < 0 ? 0 : x0 >= cw ? cw - 1 : x0;
+          x1 = x1 < 0 ? 0 : x1 >= cw ? cw - 1 : x1;
+          y0 = y0 < 0 ? 0 : y0 >= ch ? ch - 1 : y0;
+          y1 = y1 < 0 ? 0 : y1 >= ch ? ch - 1 : y1;
+          const uint8_t* pl = c.plane.data();
+          float t = pl[(size_t)y0 * stride + x0] * (1 - ax) +
+                    pl[(size_t)y0 * stride + x1] * ax;
+          float b = pl[(size_t)y1 * stride + x0] * (1 - ax) +
+                    pl[(size_t)y1 * stride + x1] * ax;
+          ycc[i] = t * (1 - ay) + b * ay;
+        }
+        float Y = ycc[0], cb = ycc[1] - 128.0f, cr = ycc[2] - 128.0f;
+        float r = Y + 1.402f * cr;
+        float g = Y - 0.344136f * cb - 0.714136f * cr;
+        float b = Y + 1.772f * cb;
+        px[0] = (uint8_t)(r < 0 ? 0 : r > 255 ? 255 : (int)lrintf(r));
+        px[1] = (uint8_t)(g < 0 ? 0 : g > 255 ? 255 : (int)lrintf(g));
+        px[2] = (uint8_t)(b < 0 ? 0 : b > 255 ? 255 : (int)lrintf(b));
+      }
+      px[3] = 255;
+    }
+}
+
+void jpeg_free(void* h) { delete (jpegdec::Jpeg*)h; }
 
 }  // extern "C"

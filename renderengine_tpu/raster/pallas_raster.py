@@ -80,11 +80,11 @@ def attribute_planes(setup: TriSetup, vo, tri_vidx) -> jnp.ndarray:
 
 def _raster_kernel(
     # scalar prefetch
-    starts_ref, counts_ref, y0_ref,
+    starts_ref, counts_ref, phase_ref, y0_ref,
     # inputs (HBM + optional VMEM bounds block)
     pair_data_hbm, *rest,
     tile_h: int, tile_w: int, width: int, full_height: int, ntx: int,
-    chunk: int, peel: bool, interp: bool,
+    n_tiles: int, chunk: int, peel: bool, interp: bool,
 ):
     rest = list(rest)
     bounds_ref = rest.pop(0) if peel else None
@@ -101,6 +101,12 @@ def _raster_kernel(
     span_end = start + count
     n_steps = jnp.where(count > 0,
                         (span_end - base0 + chunk - 1) // chunk, 0)
+    # cross-program software pipelining: tile p's first chunk is DMA'd by
+    # tile p-1 (most tiles are single-chunk, so the copy flies while p-1
+    # computes — without this every program eats the full HBM latency).
+    # phase_ref[p] = parity of the global chunk counter at p's first chunk,
+    # precomputed host-side so both sides agree on the slot.
+    phase = phase_ref[tile]
 
     org_x = (tile % ntx) * tile_w
     org_y = (tile // ntx) * tile_h + y0_ref[0]
@@ -121,19 +127,38 @@ def _raster_kernel(
             pair_data_hbm.at[pl.ds(off, chunk), :],
             data_buf.at[slot], sems.at[slot])
 
-    @pl.when(n_steps > 0)
+    nxt = jnp.minimum(tile + 1, n_tiles - 1)
+    nxt_start = starts_ref[nxt]
+    nxt_count = counts_ref[nxt]
+    nxt_phase = phase_ref[nxt]
+    nxt_base0 = (nxt_start // GROUP) * GROUP
+
+    def prefetch_next():
+        @pl.when((tile + 1 < n_tiles) & (nxt_count > 0))
+        def _():
+            pltpu.make_async_copy(
+                pair_data_hbm.at[pl.ds(nxt_base0, chunk), :],
+                data_buf.at[nxt_phase], sems.at[nxt_phase]).start()
+
+    @pl.when((tile == 0) & (n_steps > 0))
     def _():
-        dma(0, 0).start()
+        dma(phase, 0).start()                 # bootstrap: no predecessor
+
+    # single-chunk (or empty) tiles: the other slot is free the whole
+    # program, so the successor's copy can launch before our own wait
+    @pl.when(n_steps <= 1)
+    def _():
+        prefetch_next()
 
     n_attr_carry = N_ATTRS if interp else 0
     shape = (GROUP, tile_h * tile_w)
 
     def chunk_body(step, carry):
-        slot = step % 2
+        slot = (phase + step) % 2
 
         @pl.when(step + 1 < n_steps)
         def _():
-            dma((step + 1) % 2, step + 1).start()
+            dma((phase + step + 1) % 2, step + 1).start()
 
         dma(slot, step).wait()
 
@@ -187,6 +212,10 @@ def _raster_kernel(
     z0 = jnp.zeros(shape, jnp.float32)
     init = (dmin0, idmin0, z0, z0) + tuple(z0 for _ in range(n_attr_carry))
     out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
+
+    @pl.when(n_steps > 1)
+    def _():
+        prefetch_next()                       # both slots idle again
 
     # fold the 8 per-sublane candidates: min depth, then lowest pair index
     # among equal depths (exact f32 equality — same rounded values)
@@ -333,9 +362,15 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     kernel = functools.partial(
         _raster_kernel,
         tile_h=tile_h, tile_w=tile_w,
-        width=width, full_height=fh, ntx=ntx, chunk=chunk,
+        width=width, full_height=fh, ntx=ntx, n_tiles=n_tiles, chunk=chunk,
         peel=peel, interp=interp,
     )
+    # per-tile DMA slot parity for the cross-program pipeline (see kernel)
+    base0 = (bins.starts // GROUP) * GROUP
+    steps = jnp.where(bins.counts > 0,
+                      (bins.starts + bins.counts - base0 + chunk - 1) // chunk,
+                      0)
+    phase = ((jnp.cumsum(steps) - steps) % 2).astype(jnp.int32)
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if peel:
         in_specs.append(pl.BlockSpec((1, 2, npx),
@@ -361,7 +396,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         out_shape.append(jax.ShapeDtypeStruct((n_tiles, N_ATTRS, npx),
                                               jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -371,7 +406,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         ],
     )
     y0_arr = jnp.asarray(y0, jnp.int32).reshape(1)
-    args = [bins.starts, bins.counts, y0_arr, pair_data]
+    args = [bins.starts, bins.counts, phase, y0_arr, pair_data]
     if peel:
         args.append(_tile_bounds(peel_bounds, height, width, tile_h, tile_w,
                                  nty, ntx))

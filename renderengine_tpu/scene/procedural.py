@@ -193,24 +193,28 @@ def sponza_scene(width=1920, height=1080, seed=0,
         else:
             img = noise_texture(128, rng, base=tuple(rng.integers(60, 200, 3)))
         handles.append(sc.textures.add_texture(img, key=f"proc{t}"))
-    mats = []
+    # two pools: structure (columns/walls/spheres) is opaque; the hanging
+    # banners get dedicated BLEND materials (the reference's translucent
+    # set is likewise a small curated subset, RenderScene.cpp:127-159)
+    mats, blend_mats = [], []
     for t in range(n_textures):
-        alpha = AlphaMode.BLEND if t % 29 == 7 else AlphaMode.OPAQUE
-        base_alpha = 0.45 if alpha == AlphaMode.BLEND else 1.0
-        mats.append(
-            sc.materials.create_material_instance(
-                MaterialInstanceInfo(
-                    MaterialProperties(
-                        base_color=np.array([1, 1, 1, base_alpha], np.float32),
-                        perceptual_roughness=float(rng.uniform(0.2, 0.95)),
-                        metallic=float(rng.uniform(0, 0.4)),
-                        f0=0.04,
-                        base_color_texture=handles[t],
-                    ),
-                    alpha_mode=alpha,
-                )
+        is_blend = t % 29 == 7
+        mat = sc.materials.create_material_instance(
+            MaterialInstanceInfo(
+                MaterialProperties(
+                    base_color=np.array([1, 1, 1, 0.45 if is_blend else 1.0],
+                                        np.float32),
+                    perceptual_roughness=float(rng.uniform(0.2, 0.95)),
+                    metallic=float(rng.uniform(0, 0.4)),
+                    f0=0.04,
+                    base_color_texture=handles[t],
+                ),
+                alpha_mode=AlphaMode.BLEND if is_blend else AlphaMode.OPAQUE,
             )
         )
+        (blend_mats if is_blend else mats).append(mat)
+    if not blend_mats:
+        blend_mats = mats[:1]
 
     box = make_box(0.5)
     sphere_hi = make_uv_sphere(0.5, stacks=24, slices=48)   # 2304 tris
@@ -253,11 +257,12 @@ def sponza_scene(width=1920, height=1080, seed=0,
                     break
             if tri_budget >= target_tris:
                 break
-        # banners (translucent) hanging across the nave, facing the camera
-        for k, x in enumerate(np.linspace(-15, 15, 8)):
-            m = mats[(29 * k + 7) % len(mats)]
-            add(plane, math3d.translate([x, 3.0, 0]) @ math3d.rotate(np.pi / 2, [0, 0, 1]) @ math3d.scale([2.0, 1, 3.0]),
-                m, [[-0.5, -0.05, -0.5], [0.5, 0.05, 0.5]])
+    # banners (translucent) hanging across the nave, facing the camera —
+    # added ONCE (inside the fill loop they'd stack coplanar duplicates)
+    for k, x in enumerate(np.linspace(-15, 15, 8)):
+        m = blend_mats[k % len(blend_mats)]
+        add(plane, math3d.translate([x, 3.0, 0]) @ math3d.rotate(np.pi / 2, [0, 0, 1]) @ math3d.scale([2.0, 1, 3.0]),
+            m, [[-0.5, -0.05, -0.5], [0.5, 0.05, 0.5]])
 
     lid = sc.lights.add_light(
         Light(type=LightType.DIRECTIONAL, color=np.ones(3, np.float32),

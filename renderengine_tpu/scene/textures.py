@@ -22,6 +22,7 @@ import numpy as np
 from ..core.asset_path import AssetPath
 from ..core.hashing import fnv_hash_str
 from ..utils import png
+from ..utils.image import read_image
 
 
 def _next_pot(x: int) -> int:
@@ -119,7 +120,7 @@ class TextureCache:
         return handle
 
     def load_texture(self, path: AssetPath | str, mips: bool = True) -> int:
-        """Load an image file (PNG; .npy accepted for tests). Returns the
+        """Load an image file (PNG / baseline JPEG / .npy). Returns the
         handle, deduped by path (``TextureCache.cpp:50-106``)."""
         p = AssetPath(str(path)) if not isinstance(path, AssetPath) else path
         disk = p.get_path_on_disk()
@@ -127,10 +128,7 @@ class TextureCache:
         k = fnv_hash_str(key)
         if k in self._by_key:
             return self._by_key[k]
-        if str(disk).endswith(".npy"):
-            img = np.load(disk)
-        else:
-            img = png.read_png(str(disk))
+        img = read_image(str(disk))
         return self.add_texture(img, key=key, mips=mips)
 
     def load_cubemap_faces(self, face_paths: list) -> None:
@@ -141,7 +139,7 @@ class TextureCache:
         for fp in face_paths:
             try:
                 p = AssetPath(str(fp)) if not isinstance(fp, AssetPath) else fp
-                img = to_rgba8(png.read_png(str(p.get_path_on_disk())))
+                img = to_rgba8(read_image(str(p.get_path_on_disk())))
                 if size is None:
                     size = img.shape[0]
                 img = resize_bilinear(img, size, size)

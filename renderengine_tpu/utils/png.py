@@ -16,8 +16,8 @@ import numpy as np
 _MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """Write uint8 [H,W], [H,W,3] or [H,W,4]."""
+def encode_png(image: np.ndarray) -> bytes:
+    """Encode uint8 [H,W], [H,W,3] or [H,W,4] to PNG bytes."""
     img = np.asarray(image)
     assert img.dtype == np.uint8, "write_png expects uint8"
     if img.ndim == 2:
@@ -36,8 +36,13 @@ def write_png(path: str, image: np.ndarray) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return _MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", data) + chunk(b"IEND", b"")
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write uint8 [H,W], [H,W,3] or [H,W,4] to ``path``."""
     with open(path, "wb") as f:
-        f.write(_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", data) + chunk(b"IEND", b""))
+        f.write(encode_png(image))
 
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
