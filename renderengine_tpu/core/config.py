@@ -61,6 +61,7 @@ class RasterConfig:
     pairs_per_tri: int = 4   # pair-table budget multiplier (overflow is counted)
     auto_tune_pairs: bool = True  # size the budget from the initial camera (2x headroom)
     use_pallas: bool = True  # Pallas kernel vs pure-jnp tile loop
+    pallas_interpret: bool = False  # run the kernel in interpret mode (CPU tests of the production path)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -70,6 +70,7 @@ def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
                                max_pairs=max_pairs,
                                tri_offset=tri_offset, y0=y0,
                                full_height=full_height,
+                               interpret=rc.pallas_interpret,
                                peel_bounds=peel_bounds,
                                attr_planes=attr_planes, tri_mat=tri_mat,
                                prepared=prepared)
@@ -224,12 +225,31 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     ``return_stats`` also a dict with ``pair_overflow`` (i32 scalar: binned
     pairs that did not fit the static budget this frame — nonzero means
     dropped triangles; FrameRenderer reacts by re-tuning + re-jitting)."""
-    h, w = config.render_extent()
     params = unpack_params(uniform, n_shadows)
+    vo = cached_vertex_outputs(scene, params["view"], params["proj"])
+    out = _frame_core(scene, params, vo, shadow_maps, config, n_shadows,
+                      backend, has_translucent, slots_used, return_stats)
+    return out if return_stats else out[0]
+
+
+def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
+                n_shadows: int, backend: str,
+                has_translucent: bool, slots_used,
+                return_stats: bool = False,
+                y0=0, slice_h: int | None = None):
+    """Slice-aware frame body shared by the single-chip path (y0=0,
+    slice_h=H) and the multi-chip image-row-sharded path
+    (``parallel.sharded``: y0 = device row offset, traced under
+    shard_map). Returns (img [slice_h,W,4] u8, stats dict) — one code
+    path, so multi-chip has the full single-chip feature set by
+    construction."""
+    from ..raster.setup import restrict_rows
+
+    fh, w = config.render_extent()
+    slice_h = fh if slice_h is None else slice_h
+    is_full = slice_h == fh
     overflow = jnp.zeros((), jnp.int32)
     blend_overflow = jnp.zeros((), jnp.int32)
-
-    vo = cached_vertex_outputs(scene, params["view"], params["proj"])
 
     shadow_tf = None
     if config.shadows and n_shadows > 0:
@@ -251,27 +271,29 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     # opaque base pass
     from ..raster.pallas_raster import attribute_planes
 
-    setup = triangle_setup(vo.clip, scene["tri_vidx"], scene["n_opaque"], w, h,
-                           config.cull_mode)
+    setup = triangle_setup(vo.clip, scene["tri_vidx"], scene["n_opaque"], w,
+                           fh, config.cull_mode)
+    setup_s = setup if is_full else restrict_rows(setup, y0, slice_h, fh)
     ap = (attribute_planes(setup, vo, scene["tri_vidx"])
           if backend == "pallas" else None)
     prep = None
     if backend == "pallas":
         from ..raster.pallas_raster import prepare_pallas_pairs
         prep = prepare_pallas_pairs(
-            setup, h, w,
+            setup_s, slice_h, w,
             max_pairs=_pair_budget(setup.coef.shape[0],
                                    config.raster.pairs_per_tri),
             attr_planes=ap, tri_mat=scene["tri_material"])
         overflow = overflow + prep.bins.n_overflow
     elif return_stats and backend == "tiled":
         from ..raster.binning import bin_triangles
-        b = bin_triangles(setup, h, w, config.raster.tile_h,
+        b = bin_triangles(setup_s, slice_h, w, config.raster.tile_h,
                           config.raster.tile_w,
                           _pair_budget(setup.coef.shape[0],
                                        config.raster.pairs_per_tri))
         overflow = overflow + b.n_overflow
-    g, attrs = rasterize(setup, h, w, config.raster, backend, attr_planes=ap,
+    g, attrs = rasterize(setup_s, slice_h, w, config.raster, backend,
+                         attr_planes=ap, y0=y0, full_height=fh,
                          tri_mat=scene["tri_material"], prepared=prep)
 
     if attrs is not None:
@@ -283,7 +305,8 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
                 "uv": attrs[..., 6:8], "mat_id": mat_id,
                 "covered": g.tri_id >= 0}
     else:
-        frag = resolve_attributes(scene, vo, setup.coef, g, h, w)
+        frag = resolve_attributes(scene, vo, setup.coef, g, slice_h, w,
+                                  y0=y0, full_height=fh)
     rgba = shade(scene, frag["pos"], frag["uv"], frag["normal"],
                  frag["mat_id"], view_args, shadow_maps, shadow_tf)
 
@@ -292,7 +315,8 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     # (skybox.frag:30), so its stored (sRGB-encoded) values pass through as
     # if linear and get re-encoded by the swapchain.
     if config.skybox:
-        sky = skybox.render_skybox(scene["cubemap"], params["inv_vp_rot"], h, w)
+        sky = skybox.render_skybox(scene["cubemap"], params["inv_vp_rot"],
+                                   slice_h, w, y0=y0, full_height=fh)
         rgb = jnp.where(frag["covered"][..., None], rgba[..., :3], sky[..., :3])
     else:
         rgb = jnp.where(frag["covered"][..., None], rgba[..., :3], 0.0)
@@ -304,7 +328,9 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     if config.translucency and has_translucent:
         # dedicated (small) blend draw list: the peels bin/raster only it
         setup_t = triangle_setup(vo.clip, scene["blend_tri_vidx"],
-                                 scene["n_blend"], w, h, CullMode.NONE)
+                                 scene["n_blend"], w, fh, CullMode.NONE)
+        setup_ts = (setup_t if is_full
+                    else restrict_rows(setup_t, y0, slice_h, fh))
         ap_t = (attribute_planes(setup_t, vo, scene["blend_tri_vidx"])
                 if backend == "pallas" else None)
         blend_budget = (config.blend_pair_budget
@@ -315,17 +341,18 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
             # bin + pack ONCE: every peel rasters the same blend geometry
             from ..raster.pallas_raster import prepare_pallas_pairs
             prep_t = prepare_pallas_pairs(
-                setup_t, h, w, max_pairs=blend_budget,
+                setup_ts, slice_h, w, max_pairs=blend_budget,
                 attr_planes=ap_t, tri_mat=scene["blend_tri_material"])
             blend_overflow = prep_t.bins.n_overflow
         elif return_stats and backend == "tiled":
             from ..raster.binning import bin_triangles
-            bt = bin_triangles(setup_t, h, w, config.raster.tile_h,
+            bt = bin_triangles(setup_ts, slice_h, w, config.raster.tile_h,
                                config.raster.tile_w, blend_budget)
             blend_overflow = bt.n_overflow
-        prev = jnp.full((h, w), -1.0, jnp.float32)
+        prev = jnp.full((slice_h, w), -1.0, jnp.float32)
         layers = []
-        n_tiles = (-(-h // config.raster.tile_h)) * (-(-w // config.raster.tile_w))
+        n_tiles = ((-(-slice_h // config.raster.tile_h))
+                   * (-(-w // config.raster.tile_w)))
         budget = max(1, int(n_tiles * config.translucency_tile_fraction))
 
         def resolve_and_shade(fr):
@@ -348,9 +375,10 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
                          fsub["mat_id"], view_args, shadow_maps, shadow_tf)
 
         for _ in range(config.translucency_layers):
-            gt, attrs_t = rasterize(setup_t, h, w, config.raster, backend,
-                                    peel_bounds=(prev, g.depth),
+            gt, attrs_t = rasterize(setup_ts, slice_h, w, config.raster,
+                                    backend, peel_bounds=(prev, g.depth),
                                     attr_planes=ap_t, prepared=prep_t,
+                                    y0=y0, full_height=fh,
                                     max_pairs=blend_budget)
             covered_t = gt.tri_id >= 0
             sp_in = {"covered": covered_t, "tri_id": gt.tri_id}
@@ -361,11 +389,12 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
             elif gt.bary is not None:
                 sp_in["bary"] = gt.bary
             else:  # non-pallas backends: recompute bary densely
-                bary_t, _ = rref.barycentrics_at(setup_t.coef, gt.tri_id, h, w)
+                bary_t, _ = rref.barycentrics_at(setup_t.coef, gt.tri_id,
+                                                 slice_h, w, y0, fh)
                 sp_in["bary"] = bary_t[..., :2]
             rgba_t = shade_sparse(
                 resolve_and_shade, sp_in,
-                h, w, config.raster.tile_h, config.raster.tile_w,
+                slice_h, w, config.raster.tile_h, config.raster.tile_w,
                 max_tiles=budget)
             layers.append((covered_t, rgba_t))
             prev = jnp.where(covered_t, gt.depth, 2.0)
@@ -377,10 +406,13 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     # Grid, SURVEY 2.3; blended + depth-tested against the opaque z-buffer)
     if config.grid:
         rgb = grid_mod.render_grid(params["inv_vp"], params["view"],
-                                   params["proj"], g.depth, rgb)
+                                   params["proj"], g.depth, rgb,
+                                   y0=y0, full_height=fh)
 
-    # shadow-map preview overlay (TexturedQuad grayscale mode)
-    if config.show_shadow_quad and shadow_maps is not None:
+    # shadow-map preview overlay (TexturedQuad grayscale mode; anchored to
+    # a screen corner, so full-frame only — the sharded path composites it
+    # host-side if ever needed)
+    if config.show_shadow_quad and shadow_maps is not None and is_full:
         # packed u16 4x4 stride-2 windows: even texel (2a-2, 2b-2) lives at
         # window (a, b) slot (0, 0); a half-res preview is plenty
         draw_src = shadow_maps[0, 1:, 1:, 0].astype(jnp.float32) / 65535.0
@@ -388,13 +420,12 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
 
     if config.ssaa > 1:
         f = config.ssaa
-        rgb = rgb.reshape(config.height, f, config.width, f, 3).mean(axis=(1, 3))
+        assert slice_h % f == 0, "slice height must divide the SSAA factor"
+        rgb = rgb.reshape(slice_h // f, f, config.width, f, 3).mean(axis=(1, 3))
 
     img = encode_srgb8(rgb)
-    if return_stats:
-        return img, {"pair_overflow": overflow,
-                     "blend_pair_overflow": blend_overflow}
-    return img
+    return img, {"pair_overflow": overflow,
+                 "blend_pair_overflow": blend_overflow}
 
 
 class FrameRenderer:

@@ -9,10 +9,13 @@ collectives over ICI:
   classic TP-style "compute sharded, gather activations" pattern.
 - **Base pass**: image-space parallelism (the renderer's sequence/context
   axis): each chip rasters + shades its horizontal band of the
-  framebuffer; the output is row-sharded, no merge collective needed.
+  framebuffer through ``graph.frame._frame_core`` — the SAME body as the
+  single-chip path, so translucency, grid, SSAA, Phong, debug views and
+  the pallas kernel's row slicing all work sharded by construction.
 - **Shadow pass**: geometry-parallel — each chip rasters T/D triangles
   into a full-extent depth map, merged with ``pmin`` (depth min-reduce,
-  the z-buffer's natural collective).
+  the z-buffer's natural collective); cached across frames behind the
+  reference's dirty-flag semantics (``RenderScene.cpp:170-181``).
 
 All collective traffic is O(V + shadow_extent^2) per frame and rides ICI.
 """
@@ -25,16 +28,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
+
 try:
-    from jax import shard_map  # jax >= 0.8
+    from jax import shard_map as _shard_map_impl  # jax >= 0.8
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map_impl
+
+
+def shard_map(f, *, mesh, in_specs, out_specs):
+    """shard_map with the replication checker off across jax versions
+    (the checker can't prove pmin-produced outputs replicated)."""
+    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+        try:
+            return _shard_map_impl(f, mesh=mesh, in_specs=in_specs,
+                                   out_specs=out_specs, **kw)
+        except TypeError:
+            continue
+    raise TypeError("no compatible shard_map signature")
 
 from ..core.config import CullMode, RenderConfig
 from ..graph import frame as fgraph
-from ..raster.setup import triangle_setup, vertex_transform, restrict_rows
-from ..shading import pbr, skybox
-from ..shading.srgb import encode_srgb8
+from ..raster.setup import triangle_setup, vertex_transform, VertexOutputs
+from ..shading import shadow as shadow_mod
+from ..shading import skybox
 
 AXIS = "image"
 
@@ -66,133 +82,165 @@ def pad_scene_for_mesh(scene_dev: dict, n_devices: int) -> dict:
     return scene_dev
 
 
-def render_frame_sharded(scene, params, config: RenderConfig, n_shadows: int,
-                         mesh: Mesh, backend: str = "tiled") -> jnp.ndarray:
-    """Full multi-chip frame. scene/params as in graph.frame.render_frame.
-    Returns [H,W,4] uint8 sharded row-wise over the mesh."""
-    h, w = config.render_extent()
-    d = mesh.shape[AXIS]
-    assert h % d == 0, f"height {h} must divide over {d} devices"
-    hs = h // d
+def _scene_specs(scene) -> dict:
+    vert = {k: P(AXIS) for k in ("positions", "normals", "uvs", "vert_node",
+                                 "world_pos", "world_normal")}
+    return {k: vert.get(k, P()) for k in scene}
 
+
+def _gathered_vo(scene_l, params_l) -> tuple[VertexOutputs, dict]:
+    """Vertex stage on the local shard + all_gather: returns full-scene
+    VertexOutputs and a scene dict whose vertex-indexed arrays are full
+    (for the resolve fallback paths)."""
+    vo_l = vertex_transform(scene_l, params_l["view"], params_l["proj"])
+    vo = VertexOutputs(
+        world_pos=jax.lax.all_gather(vo_l.world_pos, AXIS, tiled=True),
+        world_normal=jax.lax.all_gather(vo_l.world_normal, AXIS, tiled=True),
+        uv=jax.lax.all_gather(vo_l.uv, AXIS, tiled=True),
+        clip=jax.lax.all_gather(vo_l.clip, AXIS, tiled=True),
+    )
+    scene_full = dict(scene_l)
+    scene_full["uvs"] = vo.uv
+    return vo, scene_full
+
+
+def render_shadow_pass_sharded(scene, params, config: RenderConfig,
+                               n_shadows: int, mesh: Mesh,
+                               backend: str = "tiled") -> jnp.ndarray:
+    """Geometry-parallel shadow depth pass + pmin merge + PCF block pack.
+    Returns packed blocks replicated on every device; cache across frames
+    like the single-chip dirty flag."""
+    d = mesh.shape[AXIS]
     n_tris_static = scene["tri_vidx"].shape[0]
     assert n_tris_static % d == 0, "padded triangle count must divide the mesh"
     ts = n_tris_static // d
 
-    vert_specs = {k: P(AXIS) for k in ("positions", "normals", "uvs", "vert_node",
-                                       "world_pos", "world_normal")}
-    scene_specs = {k: vert_specs.get(k, P()) for k in scene}
-
     def per_device(scene_l, params_l):
         idx = jax.lax.axis_index(AXIS)
+        world_pos = jax.lax.all_gather(
+            vertex_transform(scene_l, params_l["view"],
+                             params_l["proj"]).world_pos, AXIS, tiled=True)
+        world_h = jnp.concatenate([world_pos,
+                                   jnp.ones_like(world_pos[:, :1])], -1)
+        tri_slice = jax.lax.dynamic_slice_in_dim(scene_l["tri_vidx"],
+                                                 idx * ts, ts, 0)
+        n_local = jnp.clip(scene_l["n_tris"] - idx * ts, 0, ts)
+        maps = []
+        for si in range(n_shadows):
+            m = params_l["shadow_viewproj"][si]
+            clip_s = (m[None, :, :] * world_h[:, None, :]).sum(-1)
+            s = triangle_setup(clip_s, tri_slice, n_local,
+                               config.shadow_extent, config.shadow_extent,
+                               CullMode.FRONT)
+            g, _ = fgraph.rasterize(s, config.shadow_extent,
+                                    config.shadow_extent, config.raster,
+                                    backend)
+            maps.append(g.depth)
+        return shadow_mod.pack_shadow_blocks(
+            jax.lax.pmin(jnp.stack(maps), AXIS))
 
-        # --- vertex stage: sharded over V, gathered over ICI ---
-        vo_l = vertex_transform(scene_l, params_l["view"], params_l["proj"])
-        world_pos = jax.lax.all_gather(vo_l.world_pos, AXIS, tiled=True)
-        world_nrm = jax.lax.all_gather(vo_l.world_normal, AXIS, tiled=True)
-        uv = jax.lax.all_gather(vo_l.uv, AXIS, tiled=True)
-        clip = jax.lax.all_gather(vo_l.clip, AXIS, tiled=True)
-
-        scene_full = dict(scene_l)
-        scene_full["uvs"] = uv
-
-        # --- shadow pass: geometry-parallel + pmin merge ---
-        shadow_maps = None
-        shadow_tf = None
-        if config.shadows and n_shadows > 0:
-            world_h = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], -1)
-            tri_slice = jax.lax.dynamic_slice_in_dim(scene_l["tri_vidx"], idx * ts, ts, 0)
-            maps = []
-            for si in range(n_shadows):
-                m = params_l["shadow_viewproj"][si]
-                clip_s = (m[None, :, :] * world_h[:, None, :]).sum(-1)
-                # local triangle range; in-range test against the slice
-                n_local = jnp.clip(scene_l["n_tris"] - idx * ts, 0, ts)
-                s = triangle_setup(clip_s, tri_slice, n_local,
-                                   config.shadow_extent, config.shadow_extent,
-                                   CullMode.FRONT)
-                g, _ = fgraph.rasterize(s, config.shadow_extent, config.shadow_extent,
-                                        config.raster, backend)
-                maps.append(g.depth)
-            from ..shading import shadow as shadow_mod
-
-            shadow_maps = shadow_mod.pack_shadow_blocks(
-                jax.lax.pmin(jnp.stack(maps), AXIS))
-            shadow_tf = params_l["shadow_viewproj"]
-
-        # --- base pass: image-row parallel ---
-        setup = triangle_setup(clip, scene_l["tri_vidx"], scene_l["n_opaque"],
-                               w, h, config.cull_mode)
-        y0 = idx * hs
-        setup_slice = restrict_rows(setup, y0, hs, h)
-        g, _ = fgraph.rasterize(setup_slice, hs, w, config.raster, backend,
-                                y0=y0, full_height=h)
-        frag = _resolve_slice(scene_l, world_pos, world_nrm, uv,
-                              setup.coef, g.tri_id, hs, w, y0, h)
-
-        view_args = {
-            "view_pos": params_l["view_pos"],
-            "exposure": params_l["exposure"],
-            "debug_input": params_l["debug_input"],
-            "debug_equation": params_l["debug_equation"],
-        }
-        rgba = pbr.brdf_lighting(scene_full, frag["pos"], frag["uv"], frag["normal"],
-                                 frag["mat_id"], view_args, shadow_maps, shadow_tf)
-        if config.skybox:
-            sky = skybox.render_skybox(scene_l["cubemap"], params_l["inv_vp_rot"],
-                                       h, w)
-            sky = jax.lax.dynamic_slice_in_dim(sky, y0, hs, 0)
-            rgb = jnp.where(frag["covered"][..., None], rgba[..., :3], sky[..., :3])
-        else:
-            rgb = jnp.where(frag["covered"][..., None], rgba[..., :3], 0.0)
-        return encode_srgb8(rgb)
-
-    fn = shard_map(
-        per_device, mesh=mesh,
-        in_specs=(scene_specs, jax.tree.map(lambda _: P(), params)),
-        out_specs=P(AXIS),
-        check_rep=False,
-    )
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(_scene_specs(scene),
+                             jax.tree.map(lambda _: P(), params)),
+                   out_specs=P())       # replicated (pmin makes them equal)
     return fn(scene, params)
 
 
-def _resolve_slice(scene, world_pos, world_nrm, uv, coef, tri_id, hs, w, y0, full_h):
-    """resolve_attributes for a row slice (pixel coords offset by y0)."""
-    from ..raster.reference_raster import barycentrics_at
+def render_frame_sharded(scene, params, shadow_maps, config: RenderConfig,
+                         n_shadows: int, mesh: Mesh, backend: str = "tiled",
+                         has_translucent: bool = False,
+                         slots_used=(True, True, True, True)) -> jnp.ndarray:
+    """Full multi-chip frame (minus the cached shadow pass — pass its
+    packed blocks, or None). Returns [H,W,4] uint8 row-sharded over the
+    mesh. Runs the SAME ``_frame_core`` as single-chip."""
+    h, w = config.render_extent()
+    d = mesh.shape[AXIS]
+    assert h % d == 0, f"render height {h} must divide over {d} devices"
+    hs = h // d
 
-    bary, _ = barycentrics_at(coef, tri_id, hs, w, y0=y0, full_height=full_h)
-    safe_tri = jnp.maximum(tri_id, 0)
-    vidx = scene["tri_vidx"][safe_tri]
-    b = bary[..., None]
-    return {
-        "pos": (world_pos[vidx] * b).sum(-2),
-        "normal": (world_nrm[vidx] * b).sum(-2),
-        "uv": (uv[vidx] * b).sum(-2),
-        "mat_id": scene["tri_material"][safe_tri],
-        "covered": tri_id >= 0,
-    }
+    def per_device(scene_l, params_l, shadow_l):
+        idx = jax.lax.axis_index(AXIS)
+        vo, scene_full = _gathered_vo(scene_l, params_l)
+        img, _ = fgraph._frame_core(
+            scene_full, params_l, vo, shadow_l, config, n_shadows, backend,
+            has_translucent, slots_used, y0=idx * hs, slice_h=hs)
+        return img
+
+    shadow_specs = P() if shadow_maps is not None else None
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(_scene_specs(scene),
+                             jax.tree.map(lambda _: P(), params),
+                             shadow_specs),
+                   out_specs=P(AXIS))
+    return fn(scene, params, shadow_maps)
+
+
+class ShardedRenderer:
+    """Multi-chip FrameRenderer analog: owns the jit cache and the shadow
+    dirty flag (``RenderScene.cpp:170-181`` semantics, like the
+    single-chip ``FrameRenderer``)."""
+
+    def __init__(self, scene_host, config: RenderConfig, mesh: Mesh,
+                 backend: str = "tiled"):
+        from ..shading import fitting
+
+        self._fitting = fitting
+        self.scene_host = scene_host
+        self.config = config
+        self.mesh = mesh
+        self.backend = backend
+        d = mesh.shape[AXIS]
+        dev = pad_scene_for_mesh(scene_host.upload(pad_tris_to=max(256, d)), d)
+        self.scene_dev = dev
+        self.n_shadows = scene_host.n_shadow_maps if config.shadows else 0
+        has_translucent = int(np.asarray(dev["n_blend"])) > 0
+        slots_used = tuple(bool((np.asarray(dev[k]) >= 0).any()) for k in
+                           ("mat_tex_base", "mat_tex_emissive",
+                            "mat_tex_orm", "mat_tex_normal"))
+        self._fn = jax.jit(partial(
+            render_frame_sharded, config=config, n_shadows=self.n_shadows,
+            mesh=mesh, backend=backend, has_translucent=has_translucent,
+            slots_used=slots_used))
+        self._shadow_fn = jax.jit(partial(
+            render_shadow_pass_sharded, config=config,
+            n_shadows=self.n_shadows, mesh=mesh, backend=backend))
+        self._shadow_maps = None
+        self._shadows_dirty = True
+
+    def mark_shadows_dirty(self) -> None:
+        self._shadows_dirty = True
+
+    def params_for_camera(self) -> dict:
+        from ..scene.camera import ViewProperties
+        from ..shading import grid as grid_mod
+
+        vp = ViewProperties.from_camera(self.scene_host.camera)
+        params = vp.as_arrays()
+        params["inv_vp_rot"] = skybox.skybox_ray_matrix(vp.view, vp.proj)
+        params["inv_vp"] = grid_mod.grid_unproject_matrix(vp.view, vp.proj)
+        if self.n_shadows > 0:
+            params["shadow_viewproj"] = \
+                self._fitting.shadow_transforms_for_scene(self.scene_host)
+        return params
+
+    def render(self, params: dict | None = None) -> jnp.ndarray:
+        params = params or self.params_for_camera()
+        if self.n_shadows > 0 and self.config.shadows:
+            if self._shadows_dirty:
+                self._shadow_maps = self._shadow_fn(self.scene_dev, params)
+                self._shadows_dirty = False
+        return self._fn(self.scene_dev, params, self._shadow_maps)
 
 
 def build_sharded_renderer(scene_host, config: RenderConfig, mesh: Mesh,
                            backend: str = "tiled"):
-    """Returns (jitted_fn, scene_dev, params_builder) for the mesh."""
-    from ..shading import fitting
+    """Compatibility wrapper: returns (fn, scene_dev, params_builder) where
+    ``fn(scene_dev, params)`` renders one frame (computing + caching the
+    sharded shadow pass on first use)."""
+    r = ShardedRenderer(scene_host, config, mesh, backend)
 
-    d = mesh.shape[AXIS]
-    scene_dev = pad_scene_for_mesh(scene_host.upload(pad_tris_to=max(256, d)), d)
-    n_shadows = scene_host.n_shadow_maps if config.shadows else 0
+    def fn(scene_dev, params):
+        r.scene_dev = scene_dev
+        return r.render(params)
 
-    fn = jax.jit(partial(render_frame_sharded, config=config,
-                         n_shadows=n_shadows, mesh=mesh, backend=backend))
-
-    def params_builder():
-        from ..scene.camera import ViewProperties
-
-        vp = ViewProperties.from_camera(scene_host.camera)
-        params = vp.as_arrays()
-        params["inv_vp_rot"] = skybox.skybox_ray_matrix(vp.view, vp.proj)
-        if n_shadows > 0:
-            params["shadow_viewproj"] = fitting.shadow_transforms_for_scene(scene_host)
-        return params
-
-    return fn, scene_dev, params_builder
+    return fn, r.scene_dev, r.params_for_camera

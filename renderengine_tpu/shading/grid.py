@@ -43,11 +43,15 @@ def _grid_color(pos_xz_x, pos_xz_z, scale):
 
 def render_grid(inv_vp: jnp.ndarray, view: jnp.ndarray, proj: jnp.ndarray,
                 scene_depth: jnp.ndarray, rgb: jnp.ndarray,
-                near: float = 0.1, far: float = 100.0) -> jnp.ndarray:
+                near: float = 0.1, far: float = 100.0,
+                y0=0, full_height: int | None = None) -> jnp.ndarray:
     """Blend the grid over rgb where its depth passes LessOrEqual against
-    the scene depth. Shapes: scene_depth/rgb [H,W(,3)]."""
+    the scene depth. Shapes: scene_depth/rgb [H,W(,3)]. ``y0``/
+    ``full_height`` shade a row slice of a taller viewport."""
     h, w = scene_depth.shape
-    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0
+    fh = h if full_height is None else full_height
+    ys = (jnp.arange(h, dtype=jnp.float32) + jnp.asarray(y0, jnp.float32)
+          + 0.5) / fh * 2.0 - 1.0
     xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
     ndc_x = jnp.broadcast_to(xs[None, :], (h, w))
     ndc_y = jnp.broadcast_to(ys[:, None], (h, w))

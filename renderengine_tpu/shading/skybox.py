@@ -23,11 +23,15 @@ def skybox_ray_matrix(view: np.ndarray, proj: np.ndarray) -> np.ndarray:
     return np.linalg.inv(np.asarray(proj, np.float64) @ v).astype(np.float32)
 
 
-def render_skybox(cube, inv_vp_rot: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+def render_skybox(cube, inv_vp_rot: jnp.ndarray, height: int, width: int,
+                  y0=0, full_height: int | None = None) -> jnp.ndarray:
     """Returns rgba f32 [H,W,4] (storage-space values, caller decodes sRGB
     like any texture — the reference samples an sRGB-format image, decoded
-    by hardware; we decode explicitly)."""
-    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+    by hardware; we decode explicitly). ``y0``/``full_height`` render a
+    row slice of a taller viewport (image-space sharding)."""
+    fh = height if full_height is None else full_height
+    ys = (jnp.arange(height, dtype=jnp.float32) + jnp.asarray(y0, jnp.float32)
+          + 0.5) / fh * 2.0 - 1.0
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
     ndc_x = jnp.broadcast_to(xs[None, :], (height, width))
     ndc_y = jnp.broadcast_to(ys[:, None], (height, width))

@@ -41,3 +41,30 @@ class TestShardedEquivalence:
         img = np.asarray(fn(jax.device_put(scene_dev), params_builder()))
         assert img.shape == (32, 64, 4)
         assert img.any()
+
+    def test_pallas_full_features_matches_single(self):
+        """VERDICT item 4 'done' condition: the sharded frame with the
+        PRODUCTION pallas kernel (interpret mode on the CPU mesh) and the
+        feature flags on — translucency, grid, skybox, shadows — is
+        bit-exact vs the single-chip pallas frame (same _frame_core, row
+        slicing through the kernel's y0 path)."""
+        import dataclasses
+
+        from renderengine_tpu.core.config import RasterConfig
+
+        w, h = 64, 32
+        sc = procedural.sponza_scene(width=w, height=h, n_textures=4,
+                                     target_tris=400)
+        cfg = RenderConfig(width=w, height=h, shadow_extent=32, grid=True,
+                           raster=RasterConfig(pallas_interpret=True,
+                                               auto_tune_pairs=False,
+                                               pairs_per_tri=8))
+        single = np.asarray(FrameRenderer(sc, cfg, backend="pallas").render())
+
+        mesh = sharded.make_mesh(2)
+        fn, scene_dev, params_builder = sharded.build_sharded_renderer(
+            sc, cfg, mesh, backend="pallas")
+        multi = np.asarray(fn(jax.device_put(scene_dev), params_builder()))
+        assert multi.shape == single.shape
+        mismatch = (multi != single).mean()
+        assert mismatch == 0.0, f"sharded differs on {mismatch:.2%} of bytes"
