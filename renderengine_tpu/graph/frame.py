@@ -36,6 +36,17 @@ from . import uniforms
 from .uniforms import unpack_params
 
 
+def _static_shadow_lights(dev) -> tuple:
+    """Static per-light "pays the shadow lookup" flags (directional AND
+    has a shadow map AND within n_lights) — traced light-type tests can't
+    skip the PCF window gather, so the gate must be trace-time."""
+    lt = np.asarray(dev["light_type"])
+    si = np.asarray(dev["light_shadow_index"])
+    nl = int(np.asarray(dev["n_lights"]))
+    return tuple(bool(i < nl and lt[i] == 1 and si[i] >= 0)
+                 for i in range(lt.shape[0]))
+
+
 def _pair_budget(n_tris: int, pairs_per_tri: int = 4) -> int:
     """Static pair-table budget. Overflow is counted, not silent; the
     counter is surfaced via FrameRenderer.check_binning()."""
@@ -217,7 +228,8 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
                  n_shadows: int, backend: str = "reference",
                  has_translucent: bool = False,
                  slots_used=(True, True, True, True),
-                 return_stats: bool = False):
+                 return_stats: bool = False,
+                 shadow_lights=None):
     """The per-frame pass chain (minus the cached shadow depth).
     scene: device dict; uniform: packed per-frame float32 vector
     (``graph.uniforms``); shadow_maps: packed blocks or None.
@@ -228,7 +240,8 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     params = unpack_params(uniform, n_shadows)
     vo = cached_vertex_outputs(scene, params["view"], params["proj"])
     out = _frame_core(scene, params, vo, shadow_maps, config, n_shadows,
-                      backend, has_translucent, slots_used, return_stats)
+                      backend, has_translucent, slots_used, return_stats,
+                      shadow_lights=shadow_lights)
     return out if return_stats else out[0]
 
 
@@ -236,7 +249,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 n_shadows: int, backend: str,
                 has_translucent: bool, slots_used,
                 return_stats: bool = False,
-                y0=0, slice_h: int | None = None):
+                y0=0, slice_h: int | None = None,
+                shadow_lights=None):
     """Slice-aware frame body shared by the single-chip path (y0=0,
     slice_h=H) and the multi-chip image-row-sharded path
     (``parallel.sharded``: y0 = device row offset, traced under
@@ -266,7 +280,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     from functools import partial as _partial
     base_shade = (pbr.brdf_lighting if config.shading == ShadingModel.PBR
                   else phong.phong_lighting)
-    shade = _partial(base_shade, slots_used=slots_used)
+    shade = _partial(base_shade, slots_used=slots_used,
+                     shadow_lights=shadow_lights)
 
     # opaque base pass
     from ..raster.pallas_raster import attribute_planes
@@ -476,6 +491,7 @@ class FrameRenderer:
                             "mat_tex_orm", "mat_tex_normal"))
         self._has_translucent = has_translucent
         self._slots_used = slots_used
+        self._shadow_lights = _static_shadow_lights(dev)
         # react-to-overflow: the frame fn also reports the binning
         # overflow counter; render() polls it (without stalling the
         # async pipeline) and re-tunes + re-jits when triangles dropped
@@ -495,6 +511,7 @@ class FrameRenderer:
                                    backend=self.backend,
                                    has_translucent=self._has_translucent,
                                    slots_used=self._slots_used,
+                                   shadow_lights=self._shadow_lights,
                                    return_stats=self._react_overflow))
 
     def _estimate_pairs_per_tri(self) -> int:
@@ -522,10 +539,10 @@ class FrameRenderer:
         total = int(total_pairs(self.scene_dev, jnp.asarray(vp.view),
                                 jnp.asarray(vp.proj)))
         t = int(self.scene_dev["tri_vidx"].shape[0])
-        # 1.5x headroom, exact integer (the sort runs over the whole STATIC
+        # 2x headroom, exact integer (the sort runs over the whole STATIC
         # budget, so a pow2 round-up directly inflates the binning pass);
         # overflow reaction (_poll_overflow) covers camera moves past it
-        return min(64, max(2, -(-3 * total // max(2 * t, 1))))
+        return min(64, max(2, -(-2 * total // max(t, 1))))
 
     def _estimate_blend_budgets(self) -> tuple[float, int]:
         """Size the translucency budgets from the initial camera: the

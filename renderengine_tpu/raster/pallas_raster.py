@@ -60,10 +60,12 @@ GROUP = 8                 # pairs evaluated per step (across sublanes)
 TILE_H = 8                # subtile pixel rows
 TILE_W = 16               # subtile pixel cols (TILE_H * TILE_W = 128 lanes)
 N_ATTRS = 8               # pos3 | normal3 | uv2
-# 15 plane coefs + 3 tie-eps [+ 8 attr planes x 3] padded to one lane tile:
-# HBM DMA slices must span full 128-lane tiles, so rows are 128 f32 wide
-# (the extra bytes ride an already-pipelined DMA; bandwidth is not the
-# bottleneck at <0.5 GB/frame).
+AUX_COL = 18              # bitcast-f32 aux word (tri id | mat << 20)
+ATTR0 = 19                # first attribute-plane column
+# 15 plane coefs + 3 tie-eps + 1 aux [+ 8 attr planes x 3] padded to one
+# lane tile: HBM DMA slices must span full 128-lane tiles, so rows are 128
+# f32 wide (the extra bytes ride an already-pipelined DMA; bandwidth is
+# not the bottleneck at <0.5 GB/frame).
 N_COLS = 128
 N_COLS_ATTR = 128
 
@@ -167,8 +169,8 @@ def _raster_kernel(
                             0, chunk // GROUP)
 
         def group_body(g, cr):
-            dmin, idmin, b0c, b1c = cr[0], cr[1], cr[2], cr[3]
-            attrs_c = list(cr[4:])
+            dmin, idmin, auxc, b0c, b1c = cr[0], cr[1], cr[2], cr[3], cr[4]
+            attrs_c = list(cr[5:])
             cg = data_buf[slot, pl.ds(GROUP * g, GROUP), :]   # (8, cols)
             idx = cbase + GROUP * g + sub               # (8,1) pair indices
 
@@ -192,6 +194,12 @@ def _raster_kernel(
             # sort), so strict-less keeps the lowest on exact depth ties;
             # the cross-sublane fold below ties by lowest index too.
             idmin = jnp.where(take, jnp.broadcast_to(idx, shape), idmin)
+            # the aux word (tri|mat) rides column AUX_COL as bitcast f32;
+            # selects are bit-preserving, so denormal/NaN patterns survive
+            aux = jax.lax.bitcast_convert_type(
+                jnp.broadcast_to(cg[:, AUX_COL:AUX_COL + 1], shape),
+                jnp.int32)
+            auxc = jnp.where(take, aux, auxc)
             esum = e0 + e1 + e2
             inv = 1.0 / jnp.where(esum == 0, 1.0, esum)
             # winner barycentrics (perspective-correct lambdas)
@@ -199,18 +207,19 @@ def _raster_kernel(
             b1c = jnp.where(take, e1 * inv, b1c)
             if interp:
                 for a in range(N_ATTRS):
-                    num = (cg[:, 18 + 3 * a : 19 + 3 * a] * px
-                           + cg[:, 19 + 3 * a : 20 + 3 * a] * py
-                           + cg[:, 20 + 3 * a : 21 + 3 * a])
+                    num = (cg[:, ATTR0 + 3 * a : ATTR0 + 3 * a + 1] * px
+                           + cg[:, ATTR0 + 3 * a + 1 : ATTR0 + 3 * a + 2] * py
+                           + cg[:, ATTR0 + 3 * a + 2 : ATTR0 + 3 * a + 3])
                     attrs_c[a] = jnp.where(take, num * inv, attrs_c[a])
-            return (dmin, idmin, b0c, b1c, *attrs_c)
+            return (dmin, idmin, auxc, b0c, b1c, *attrs_c)
 
         return jax.lax.fori_loop(0, n_groups, group_body, carry)
 
     dmin0 = jnp.ones(shape, jnp.float32)
     idmin0 = jnp.full(shape, _BIG_ID, jnp.int32)
     z0 = jnp.zeros(shape, jnp.float32)
-    init = (dmin0, idmin0, z0, z0) + tuple(z0 for _ in range(n_attr_carry))
+    init = ((dmin0, idmin0, idmin0, z0, z0)
+            + tuple(z0 for _ in range(n_attr_carry)))
     out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
 
     @pl.when(n_steps > 1)
@@ -219,18 +228,21 @@ def _raster_kernel(
 
     # fold the 8 per-sublane candidates: min depth, then lowest pair index
     # among equal depths (exact f32 equality — same rounded values)
-    dc, idc = out[0], out[1]
+    dc, idc, auxc = out[0], out[1], out[2]
     dwin = jnp.min(dc, axis=0, keepdims=True)                 # (1,128)
     meq = dc == dwin
     idwin = jnp.min(jnp.where(meq, idc, _BIG_ID), axis=0, keepdims=True)
-    m2 = (meq & (idc == idwin)).astype(jnp.float32)
+    m2b = meq & (idc == idwin)                # true on <= 1 sublane
+    m2 = m2b.astype(jnp.float32)
+    aux_win = jnp.sum(jnp.where(m2b, auxc, 0), axis=0)  # exact: one term
     depth_ref[0, 0, :] = dwin[0]
-    tri_ref[0, 0, :] = idwin[0]
-    bary_ref[0, 0, :] = jnp.sum(out[2] * m2, axis=0)
-    bary_ref[0, 1, :] = jnp.sum(out[3] * m2, axis=0)
+    # no winner (idwin == _BIG_ID) must read _BIG_ID, not the zero sum
+    tri_ref[0, 0, :] = jnp.where(idwin[0] == _BIG_ID, _BIG_ID, aux_win)
+    bary_ref[0, 0, :] = jnp.sum(out[3] * m2, axis=0)
+    bary_ref[0, 1, :] = jnp.sum(out[4] * m2, axis=0)
     if interp:
         for a in range(N_ATTRS):
-            attr_ref[0, a, :] = jnp.sum(out[4 + a] * m2, axis=0)
+            attr_ref[0, a, :] = jnp.sum(out[5 + a] * m2, axis=0)
 
 
 def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
@@ -257,7 +269,7 @@ class PreparedPairs(NamedTuple):
     same geometry+camera (e.g. successive depth-peel layers)."""
     bins: object                 # TileBins
     pair_data: jnp.ndarray       # [P2, 24|48] f32 pair-major coefficient rows
-    pair_aux: jnp.ndarray        # [P2] i32 tri(+offset) | mat<<20; _BIG_ID dead
+    pair_aux: object             # unused (kernel selects aux in-register); kept for pytree shape compat
     has_mat: bool                # static: whether mat ids are packed in aux
 
 
@@ -276,7 +288,15 @@ def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None,
     p2 = (-(-max_pairs // chunk)) * chunk + chunk
 
     eps = jnp.where(setup.tie, _TIE_EPS, 0.0).astype(jnp.float32)   # [T,3]
-    cols = [setup.coef.reshape(t, 15), eps]
+    # the aux word (tri id | mat<<20) rides the pair rows as a bitcast f32
+    # column (AUX_COL): the kernel selects the winner's aux in-register and
+    # outputs it directly, replacing a 7ns/index [H,W] gather per pass
+    aux_tri = jnp.arange(t, dtype=jnp.int32) + tri_offset
+    has_mat = tri_mat is not None and t + tri_offset <= TRI_LIMIT
+    if has_mat:
+        aux_tri = aux_tri | (jnp.clip(tri_mat, 0, MAT_LIMIT - 1) << MAT_SHIFT)
+    aux_f = jax.lax.bitcast_convert_type(aux_tri, jnp.float32)[:, None]
+    cols = [setup.coef.reshape(t, 15), eps, aux_f]
     n_cols = N_COLS
     if attr_planes is not None:
         cols.append(attr_planes)
@@ -288,12 +308,7 @@ def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None,
     tri = jnp.pad(jnp.clip(bins.pair_tri, 0, t - 1), (0, p2 - max_pairs))
     tri = jnp.where(live, tri, 0)
     pair_data = jnp.where(live[:, None], rows[tri], 0.0)    # [P2, n_cols]
-    aux = tri + tri_offset
-    has_mat = tri_mat is not None and t + tri_offset <= TRI_LIMIT
-    if has_mat:
-        aux = aux | (jnp.clip(tri_mat[tri], 0, MAT_LIMIT - 1) << MAT_SHIFT)
-    pair_aux = jnp.where(live, aux, _BIG_ID)
-    return PreparedPairs(bins, pair_data, pair_aux, has_mat)
+    return PreparedPairs(bins, pair_data, None, has_mat)
 
 
 def prepare_pallas_pairs(setup: TriSetup, height: int, width: int,
@@ -355,8 +370,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         prepared = prepare_pallas_pairs(setup, height, width, tile_h, tile_w,
                                         max_pairs, tri_offset, attr_planes,
                                         tri_mat, chunk)
-    bins, pair_data, pair_aux = (prepared.bins, prepared.pair_data,
-                                 prepared.pair_aux)
+    bins, pair_data = prepared.bins, prepared.pair_data
 
     peel = peel_bounds is not None
     kernel = functools.partial(
@@ -422,9 +436,10 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         a = a.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
         return a.reshape(nty * tile_h, ntx * tile_w)[:height, :width]
 
-    pair_idx = untile(tri)
-    won = pair_idx != _BIG_ID
-    aux = pair_aux[jnp.where(won, pair_idx, 0)]     # ONE [H,W] gather
+    # the kernel outputs the winner's aux word directly (selected
+    # in-register from the pair rows) — no [H,W] gather needed
+    aux = untile(tri)
+    won = aux != _BIG_ID
     if prepared.has_mat:
         tri_id = jnp.where(won, aux & (TRI_LIMIT - 1), -1)
         mat_id = jnp.where(won, aux >> MAT_SHIFT, 0)

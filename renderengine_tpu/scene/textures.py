@@ -209,12 +209,30 @@ class TextureCache:
 
         n_pages = max(1, len(pages))
         n_levels = int(np.log2(s)) + 1
+        # tight mip regions: level L rows sized by the USED mip-0 extent
+        # (shelf y is height-aligned and heights are pow2, so (y+h)>>L ==
+        # (y>>L)+(h>>L) exactly) — gather cost grows with total table
+        # bytes, so unused page rows are pure slowdown
+        used0, used_x = 1, 1
+        for shelves in pages:
+            if shelves:
+                used0 = max(used0, shelves[-1][0] + shelves[-1][1])
+            for shelf in shelves:
+                used_x = max(used_x, shelf[2])
+        used_x = min(s, -(-used_x // 128) * 128)    # lane-tile friendly
+        # tight layout: mip 0 occupies rows [0, used0); ALL levels >= 1
+        # share rows [used0, used0 + used0>>1) side by side at per-level x
+        # offsets (widths sum to < used_x). Total = 1.5x the mip-0 extent —
+        # gather cost grows with table bytes, so slack rows are slowdown.
         mip_y = np.zeros(n_levels, np.int32)
-        acc = 0
-        for lvl in range(n_levels):
-            mip_y[lvl] = acc
-            acc += max(1, s >> lvl)
-        atlas = np.zeros((n_pages, 2 * s, s, 16), np.uint8)
+        mip_x = np.zeros(n_levels, np.int32)
+        xacc = 0
+        for lvl in range(1, n_levels):
+            mip_y[lvl] = used0
+            mip_x[lvl] = xacc
+            xacc += max(1, used_x >> lvl)
+        rows = used0 + max(1, used0 >> 1)
+        atlas = np.zeros((n_pages, rows, used_x, 16), np.uint8)
         for i, t in enumerate(self._textures):
             page, x, y, w, h, n_mips = table[i]
             mips = generate_mips(t.image)
@@ -227,7 +245,8 @@ class TextureCache:
                 xyr = np.roll(xr, -1, axis=0)
                 blk = np.concatenate([img, xr, yr, xyr], axis=-1)  # [mh,mw,16]
                 ry = mip_y[lvl] + (y >> lvl)
-                atlas[page, ry : ry + mh, x >> lvl : (x >> lvl) + mw] = blk
+                rx = mip_x[lvl] + (x >> lvl)
+                atlas[page, ry : ry + mh, rx : rx + mw] = blk
 
         cube = self.cubemap if self.cubemap is not None else np.zeros((6, 1, 1, 4), np.uint8)
         # cube block layout (clamp-to-edge): one 16B gather per bilinear tap
@@ -239,5 +258,6 @@ class TextureCache:
             "atlas": atlas,
             "tex_table": table,
             "mip_y": mip_y,
+            "mip_x": mip_x,
             "cubemap": cube_blk,
         }

@@ -69,7 +69,8 @@ def _sample_slot(scene, tex, uv, duv_dx, duv_dy, default):
     dy = duv_dy * size
     rho = jnp.maximum(jnp.sqrt((dx * dx).sum(-1)), jnp.sqrt((dy * dy).sum(-1)))
     lod = jnp.log2(jnp.maximum(rho, 1e-20))
-    s = sampling.sample_texture_rows(scene["atlas"], scene["mip_y"], tex,
+    s = sampling.sample_texture_rows(scene["atlas"], scene["mip_y"],
+                                     scene["mip_x"], tex,
                                      tex["n_mips"], uv, lod)
     return jnp.where(tex["valid"][..., None], s, default)
 
@@ -200,11 +201,15 @@ def _spot_attenuation(l, light_dir, cos_inner, cos_outer):
 
 def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                   shadow_maps=None, shadow_transforms=None,
-                  slots_used=(True, True, True, True)):
+                  slots_used=(True, True, True, True),
+                  shadow_lights=None):
     """Port of ``BRDF_Lighting``. Returns rgba (linear, pre-sRGB-encode).
 
     view_args: dict with view_pos [3], exposure, debug_input, debug_equation.
     shadow_maps: [NS,E,E] f32 or None; shadow_transforms: [NS,4,4].
+    shadow_lights: optional static per-light bools (directional + has a
+    shadow map) — without it every light pays the PCF window gather just
+    to multiply the result by zero (the light-type test is traced).
     """
     mat = remap_material(scene, mat_id, frag_pos, uv, frag_normal, slots_used)
 
@@ -250,7 +255,8 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
             * light["light_color"]
 
         shadow = jnp.zeros_like(nol)
-        if shadow_maps is not None:
+        if shadow_maps is not None and (shadow_lights is None
+                                        or shadow_lights[li]):
             is_dir = light["light_type"] == 1
             shadow = jnp.where(
                 is_dir,

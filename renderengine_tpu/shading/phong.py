@@ -19,7 +19,8 @@ from .pbr import _slot, _sample_slot
 
 def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                    shadow_maps=None, shadow_transforms=None,
-                   slots_used=(True, True, True, True)):
+                   slots_used=(True, True, True, True),
+                   shadow_lights=None):
     """Port of ``PhongLighting`` (phong.glsl:38-81), summed over lights.
     Light colors map: ambient = 0.03*color, diffuse = specular =
     intensity*color. Returns rgba (linear)."""
@@ -71,7 +72,8 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
         spot = jnp.where(ltype == 3, spot, 1.0)
 
         shadow = jnp.zeros_like(k_d)
-        if shadow_maps is not None:
+        if shadow_maps is not None and (shadow_lights is None
+                                        or shadow_lights[li]):
             shadow = jnp.where(
                 is_dir,
                 compute_shadow_directional(shadow_maps, shadow_transforms,

@@ -68,7 +68,7 @@ def _gather_rgba(atlas: jnp.ndarray, page, ry, rx) -> jnp.ndarray:
     return texels.astype(jnp.float32) * (1.0 / 255.0)
 
 
-def _bilinear_at_level(atlas, tex, mip_y, uv, level):
+def _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, level):
     """One bilinear fetch at integer mip ``level`` (traced), REPEAT wrap.
 
     ONE gather: the atlas stores 2x2 texel blocks with per-texture wrap
@@ -79,7 +79,7 @@ def _bilinear_at_level(atlas, tex, mip_y, uv, level):
     """
     sw = jnp.maximum(tex["w"] >> level, 1)
     sh = jnp.maximum(tex["h"] >> level, 1)
-    bx = tex["x"] >> level
+    bx = mip_x[level] + (tex["x"] >> level)
     by = mip_y[level] + (tex["y"] >> level)
 
     st_x = uv[..., 0] * sw.astype(jnp.float32) - 0.5
@@ -115,24 +115,25 @@ def compute_lod(uv: jnp.ndarray, tex_w, tex_h) -> jnp.ndarray:
     return jnp.log2(jnp.maximum(rho, 1e-20))
 
 
-def sample_texture_rows(atlas, mip_y, tex, n_mips, uv, lod=None) -> jnp.ndarray:
+def sample_texture_rows(atlas, mip_y, mip_x, tex, n_mips, uv, lod=None) -> jnp.ndarray:
     """Core sampler on pre-fetched table rows.
 
     tex: dict of per-pixel int arrays page/x/y/w/h; n_mips per-pixel int;
     uv [...,2]; lod [...] or None (bilinear at mip 0). Returns f32 [...,4].
     """
     if lod is None:
-        return _bilinear_at_level(atlas, tex, mip_y, uv, jnp.zeros_like(n_mips))
+        return _bilinear_at_level(atlas, tex, mip_y, mip_x, uv,
+                                  jnp.zeros_like(n_mips))
     lodc = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
     l0 = jnp.floor(lodc).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, n_mips - 1)
     f = (lodc - l0.astype(jnp.float32))[..., None]
-    c0 = _bilinear_at_level(atlas, tex, mip_y, uv, l0)
-    c1 = _bilinear_at_level(atlas, tex, mip_y, uv, l1)
+    c0 = _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, l0)
+    c1 = _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, l1)
     return c0 * (1 - f) + c1 * f
 
 
-def sample_texture(atlas, tex_table, mip_y, handle, uv, lod=None) -> jnp.ndarray:
+def sample_texture(atlas, tex_table, mip_y, mip_x, handle, uv, lod=None) -> jnp.ndarray:
     """Trilinear (or bilinear if lod None) sample by texture handle.
 
     atlas: [P,2S,S,16] uint8 block atlas; tex_table [N,6] int32; mip_y [L]
@@ -147,7 +148,7 @@ def sample_texture(atlas, tex_table, mip_y, handle, uv, lod=None) -> jnp.ndarray
         "w": row[..., 3],
         "h": row[..., 4],
     }
-    return sample_texture_rows(atlas, mip_y, tex, row[..., 5], uv, lod)
+    return sample_texture_rows(atlas, mip_y, mip_x, tex, row[..., 5], uv, lod)
 
 
 # --- cubemap --------------------------------------------------------------
