@@ -84,7 +84,9 @@ class RenderConfig:
     translucency: bool = True # depth-peeled back-to-front blend pass
     translucency_layers: int = 2  # peel depth (reference sorts per mesh; 2+ is order-correct per pixel)
     translucency_tile_fraction: float = 0.25  # screen-fraction budget for sparse peel shading
+    max_anisotropy: int = 1   # anisotropic taps (reference requests 16x, TextureCache.cpp:185; 1 = trilinear)
     blend_pair_budget: int = 0  # static blend-pass (tile,tri) pair budget; 0 = derive from raster.pairs_per_tri (blend geometry is few LARGE triangles — banners, glass — so its span profile needs its own budget, not the opaque per-tri one)
+    blend_tile_budget: int = 0  # static covered-tile budget for the sparse peel raster grid; 0 = dense grid over every tile
     raster: RasterConfig = dataclasses.field(default_factory=RasterConfig)
 
     def render_extent(self) -> tuple[int, int]:

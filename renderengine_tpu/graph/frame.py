@@ -66,7 +66,8 @@ def _effective_tiles(rc: RasterConfig, backend: str) -> tuple[int, int]:
 def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
               tri_offset: int = 0, y0=0, full_height: int | None = None,
               peel_bounds=None, attr_planes=None, tri_mat=None,
-              prepared=None, max_pairs: int | None = None):
+              prepared=None, max_pairs: int | None = None,
+              active_tiles: int | None = None):
     """Raster backend dispatch — decided at trace time (one compiled
     executable per backend, like pipelines per GraphicsPipelineInfo).
     ``y0``/``full_height`` render a row slice of a taller virtual viewport
@@ -84,7 +85,7 @@ def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
                                interpret=rc.pallas_interpret,
                                peel_bounds=peel_bounds,
                                attr_planes=attr_planes, tri_mat=tri_mat,
-                               prepared=prepared)
+                               prepared=prepared, active_tiles=active_tiles)
         return out if attr_planes is not None else (out, None)
     if backend == "tiled":
         return rasterize_tiled(setup, height, width, rc.tile_h, rc.tile_w,
@@ -281,7 +282,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     base_shade = (pbr.brdf_lighting if config.shading == ShadingModel.PBR
                   else phong.phong_lighting)
     shade = _partial(base_shade, slots_used=slots_used,
-                     shadow_lights=shadow_lights)
+                     shadow_lights=shadow_lights,
+                     max_aniso=config.max_anisotropy)
 
     # opaque base pass
     from ..raster.pallas_raster import attribute_planes
@@ -389,12 +391,20 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             return shade(scene, fsub["pos"], fsub["uv"], fsub["normal"],
                          fsub["mat_id"], view_args, shadow_maps, shadow_tf)
 
+        active = (config.blend_tile_budget or None) if backend == "pallas" \
+            else None
+        if backend == "pallas" and active:
+            # sparse peel grid correctness guard: covered tiles beyond the
+            # static budget would render empty
+            blend_overflow = blend_overflow + jnp.maximum(
+                (prep_t.bins.counts > 0).sum() - active, 0)
         for _ in range(config.translucency_layers):
             gt, attrs_t = rasterize(setup_ts, slice_h, w, config.raster,
                                     backend, peel_bounds=(prev, g.depth),
                                     attr_planes=ap_t, prepared=prep_t,
                                     y0=y0, full_height=fh,
-                                    max_pairs=blend_budget)
+                                    max_pairs=blend_budget,
+                                    active_tiles=active)
             covered_t = gt.tri_id >= 0
             sp_in = {"covered": covered_t, "tri_id": gt.tri_id}
             if gt.mat_id is not None:
@@ -428,9 +438,10 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     # a screen corner, so full-frame only — the sharded path composites it
     # host-side if ever needed)
     if config.show_shadow_quad and shadow_maps is not None and is_full:
-        # packed u16 4x4 stride-2 windows: even texel (2a-2, 2b-2) lives at
-        # window (a, b) slot (0, 0); a half-res preview is plenty
-        draw_src = shadow_maps[0, 1:, 1:, 0].astype(jnp.float32) / 65535.0
+        # packed u32-pair 4x4 stride-2 windows: even texel (2a-2, 2b-2)
+        # is the low u16 of word 0; a half-res preview is plenty
+        draw_src = (shadow_maps[0, 1:, 1:, 0]
+                    & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0
         rgb = draw_textured_quad(rgb, draw_src, grayscale=True)
 
     if config.ssaa > 1:
@@ -481,11 +492,12 @@ class FrameRenderer:
         if (has_translucent and config.translucency
                 and backend in ("pallas", "tiled")
                 and config.raster.auto_tune_pairs):
-            frac, blend_budget = self._estimate_blend_budgets()
+            frac, blend_budget, tile_budget = self._estimate_blend_budgets()
             self.config = config = config.replace(
                 translucency_tile_fraction=min(
                     config.translucency_tile_fraction, frac),
-                blend_pair_budget=blend_budget)
+                blend_pair_budget=blend_budget,
+                blend_tile_budget=tile_budget)
         slots_used = tuple(bool((dev[k] >= 0).any()) for k in
                            ("mat_tex_base", "mat_tex_emissive",
                             "mat_tex_orm", "mat_tex_normal"))
@@ -544,21 +556,25 @@ class FrameRenderer:
         # overflow reaction (_poll_overflow) covers camera moves past it
         return min(64, max(2, -(-2 * total // max(t, 1))))
 
-    def _estimate_blend_budgets(self) -> tuple[float, int]:
+    def _estimate_blend_budgets(self) -> tuple[float, int, int]:
         """Size the translucency budgets from the initial camera: the
         translucent draw list is usually few LARGE triangles covering a
         small screen fraction (hanging banners, glass), so neither the 25%
         sparse-shading tile default nor the opaque per-tri pair budget fit
-        its span profile. Returns (shade tile fraction, raster pair budget),
-        both with 2x headroom; overflow reaction covers camera moves."""
+        its span profile. Returns (shade tile fraction, raster pair budget,
+        raster covered-tile budget), each with 2x headroom; the overflow
+        reaction covers camera moves past them."""
+        from ..raster.binning import bin_triangles
+
         cfg = self.config
         h, w = cfg.render_extent()
         n_tiles = (-(-h // cfg.raster.tile_h)) * (-(-w // cfg.raster.tile_w))
         eth, etw = _effective_tiles(cfg.raster, self.backend)
+        nte = (-(-h // eth)) * (-(-w // etw))
         vp = ViewProperties.from_camera(self.scene_host.camera)
 
         @jax.jit
-        def blend_spans(scene, view, proj):
+        def spans_only(scene, view, proj):
             vo = cached_vertex_outputs(scene, view, proj)
             s = triangle_setup(vo.clip, scene["blend_tri_vidx"],
                                scene["n_blend"], w, h, CullMode.NONE)
@@ -573,11 +589,26 @@ class FrameRenderer:
 
             return spans(cfg.raster.tile_h, cfg.raster.tile_w), spans(eth, etw)
 
-        shade_spans, pair_spans = blend_spans(
+        shade_spans, pair_spans = spans_only(
             self.scene_dev, jnp.asarray(vp.view), jnp.asarray(vp.proj))
+        pair_budget = max(2 * int(pair_spans), 4096)
+
+        # two-phase: spans sized the bin budget; now count EXACT covered
+        # tiles at the kernel tile size (the sparse peel grid runs only
+        # covered tiles)
+        @jax.jit
+        def exact_tiles(scene, view, proj):
+            vo = cached_vertex_outputs(scene, view, proj)
+            s = triangle_setup(vo.clip, scene["blend_tri_vidx"],
+                               scene["n_blend"], w, h, CullMode.NONE)
+            b = bin_triangles(s, h, w, eth, etw, pair_budget)
+            return (b.counts > 0).sum()
+
+        n_active = int(exact_tiles(self.scene_dev, jnp.asarray(vp.view),
+                                   jnp.asarray(vp.proj)))
         tiles = min(max(2 * int(shade_spans), 16), n_tiles)
-        budget = max(2 * int(pair_spans), 4096)
-        return tiles / n_tiles, budget
+        tile_budget = min(max(2 * n_active, 256), nte)
+        return tiles / n_tiles, pair_budget, tile_budget
 
     def mark_shadows_dirty(self) -> None:
         """Re-render shadow depth next frame (scene or light changed)."""
@@ -658,9 +689,15 @@ class FrameRenderer:
             bb = cfg.blend_pair_budget
             if int(blend_ov) > 0 and 0 < bb < self._MAX_PAIRS:
                 get_logger().warning(
-                    "blend pair budget overflow (%d dropped): budget "
-                    "%d -> %d, re-jitting", int(blend_ov), bb, bb * 2)
-                cfg = cfg.replace(blend_pair_budget=bb * 2)
+                    "blend pair/tile budget overflow (%d dropped): pair "
+                    "budget %d -> %d, re-jitting", int(blend_ov), bb, bb * 2)
+                # the counter folds pair AND sparse-grid tile overflow;
+                # grow both (they are sized together at init)
+                cfg = cfg.replace(
+                    blend_pair_budget=bb * 2,
+                    blend_tile_budget=min(2 * cfg.blend_tile_budget,
+                                          self._MAX_PAIRS)
+                    if cfg.blend_tile_budget else 0)
             if cfg is not self.config:
                 self.config = cfg
                 self._rebuild_frame_fn()

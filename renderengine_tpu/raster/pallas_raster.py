@@ -82,11 +82,11 @@ def attribute_planes(setup: TriSetup, vo, tri_vidx) -> jnp.ndarray:
 
 def _raster_kernel(
     # scalar prefetch
-    starts_ref, counts_ref, phase_ref, y0_ref,
+    tile_map_ref, starts_ref, counts_ref, phase_ref, y0_ref,
     # inputs (HBM + optional VMEM bounds block)
     pair_data_hbm, *rest,
     tile_h: int, tile_w: int, width: int, full_height: int, ntx: int,
-    n_tiles: int, chunk: int, peel: bool, interp: bool,
+    grid_n: int, chunk: int, peel: bool, interp: bool,
 ):
     rest = list(rest)
     bounds_ref = rest.pop(0) if peel else None
@@ -96,19 +96,22 @@ def _raster_kernel(
     attr_ref = rest.pop(0) if interp else None
     data_buf, sems = rest
 
-    tile = pl.program_id(0)
+    pid = pl.program_id(0)
+    # sparse grids (translucent peels): program -> tile indirection so only
+    # covered tiles run; the identity map on dense grids
+    tile = tile_map_ref[pid]
     start = starts_ref[tile]
     count = counts_ref[tile]
     base0 = (start // GROUP) * GROUP          # sublane-aligned DMA floor
     span_end = start + count
     n_steps = jnp.where(count > 0,
                         (span_end - base0 + chunk - 1) // chunk, 0)
-    # cross-program software pipelining: tile p's first chunk is DMA'd by
-    # tile p-1 (most tiles are single-chunk, so the copy flies while p-1
-    # computes — without this every program eats the full HBM latency).
+    # cross-program software pipelining: program p's first chunk is DMA'd
+    # by program p-1 (most tiles are single-chunk, so the copy flies while
+    # p-1 computes — without this every program eats the full HBM latency).
     # phase_ref[p] = parity of the global chunk counter at p's first chunk,
     # precomputed host-side so both sides agree on the slot.
-    phase = phase_ref[tile]
+    phase = phase_ref[pid]
 
     org_x = (tile % ntx) * tile_w
     org_y = (tile // ntx) * tile_h + y0_ref[0]
@@ -129,20 +132,21 @@ def _raster_kernel(
             pair_data_hbm.at[pl.ds(off, chunk), :],
             data_buf.at[slot], sems.at[slot])
 
-    nxt = jnp.minimum(tile + 1, n_tiles - 1)
-    nxt_start = starts_ref[nxt]
-    nxt_count = counts_ref[nxt]
+    nxt = jnp.minimum(pid + 1, grid_n - 1)
+    nxt_tile = tile_map_ref[nxt]
+    nxt_start = starts_ref[nxt_tile]
+    nxt_count = counts_ref[nxt_tile]
     nxt_phase = phase_ref[nxt]
     nxt_base0 = (nxt_start // GROUP) * GROUP
 
     def prefetch_next():
-        @pl.when((tile + 1 < n_tiles) & (nxt_count > 0))
+        @pl.when((pid + 1 < grid_n) & (nxt_count > 0))
         def _():
             pltpu.make_async_copy(
                 pair_data_hbm.at[pl.ds(nxt_base0, chunk), :],
                 data_buf.at[nxt_phase], sems.at[nxt_phase]).start()
 
-    @pl.when((tile == 0) & (n_steps > 0))
+    @pl.when((pid == 0) & (n_steps > 0))
     def _():
         dma(phase, 0).start()                 # bootstrap: no predecessor
 
@@ -331,11 +335,15 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
                      tri_offset: int = 0, interpret: bool = False,
                      y0=0, full_height: int | None = None,
                      peel_bounds=None, attr_planes=None, tri_mat=None,
-                     prepared: PreparedPairs | None = None):
+                     prepared: PreparedPairs | None = None,
+                     active_tiles: int | None = None):
     """Bin + pack + Pallas raster. Same G-buffer as ``rasterize_tiled``/
     ``rasterize_reference`` (asserted in tests). ``tile_h * tile_w`` must be
     128 (one vreg of lanes); ``chunk`` is the DMA slab in pairs (multiple
-    of 8).
+    of 8). ``active_tiles`` runs a sparse grid over only the K
+    most-covered tiles (for passes touching a small screen fraction);
+    tiles beyond K render empty — callers guard with the covered-tile
+    count.
 
     ``peel_bounds``: optional (prev_depth [H,W], zmax [H,W]) — keep only
     fragments with prev < depth <= zmax (depth-peeling for the sorted
@@ -373,23 +381,38 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     bins, pair_data = prepared.bins, prepared.pair_data
 
     peel = peel_bounds is not None
+    sparse = active_tiles is not None and active_tiles < n_tiles
+    grid_n = active_tiles if sparse else n_tiles
     kernel = functools.partial(
         _raster_kernel,
         tile_h=tile_h, tile_w=tile_w,
-        width=width, full_height=fh, ntx=ntx, n_tiles=n_tiles, chunk=chunk,
+        width=width, full_height=fh, ntx=ntx, grid_n=grid_n, chunk=chunk,
         peel=peel, interp=interp,
     )
-    # per-tile DMA slot parity for the cross-program pipeline (see kernel)
-    base0 = (bins.starts // GROUP) * GROUP
-    steps = jnp.where(bins.counts > 0,
-                      (bins.starts + bins.counts - base0 + chunk - 1) // chunk,
+    if sparse:
+        # sparse grid: run only the top-K covered tiles (translucent peels
+        # touch a small screen fraction; empty-tile programs still cost
+        # ~1 us each on a dense grid). Ascending order keeps the pair DMAs
+        # sequential. Correctness guard: the caller compares K against the
+        # covered-tile count (tile_overflow below).
+        _, sel = jax.lax.top_k(bins.counts, grid_n)
+        tile_map = jnp.sort(sel).astype(jnp.int32)
+    else:
+        tile_map = jnp.arange(n_tiles, dtype=jnp.int32)
+    # per-PROGRAM DMA slot parity for the cross-program pipeline
+    starts_m = bins.starts[tile_map]
+    counts_m = bins.counts[tile_map]
+    base0 = (starts_m // GROUP) * GROUP
+    steps = jnp.where(counts_m > 0,
+                      (starts_m + counts_m - base0 + chunk - 1) // chunk,
                       0)
     phase = ((jnp.cumsum(steps) - steps) % 2).astype(jnp.int32)
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if peel:
-        in_specs.append(pl.BlockSpec((1, 2, npx),
-                                     lambda i, *_: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (1, 2, npx),
+            lambda i, tile_map, *_: (tile_map[i], 0, 0),
+            memory_space=pltpu.VMEM))
     out_specs = [
         pl.BlockSpec((1, 1, npx), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -399,19 +422,19 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, 1, npx), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles, 2, npx), jnp.float32),
+        jax.ShapeDtypeStruct((grid_n, 1, npx), jnp.float32),
+        jax.ShapeDtypeStruct((grid_n, 1, npx), jnp.int32),
+        jax.ShapeDtypeStruct((grid_n, 2, npx), jnp.float32),
     ]
     if interp:
         out_specs.append(pl.BlockSpec((1, N_ATTRS, npx),
                                       lambda i, *_: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((n_tiles, N_ATTRS, npx),
+        out_shape.append(jax.ShapeDtypeStruct((grid_n, N_ATTRS, npx),
                                               jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_tiles,),
+        num_scalar_prefetch=5,
+        grid=(grid_n,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
@@ -420,7 +443,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         ],
     )
     y0_arr = jnp.asarray(y0, jnp.int32).reshape(1)
-    args = [bins.starts, bins.counts, phase, y0_arr, pair_data]
+    args = [tile_map, bins.starts, bins.counts, phase, y0_arr, pair_data]
     if peel:
         args.append(_tile_bounds(peel_bounds, height, width, tile_h, tile_w,
                                  nty, ntx))
@@ -430,6 +453,15 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    if sparse:
+        # scatter program blocks back to the full tile layout; untouched
+        # tiles read as empty (depth clear 1.0, no winner)
+        def expand(o, fill):
+            full = jnp.full((n_tiles,) + o.shape[1:], fill, o.dtype)
+            return full.at[tile_map].set(o)
+        outs = [expand(outs[0], 1.0), expand(outs[1], _BIG_ID),
+                expand(outs[2], 0.0)] + (
+                    [expand(outs[3], 0.0)] if interp else [])
     depth, tri, bary = outs[0][:, 0], outs[1][:, 0], outs[2]
 
     def untile(a):

@@ -20,7 +20,7 @@ from .pbr import _slot, _sample_slot
 def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                    shadow_maps=None, shadow_transforms=None,
                    slots_used=(True, True, True, True),
-                   shadow_lights=None):
+                   shadow_lights=None, max_aniso=1):
     """Port of ``PhongLighting`` (phong.glsl:38-81), summed over lights.
     Light colors map: ambient = 0.03*color, diffuse = specular =
     intensity*color. Returns rgba (linear)."""
@@ -31,7 +31,8 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
     duv_dy = sampling.quad_dfdy(uv)
     if slots_used[0]:
         tb = _slot(mtex, 0)
-        base_tex = _sample_slot(scene, tb, uv, duv_dx, duv_dy, jnp.ones(4))
+        base_tex = _sample_slot(scene, tb, uv, duv_dx, duv_dy, jnp.ones(4),
+                                max_aniso)
         diffuse_p = core[..., 0:4] * jnp.concatenate(
             [srgb_to_linear(base_tex[..., :3]), base_tex[..., 3:4]], axis=-1)
         diffuse_p = jnp.where(tb["valid"][..., None], diffuse_p, core[..., 0:4])

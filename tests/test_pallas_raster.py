@@ -46,6 +46,26 @@ class TestPallasMatchesReference:
         np.testing.assert_array_equal(np.asarray(ref.tri_id), np.asarray(pal.tri_id))
 
 
+class TestPallasSparseTiles:
+    def test_active_tiles_matches_dense_when_sufficient(self, rng):
+        """Sparse grid over the K most-covered tiles == the dense grid
+        whenever K >= covered tiles (the translucent-peel configuration)."""
+        import jax.numpy as jnp
+        from renderengine_tpu.raster.binning import bin_triangles
+
+        w, h = 64, 48
+        s = random_setup(rng, n=12, w=w, h=h)
+        bins = bin_triangles(s, h, w, 8, 16, 4096)
+        n_active = int(np.asarray((bins.counts > 0).sum()))
+        dense = rasterize_pallas(s, h, w, max_pairs=4096, interpret=True)
+        sparse = rasterize_pallas(s, h, w, max_pairs=4096, interpret=True,
+                                  active_tiles=max(1, n_active))
+        np.testing.assert_array_equal(np.asarray(dense.tri_id),
+                                      np.asarray(sparse.tri_id))
+        np.testing.assert_array_equal(np.asarray(dense.depth),
+                                      np.asarray(sparse.depth))
+
+
 class TestPallasProductionPaths:
     """The branches the headline frame actually runs on TPU."""
 
