@@ -83,7 +83,7 @@ class RenderConfig:
     show_shadow_quad: bool = False  # TexturedQuad grayscale shadow-map preview
     translucency: bool = True # depth-peeled back-to-front blend pass
     translucency_layers: int = 2  # peel depth (reference sorts per mesh; 2+ is order-correct per pixel)
-    translucency_tile_fraction: float = 0.25  # screen-fraction budget for sparse peel shading
+    translucency_tile_fraction: float = 1.0  # screen-fraction budget for sparse peel shading (1.0 = correct-by-default; auto-tune lowers it when blend coverage is provably smaller)
     max_anisotropy: int = 1   # anisotropic taps (reference requests 16x, TextureCache.cpp:185; 1 = trilinear)
     blend_pair_budget: int = 0  # static blend-pass (tile,tri) pair budget; 0 = derive from raster.pairs_per_tri (blend geometry is few LARGE triangles — banners, glass — so its span profile needs its own budget, not the opaque per-tri one)
     blend_tile_budget: int = 0  # static covered-tile budget for the sparse peel raster grid; 0 = dense grid over every tile

@@ -417,10 +417,26 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 bary_t, _ = rref.barycentrics_at(setup_t.coef, gt.tri_id,
                                                  slice_h, w, y0, fh)
                 sp_in["bary"] = bary_t[..., :2]
-            rgba_t = shade_sparse(
-                resolve_and_shade, sp_in,
-                slice_h, w, config.raster.tile_h, config.raster.tile_w,
-                max_tiles=budget)
+            if budget >= n_tiles:
+                # full-coverage layer (e.g. a screen-filling banner):
+                # the sparse tilefy/top-k/gather/scatter is pure overhead
+                rgba_t = resolve_and_shade(sp_in)
+            else:
+                rgba_t = shade_sparse(
+                    resolve_and_shade, sp_in,
+                    slice_h, w, config.raster.tile_h, config.raster.tile_w,
+                    max_tiles=budget)
+            if return_stats and budget < n_tiles:
+                # covered shade tiles beyond the static budget went
+                # unshaded: report so the renderer can grow the fraction
+                th_, tw_ = config.raster.tile_h, config.raster.tile_w
+                ph_ = -(-slice_h // th_) * th_ - slice_h
+                pw_ = -(-w // tw_) * tw_ - w
+                ct = jnp.pad(covered_t, ((0, ph_), (0, pw_)))
+                ct = ct.reshape(-1, th_, ct.shape[1] // tw_, tw_)
+                n_cov = ct.any(axis=(1, 3)).sum()
+                blend_overflow = blend_overflow + jnp.maximum(
+                    n_cov - budget, 0)
             layers.append((covered_t, rgba_t))
             prev = jnp.where(covered_t, gt.depth, 2.0)
         for covered_t, rgba_t in reversed(layers):
@@ -689,15 +705,17 @@ class FrameRenderer:
             bb = cfg.blend_pair_budget
             if int(blend_ov) > 0 and 0 < bb < self._MAX_PAIRS:
                 get_logger().warning(
-                    "blend pair/tile budget overflow (%d dropped): pair "
-                    "budget %d -> %d, re-jitting", int(blend_ov), bb, bb * 2)
-                # the counter folds pair AND sparse-grid tile overflow;
-                # grow both (they are sized together at init)
+                    "blend budget overflow (%d dropped): growing pair/"
+                    "tile/shade budgets, re-jitting", int(blend_ov))
+                # the counter folds pair, sparse-grid tile AND sparse-shade
+                # tile overflow; grow all three (sized together at init)
                 cfg = cfg.replace(
                     blend_pair_budget=bb * 2,
                     blend_tile_budget=min(2 * cfg.blend_tile_budget,
                                           self._MAX_PAIRS)
-                    if cfg.blend_tile_budget else 0)
+                    if cfg.blend_tile_budget else 0,
+                    translucency_tile_fraction=min(
+                        1.0, 2.0 * cfg.translucency_tile_fraction))
             if cfg is not self.config:
                 self.config = cfg
                 self._rebuild_frame_fn()
