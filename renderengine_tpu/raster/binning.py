@@ -62,17 +62,30 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
     # search costing ~80ms/Mquery on TPU; a scatter of segment heads + a
     # cummax fill is a handful of fast passes instead.
     tri = _segment_ids_from_offsets(offsets, span, max_pairs)
-    # one packed row gather per slot (gathers are priced per index), and
-    # f32 division with an exact fixup instead of slow integer division
-    bin_rows = jnp.stack([offsets, nx, ty0 * ntx + tx0, tx0], axis=-1)  # [T,4]
-    row = bin_rows[tri]                                                 # [P,4]
-    local = slots - row[..., 0]
-    nxv = row[..., 1]
+    # per-slot triangle data in ONE packed row gather when the fields fit
+    # (gather cost scales with gathered elements): c0 = offset<<8 | nx,
+    # c1 = rowbase<<8 | tx0; f32 division with an exact fixup instead of
+    # slow integer division
+    rowbase = ty0 * ntx + tx0
+    if ntx <= 255 and max_pairs < (1 << 23) and n_tiles < (1 << 23):
+        packed_rows = jnp.stack([(offsets << 8) | nx,
+                                 (rowbase << 8) | tx0], axis=-1)  # [T,2]
+        row = packed_rows[tri]                                    # [P,2]
+        off_s = row[..., 0] >> 8
+        nxv = row[..., 0] & 255
+        base_s = row[..., 1] >> 8
+    else:
+        bin_rows = jnp.stack([offsets, nx, rowbase], axis=-1)
+        row = bin_rows[tri]
+        off_s = row[..., 0]
+        nxv = row[..., 1]
+        base_s = row[..., 2]
+    local = slots - off_s
     dy = jnp.floor(local.astype(jnp.float32) / nxv.astype(jnp.float32)).astype(jnp.int32)
     rem = local - dy * nxv
     dy = jnp.where(rem < 0, dy - 1, jnp.where(rem >= nxv, dy + 1, dy))
     dx = local - dy * nxv
-    tile = row[..., 2] + dy * ntx + dx
+    tile = base_s + dy * ntx + dx
     slot_valid = slots < jnp.minimum(total, max_pairs)
     key = jnp.where(slot_valid, tile, n_tiles).astype(jnp.int32)  # invalid sorts last
 

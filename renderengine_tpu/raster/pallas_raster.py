@@ -90,10 +90,7 @@ def _raster_kernel(
 ):
     rest = list(rest)
     bounds_ref = rest.pop(0) if peel else None
-    depth_ref = rest.pop(0)
-    tri_ref = rest.pop(0)
-    bary_ref = rest.pop(0)
-    attr_ref = rest.pop(0) if interp else None
+    out_ref = rest.pop(0)   # [1, 4|12, npx]: depth | aux(bitcast) | bary2 [| attrs8]
     data_buf, sems = rest
 
     pid = pl.program_id(0)
@@ -239,14 +236,17 @@ def _raster_kernel(
     m2b = meq & (idc == idwin)                # true on <= 1 sublane
     m2 = m2b.astype(jnp.float32)
     aux_win = jnp.sum(jnp.where(m2b, auxc, 0), axis=0)  # exact: one term
-    depth_ref[0, 0, :] = dwin[0]
+    # one combined output block => ONE window DMA per program (4 separate
+    # outputs cost 4 DMA issues each); aux rides as a bitcast f32 plane
+    out_ref[0, 0, :] = dwin[0]
     # no winner (idwin == _BIG_ID) must read _BIG_ID, not the zero sum
-    tri_ref[0, 0, :] = jnp.where(idwin[0] == _BIG_ID, _BIG_ID, aux_win)
-    bary_ref[0, 0, :] = jnp.sum(out[3] * m2, axis=0)
-    bary_ref[0, 1, :] = jnp.sum(out[4] * m2, axis=0)
+    out_ref[0, 1, :] = jax.lax.bitcast_convert_type(
+        jnp.where(idwin[0] == _BIG_ID, _BIG_ID, aux_win), jnp.float32)
+    out_ref[0, 2, :] = jnp.sum(out[3] * m2, axis=0)
+    out_ref[0, 3, :] = jnp.sum(out[4] * m2, axis=0)
     if interp:
         for a in range(N_ATTRS):
-            attr_ref[0, a, :] = jnp.sum(out[5 + a] * m2, axis=0)
+            out_ref[0, 4 + a, :] = jnp.sum(out[5 + a] * m2, axis=0)
 
 
 def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
@@ -413,25 +413,14 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
             (1, 2, npx),
             lambda i, tile_map, *_: (tile_map[i], 0, 0),
             memory_space=pltpu.VMEM))
+    n_planes = (4 + N_ATTRS) if interp else 4
     out_specs = [
-        pl.BlockSpec((1, 1, npx), lambda i, *_: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, npx), lambda i, *_: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, npx), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((1, n_planes, npx), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((grid_n, 1, npx), jnp.float32),
-        jax.ShapeDtypeStruct((grid_n, 1, npx), jnp.int32),
-        jax.ShapeDtypeStruct((grid_n, 2, npx), jnp.float32),
+        jax.ShapeDtypeStruct((grid_n, n_planes, npx), jnp.float32),
     ]
-    if interp:
-        out_specs.append(pl.BlockSpec((1, N_ATTRS, npx),
-                                      lambda i, *_: (i, 0, 0),
-                                      memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((grid_n, N_ATTRS, npx),
-                                              jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(grid_n,),
@@ -453,16 +442,19 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    blk = outs[0]
     if sparse:
         # scatter program blocks back to the full tile layout; untouched
         # tiles read as empty (depth clear 1.0, no winner)
-        def expand(o, fill):
-            full = jnp.full((n_tiles,) + o.shape[1:], fill, o.dtype)
-            return full.at[tile_map].set(o)
-        outs = [expand(outs[0], 1.0), expand(outs[1], _BIG_ID),
-                expand(outs[2], 0.0)] + (
-                    [expand(outs[3], 0.0)] if interp else [])
-    depth, tri, bary = outs[0][:, 0], outs[1][:, 0], outs[2]
+        fill = jnp.zeros((n_planes, 1), jnp.float32)
+        fill = fill.at[0, 0].set(1.0)
+        fill = fill.at[1, 0].set(
+            jax.lax.bitcast_convert_type(jnp.int32(_BIG_ID), jnp.float32))
+        full = jnp.broadcast_to(fill[None], (n_tiles, n_planes, npx))
+        blk = full.at[tile_map].set(blk)
+    depth = blk[:, 0]
+    tri = jax.lax.bitcast_convert_type(blk[:, 1], jnp.int32)
+    bary = blk[:, 2:4]
 
     def untile(a):
         a = a.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
@@ -483,5 +475,5 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     g = GBuffer(untile(depth), tri_id, jnp.stack([b0, b1], axis=-1), mat_id)
     if not interp:
         return g
-    attrs = jnp.stack([untile(outs[3][:, a]) for a in range(N_ATTRS)], axis=-1)
+    attrs = jnp.stack([untile(blk[:, 4 + a]) for a in range(N_ATTRS)], axis=-1)
     return g, attrs
