@@ -68,6 +68,20 @@ def main():
     img.block_until_ready()
     print(f"# compile+first frame: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    if args.quick and r.backend == "pallas":
+        # hardware-parity smoke check: the pallas kernel must agree with
+        # the jnp tiled backend ON CHIP (interpret-mode tests can't catch
+        # hardware-only behaviors — e.g. the VPU flushing f32 denormals)
+        r_ref = FrameRenderer(scene, cfg, backend="tiled")
+        a = np.asarray(img).astype(np.int32)
+        b = np.asarray(r_ref.render()).astype(np.int32)
+        bad = float((np.abs(a - b) > 2).mean())
+        if bad > 0.01:
+            print(f"# HARDWARE PARITY FAILURE: {bad:.2%} of bytes differ "
+                  "pallas-vs-tiled on device", file=sys.stderr)
+            sys.exit(1)
+        print(f"# hw parity ok ({bad:.4%} bytes differ >2)", file=sys.stderr)
+
     # timed frames with a slowly orbiting camera (new uniform each frame,
     # no recompilation — same static shapes). Frames dispatch
     # asynchronously like the reference's 2-frames-in-flight loop

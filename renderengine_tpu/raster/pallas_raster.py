@@ -60,12 +60,16 @@ GROUP = 8                 # pairs evaluated per step (across sublanes)
 TILE_H = 8                # subtile pixel rows
 TILE_W = 16               # subtile pixel cols (TILE_H * TILE_W = 128 lanes)
 N_ATTRS = 8               # pos3 | normal3 | uv2
-AUX_COL = 18              # bitcast-f32 aux word (tri id | mat << 20)
-ATTR0 = 19                # first attribute-plane column
-# 15 plane coefs + 3 tie-eps + 1 aux [+ 8 attr planes x 3] padded to one
-# lane tile: HBM DMA slices must span full 128-lane tiles, so rows are 128
-# f32 wide (the extra bytes ride an already-pipelined DMA; bandwidth is
-# not the bottleneck at <0.5 GB/frame).
+TRI_COL = 18              # triangle id as an exact integer-valued f32
+MAT_COL = 19              # material id as an exact integer-valued f32
+ATTR0 = 20                # first attribute-plane column
+# ids ride as integer-valued FLOATS, not bitcasts: bit patterns of small
+# ints are f32 DENORMALS, and TPU hardware flushes denormals to zero in
+# the vector path (interpret mode does not — a hardware-only corruption).
+# Integer-valued floats are exact below 2^24 and always normal-or-zero.
+# 15 plane coefs + 3 tie-eps + tri + mat [+ 8 attr planes x 3] padded to
+# one lane tile: HBM DMA slices must span full 128-lane tiles, so rows
+# are 128 f32 wide (the extra bytes ride an already-pipelined DMA).
 N_COLS = 128
 N_COLS_ATTR = 128
 
@@ -90,7 +94,7 @@ def _raster_kernel(
 ):
     rest = list(rest)
     bounds_ref = rest.pop(0) if peel else None
-    out_ref = rest.pop(0)   # [1, 4|12, npx]: depth | aux(bitcast) | bary2 [| attrs8]
+    out_ref = rest.pop(0)   # [1, 5|13, npx]: depth | tri_f | mat_f | bary2 [| attrs8]
     data_buf, sems = rest
 
     pid = pl.program_id(0)
@@ -170,8 +174,9 @@ def _raster_kernel(
                             0, chunk // GROUP)
 
         def group_body(g, cr):
-            dmin, idmin, auxc, b0c, b1c = cr[0], cr[1], cr[2], cr[3], cr[4]
-            attrs_c = list(cr[5:])
+            dmin, idmin, trif, matf, b0c, b1c = (cr[0], cr[1], cr[2], cr[3],
+                                                 cr[4], cr[5])
+            attrs_c = list(cr[6:])
             cg = data_buf[slot, pl.ds(GROUP * g, GROUP), :]   # (8, cols)
             idx = cbase + GROUP * g + sub               # (8,1) pair indices
 
@@ -195,12 +200,9 @@ def _raster_kernel(
             # sort), so strict-less keeps the lowest on exact depth ties;
             # the cross-sublane fold below ties by lowest index too.
             idmin = jnp.where(take, jnp.broadcast_to(idx, shape), idmin)
-            # the aux word (tri|mat) rides column AUX_COL as bitcast f32;
-            # selects are bit-preserving, so denormal/NaN patterns survive
-            aux = jax.lax.bitcast_convert_type(
-                jnp.broadcast_to(cg[:, AUX_COL:AUX_COL + 1], shape),
-                jnp.int32)
-            auxc = jnp.where(take, aux, auxc)
+            # tri/mat ids ride as exact integer-valued floats (see header)
+            trif = jnp.where(take, cg[:, TRI_COL:TRI_COL + 1], trif)
+            matf = jnp.where(take, cg[:, MAT_COL:MAT_COL + 1], matf)
             esum = e0 + e1 + e2
             inv = 1.0 / jnp.where(esum == 0, 1.0, esum)
             # winner barycentrics (perspective-correct lambdas)
@@ -212,14 +214,14 @@ def _raster_kernel(
                            + cg[:, ATTR0 + 3 * a + 1 : ATTR0 + 3 * a + 2] * py
                            + cg[:, ATTR0 + 3 * a + 2 : ATTR0 + 3 * a + 3])
                     attrs_c[a] = jnp.where(take, num * inv, attrs_c[a])
-            return (dmin, idmin, auxc, b0c, b1c, *attrs_c)
+            return (dmin, idmin, trif, matf, b0c, b1c, *attrs_c)
 
         return jax.lax.fori_loop(0, n_groups, group_body, carry)
 
     dmin0 = jnp.ones(shape, jnp.float32)
     idmin0 = jnp.full(shape, _BIG_ID, jnp.int32)
     z0 = jnp.zeros(shape, jnp.float32)
-    init = ((dmin0, idmin0, idmin0, z0, z0)
+    init = ((dmin0, idmin0, jnp.full(shape, -1.0, jnp.float32), z0, z0, z0)
             + tuple(z0 for _ in range(n_attr_carry)))
     out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
 
@@ -229,24 +231,23 @@ def _raster_kernel(
 
     # fold the 8 per-sublane candidates: min depth, then lowest pair index
     # among equal depths (exact f32 equality — same rounded values)
-    dc, idc, auxc = out[0], out[1], out[2]
+    dc, idc = out[0], out[1]
     dwin = jnp.min(dc, axis=0, keepdims=True)                 # (1,128)
     meq = dc == dwin
     idwin = jnp.min(jnp.where(meq, idc, _BIG_ID), axis=0, keepdims=True)
-    m2b = meq & (idc == idwin)                # true on <= 1 sublane
-    m2 = m2b.astype(jnp.float32)
-    aux_win = jnp.sum(jnp.where(m2b, auxc, 0), axis=0)  # exact: one term
-    # one combined output block => ONE window DMA per program (4 separate
-    # outputs cost 4 DMA issues each); aux rides as a bitcast f32 plane
+    m2 = (meq & (idc == idwin)).astype(jnp.float32)  # true on <= 1 sublane
+    # one combined output block => ONE window DMA per program. The m2 sums
+    # are exact: at most one nonzero term.
     out_ref[0, 0, :] = dwin[0]
-    # no winner (idwin == _BIG_ID) must read _BIG_ID, not the zero sum
-    out_ref[0, 1, :] = jax.lax.bitcast_convert_type(
-        jnp.where(idwin[0] == _BIG_ID, _BIG_ID, aux_win), jnp.float32)
+    # no winner (idwin == _BIG_ID) must read tri -1, not the zero sum
+    out_ref[0, 1, :] = jnp.where(idwin[0] == _BIG_ID, -1.0,
+                                 jnp.sum(out[2] * m2, axis=0))
     out_ref[0, 2, :] = jnp.sum(out[3] * m2, axis=0)
     out_ref[0, 3, :] = jnp.sum(out[4] * m2, axis=0)
+    out_ref[0, 4, :] = jnp.sum(out[5] * m2, axis=0)
     if interp:
         for a in range(N_ATTRS):
-            out_ref[0, 4 + a, :] = jnp.sum(out[5 + a] * m2, axis=0)
+            out_ref[0, 5 + a, :] = jnp.sum(out[6 + a] * m2, axis=0)
 
 
 def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
@@ -263,9 +264,7 @@ def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
     return jnp.stack([tile(prev, 2.0), tile(zmax, -1.0)], axis=1)
 
 
-MAT_SHIFT = 20                 # pair_aux: tri(+offset) in low 20 bits,
-MAT_LIMIT = 2047               # material id in bits 20..30 (< 2047 so the
-TRI_LIMIT = (1 << MAT_SHIFT)   # packed value never collides with _BIG_ID)
+MAT_LIMIT = 1 << 24            # ids must stay exact as integer-valued f32
 
 
 class PreparedPairs(NamedTuple):
@@ -292,15 +291,18 @@ def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None,
     p2 = (-(-max_pairs // chunk)) * chunk + chunk
 
     eps = jnp.where(setup.tie, _TIE_EPS, 0.0).astype(jnp.float32)   # [T,3]
-    # the aux word (tri id | mat<<20) rides the pair rows as a bitcast f32
-    # column (AUX_COL): the kernel selects the winner's aux in-register and
-    # outputs it directly, replacing a 7ns/index [H,W] gather per pass
-    aux_tri = jnp.arange(t, dtype=jnp.int32) + tri_offset
-    has_mat = tri_mat is not None and t + tri_offset <= TRI_LIMIT
+    # ids ride as exact integer-valued floats (see module header: bitcast
+    # int patterns are denormals, which TPU hardware flushes to zero);
+    # the kernel selects the winner's ids in-register and outputs them,
+    # replacing a 7ns/index [H,W] gather per raster pass
+    assert t + tri_offset < (1 << 24), "tri ids must stay f32-exact"
+    tri_f = (jnp.arange(t, dtype=jnp.int32) + tri_offset).astype(jnp.float32)
+    has_mat = tri_mat is not None
     if has_mat:
-        aux_tri = aux_tri | (jnp.clip(tri_mat, 0, MAT_LIMIT - 1) << MAT_SHIFT)
-    aux_f = jax.lax.bitcast_convert_type(aux_tri, jnp.float32)[:, None]
-    cols = [setup.coef.reshape(t, 15), eps, aux_f]
+        mat_f = jnp.clip(tri_mat, 0, MAT_LIMIT - 1).astype(jnp.float32)
+    else:
+        mat_f = jnp.zeros(t, jnp.float32)
+    cols = [setup.coef.reshape(t, 15), eps, tri_f[:, None], mat_f[:, None]]
     n_cols = N_COLS
     if attr_planes is not None:
         cols.append(attr_planes)
@@ -413,7 +415,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
             (1, 2, npx),
             lambda i, tile_map, *_: (tile_map[i], 0, 0),
             memory_space=pltpu.VMEM))
-    n_planes = (4 + N_ATTRS) if interp else 4
+    n_planes = (5 + N_ATTRS) if interp else 5
     out_specs = [
         pl.BlockSpec((1, n_planes, npx), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -445,35 +447,32 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     blk = outs[0]
     if sparse:
         # scatter program blocks back to the full tile layout; untouched
-        # tiles read as empty (depth clear 1.0, no winner)
+        # tiles read as empty (depth clear 1.0, no winner = tri -1)
         fill = jnp.zeros((n_planes, 1), jnp.float32)
         fill = fill.at[0, 0].set(1.0)
-        fill = fill.at[1, 0].set(
-            jax.lax.bitcast_convert_type(jnp.int32(_BIG_ID), jnp.float32))
+        fill = fill.at[1, 0].set(-1.0)
         full = jnp.broadcast_to(fill[None], (n_tiles, n_planes, npx))
         blk = full.at[tile_map].set(blk)
     depth = blk[:, 0]
-    tri = jax.lax.bitcast_convert_type(blk[:, 1], jnp.int32)
-    bary = blk[:, 2:4]
+    tri_fp = blk[:, 1]
+    mat_fp = blk[:, 2]
+    bary = blk[:, 3:5]
 
     def untile(a):
         a = a.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
         return a.reshape(nty * tile_h, ntx * tile_w)[:height, :width]
 
-    # the kernel outputs the winner's aux word directly (selected
+    # the kernel outputs the winner's tri/mat ids directly (selected
     # in-register from the pair rows) — no [H,W] gather needed
-    aux = untile(tri)
-    won = aux != _BIG_ID
+    tri_id = untile(tri_fp).astype(jnp.int32)   # exact int-valued floats
     if prepared.has_mat:
-        tri_id = jnp.where(won, aux & (TRI_LIMIT - 1), -1)
-        mat_id = jnp.where(won, aux >> MAT_SHIFT, 0)
+        mat_id = jnp.where(tri_id >= 0, untile(mat_fp).astype(jnp.int32), 0)
     else:
-        tri_id = jnp.where(won, aux, -1)
         mat_id = None
     b0 = untile(bary[:, 0])
     b1 = untile(bary[:, 1])
     g = GBuffer(untile(depth), tri_id, jnp.stack([b0, b1], axis=-1), mat_id)
     if not interp:
         return g
-    attrs = jnp.stack([untile(blk[:, 4 + a]) for a in range(N_ATTRS)], axis=-1)
+    attrs = jnp.stack([untile(blk[:, 5 + a]) for a in range(N_ATTRS)], axis=-1)
     return g, attrs

@@ -25,13 +25,13 @@ def golden_cases():
 
     def multimesh():
         return procedural.sponza_scene(width=w, height=h, n_textures=8,
-                                       target_tris=2_000)
+                                       target_tris=1_500)
 
     def bindless():
         return procedural.sponza_scene(width=w, height=h, n_textures=48,
-                                       target_tris=4_000)
+                                       target_tris=2_000)
 
-    base = RenderConfig(width=w, height=h, shadow_extent=256)
+    base = RenderConfig(width=w, height=h, shadow_extent=128)
     return [
         # 1. single textured cube, one directional Phong light
         ("cube_phong", cube,

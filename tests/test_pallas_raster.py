@@ -70,7 +70,7 @@ class TestPallasProductionPaths:
     """The branches the headline frame actually runs on TPU."""
 
     def test_attr_interpolation_matches_barycentric_resolve(self, rng):
-        w, h = 64, 48
+        w, h = 48, 32
         n = 14
         s = random_setup(rng, n=n, w=w, h=h)
         vidx = jnp.arange(3 * n, dtype=jnp.int32).reshape(n, 3)

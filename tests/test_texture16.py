@@ -43,7 +43,7 @@ class TestTexture16:
         np.testing.assert_array_equal(back, img)
 
     def test_atlas_no_banding(self):
-        img = _gradient16(256)
+        img = _gradient16(128)
         tc = TextureCache()
         tc.add_texture(img, mips=False)
         dev = tc.build_atlas()
@@ -53,14 +53,14 @@ class TestTexture16:
         # sample every texel center at mip 0: values must be u16-exact,
         # i.e. adjacent texels differ by 73/65535 (an 8-bit pipeline
         # quantizes them onto the same 1/255 step)
-        xs = (jnp.arange(256, dtype=jnp.float32) + 0.5) / 256.0
-        uv = jnp.stack([xs, jnp.full_like(xs, 0.5)], -1)[None]  # [1,256,2]
+        xs = (jnp.arange(128, dtype=jnp.float32) + 0.5) / 128.0
+        uv = jnp.stack([xs, jnp.full_like(xs, 0.5)], -1)[None]  # [1,128,2]
         out = sampling.sample_texture(dev["atlas"], jnp.asarray(dev["tex_table"]),
                                       jnp.asarray(dev["mip_y"]),
                                       jnp.asarray(dev["mip_x"]),
-                                      jnp.zeros((1, 256), jnp.int32), uv)
+                                      jnp.zeros((1, 128), jnp.int32), uv)
         got = np.asarray(out)[0, :, 0]
-        want = (np.arange(256) * 73) / 65535.0
+        want = (np.arange(128) * 73) / 65535.0
         np.testing.assert_allclose(got, want, atol=1.5 / 65535.0)
         steps = np.diff(got)
         assert (steps > 0).all(), "banding: repeated quantized values"

@@ -24,8 +24,8 @@ def random_setup(rng, n=60, w=96, h=80, cull=CullMode.NONE):
 
 class TestBinning:
     def test_bins_cover_valid_triangles(self, rng):
-        w = h = 64
-        s = random_setup(rng, n=40, w=w, h=h)
+        w = h = 48
+        s = random_setup(rng, n=24, w=w, h=h)
         bins = bin_triangles(s, h, w, 8, 16, max_pairs=4096)
         assert int(bins.n_overflow) == 0
         # every valid triangle appears in at least one bin
@@ -43,8 +43,8 @@ class TestBinning:
 
 class TestTiledMatchesReference:
     def test_exact_match_random(self, rng):
-        w, h = 96, 80
-        s = random_setup(rng, n=60, w=w, h=h)
+        w, h = 64, 56
+        s = random_setup(rng, n=32, w=w, h=h)
         ref = rasterize_reference(s, h, w)
         til = rasterize_tiled(s, h, w, tile_h=8, tile_w=16, chunk=8, max_pairs=8192)
         np.testing.assert_array_equal(np.asarray(ref.tri_id), np.asarray(til.tri_id))
