@@ -1,11 +1,13 @@
 """Pallas TPU tile rasterizer — the production raster kernel.
 
 Grid: one program per 8x16-pixel subtile (128 pixels = one VPU vreg of
-lanes). Per-tile triangle lists come from ``binning.bin_triangles``; pair
-data is laid out OUTSIDE the kernel (one dense XLA row gather) as
+lanes) — or, for sparse passes, per COVERED subtile via a scalar-prefetched
+program->tile map. Per-tile triangle lists come from
+``binning.bin_triangles``; pair data is laid out OUTSIDE the kernel (one
+dense XLA row gather) as
 
-    pair_data [P2, 24|48] f32   cols: e0(3) e1(3) e2(3) z(3) w(3)
-                                      tie-eps(3) [pad | attr planes 8x3]
+    pair_data [P2, 128] f32   cols: e0(3) e1(3) e2(3) z(3) w(3)
+                              tie-eps(3) tri_f mat_f [attr planes 8x3] pad
 
 The kernel DMAs each tile's segment in [CHUNK, cols] slabs and evaluates
 **8 pairs at a time across the VPU's sublanes**: a group's coefficient
@@ -272,7 +274,7 @@ class PreparedPairs(NamedTuple):
     same geometry+camera (e.g. successive depth-peel layers)."""
     bins: object                 # TileBins
     pair_data: jnp.ndarray       # [P2, 24|48] f32 pair-major coefficient rows
-    pair_aux: object             # unused (kernel selects aux in-register); kept for pytree shape compat
+    pair_aux: object             # always None (kernel selects ids in-register); kept for pytree shape compat
     has_mat: bool                # static: whether mat ids are packed in aux
 
 

@@ -181,16 +181,17 @@ class TextureCache:
     def build_atlas(self) -> dict:
         """Pack all textures. Returns the device dict:
 
-        - ``atlas``: [P, 2S, S, 16] uint8 — the **block atlas**: entry
+        - ``atlas``: [P, H, W, 4|8] uint32 — the **block atlas**: entry
           (p, y, x) holds the 2x2 RGBA texel block {(y,x), (y,x+1),
           (y+1,x), (y+1,x+1)} *with per-texture REPEAT wrap baked in*, so
-          one bilinear sample is ONE 16-byte gather (TPU gathers cost per
-          index, not per byte — measured u8[16] ~ u8[4]). All mip levels
-          live in the same array: level L of a page occupies rows
-          [mip_y[L], mip_y[L] + S>>L) at 1/2^L scale.
+          one bilinear sample is ONE row gather; rows are u32-packed
+          (width 4 = u8 content, 8 = u16 content — ~30% cheaper to
+          gather than 16 narrow elements). Mip 0 occupies rows
+          [0, used0); all levels >= 1 share rows [used0, 1.5*used0) side
+          by side at per-level offsets (mip_x).
         - ``tex_table``: int32 [N, 6] = (page, x, y, w, h, n_mips) at mip 0
-        - ``mip_y``: int32 [max_levels] row offset per level
-        - ``cubemap``: [6,S,S,4] uint8 (black 1-px if none)
+        - ``mip_y``/``mip_x``: int32 [max_levels] region offset per level
+        - ``cubemap``: [6,S,S,4] uint32 (u32-packed 2x2 blocks)
         """
         s = self.page_size
         # Shelf packing, biggest-first, offsets aligned to texture size so

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 
 def pack_shadow_blocks(shadow_maps: jnp.ndarray) -> jnp.ndarray:
-    """[NS,E,E] depth -> [NS,E//2+1,E//2+1,16] uint16 4x4 windows on a
+    """[NS,E,E] depth -> [NS,E//2+1,E//2+1,8] u32-packed 4x4 u16 windows on a
     stride-2 anchor grid: window (ay2,ax2) holds original rows/cols
     [2*a2-2, 2*a2+2). Depth is quantized to 16-bit unorm — the quantization
     step (1.5e-5) is far below the minimum shadow bias (0.005), so compare
