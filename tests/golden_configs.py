@@ -18,7 +18,7 @@ def golden_cases():
     """[(name, scene_factory, RenderConfig)] for BASELINE configs 1-5."""
     from renderengine_tpu.scene import procedural
 
-    w, h = 160, 120
+    w, h = 128, 96
 
     def cube():
         return procedural.cube_scene(textured=True, width=w, height=h)
