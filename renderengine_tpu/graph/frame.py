@@ -696,12 +696,17 @@ class FrameRenderer:
             t = int(self.scene_dev["tri_vidx"].shape[0])
             if (int(ov) > 0 and rc.pairs_per_tri < 64
                     and rc.pairs_per_tri * t < self._MAX_PAIRS):
+                # 1.5x growth: the sort/pack run over the whole static
+                # budget, so overshooting the needed budget is a per-frame
+                # tax long after the camera move that caused it
+                new_ppt = min(64, rc.pairs_per_tri
+                              + max(1, rc.pairs_per_tri // 2))
                 get_logger().warning(
                     "pair budget overflow (%d dropped): pairs_per_tri "
                     "%d -> %d, re-jitting", int(ov), rc.pairs_per_tri,
-                    rc.pairs_per_tri * 2)
+                    new_ppt)
                 cfg = cfg.replace(raster=dataclasses.replace(
-                    rc, pairs_per_tri=rc.pairs_per_tri * 2))
+                    rc, pairs_per_tri=new_ppt))
             bb = cfg.blend_pair_budget
             if int(blend_ov) > 0 and 0 < bb < self._MAX_PAIRS:
                 get_logger().warning(
