@@ -293,25 +293,25 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     setup_s = setup if is_full else restrict_rows(setup, y0, slice_h, fh)
     ap = (attribute_planes(setup, vo, scene["tri_vidx"])
           if backend == "pallas" else None)
+    opq_budget = (config.raster.pair_budget
+                  or _pair_budget(setup.coef.shape[0],
+                                  config.raster.pairs_per_tri))
     prep = None
     if backend == "pallas":
         from ..raster.pallas_raster import prepare_pallas_pairs
         prep = prepare_pallas_pairs(
-            setup_s, slice_h, w,
-            max_pairs=_pair_budget(setup.coef.shape[0],
-                                   config.raster.pairs_per_tri),
+            setup_s, slice_h, w, max_pairs=opq_budget,
             attr_planes=ap, tri_mat=scene["tri_material"])
         overflow = overflow + prep.bins.n_overflow
     elif return_stats and backend == "tiled":
         from ..raster.binning import bin_triangles
         b = bin_triangles(setup_s, slice_h, w, config.raster.tile_h,
-                          config.raster.tile_w,
-                          _pair_budget(setup.coef.shape[0],
-                                       config.raster.pairs_per_tri))
+                          config.raster.tile_w, opq_budget)
         overflow = overflow + b.n_overflow
     g, attrs = rasterize(setup_s, slice_h, w, config.raster, backend,
                          attr_planes=ap, y0=y0, full_height=fh,
-                         tri_mat=scene["tri_material"], prepared=prep)
+                         tri_mat=scene["tri_material"], prepared=prep,
+                         max_pairs=opq_budget)
 
     if attrs is not None:
         if g.mat_id is not None:
@@ -500,10 +500,11 @@ class FrameRenderer:
                 backend = "tiled"
         self.backend = backend
         if backend in ("pallas", "tiled") and config.raster.auto_tune_pairs:
+            ppt, abs_budget = self._estimate_pair_budget()
             self.config = config = config.replace(
                 raster=dataclasses.replace(
-                    config.raster,
-                    pairs_per_tri=self._estimate_pairs_per_tri()))
+                    config.raster, pairs_per_tri=ppt,
+                    pair_budget=abs_budget))
         has_translucent = int(dev["n_blend"]) > 0
         if (has_translucent and config.translucency
                 and backend in ("pallas", "tiled")
@@ -542,7 +543,7 @@ class FrameRenderer:
                                    shadow_lights=self._shadow_lights,
                                    return_stats=self._react_overflow))
 
-    def _estimate_pairs_per_tri(self) -> int:
+    def _estimate_pair_budget(self) -> tuple[int, int]:
         """Size the pair-table budget from the initial camera: count the
         (tile, triangle) pairs the scene actually produces (one cheap jit —
         setup + span sum, no sort) and keep 2x headroom, floor 2. The
@@ -567,10 +568,15 @@ class FrameRenderer:
         total = int(total_pairs(self.scene_dev, jnp.asarray(vp.view),
                                 jnp.asarray(vp.proj)))
         t = int(self.scene_dev["tri_vidx"].shape[0])
-        # 2x headroom, exact integer (the sort runs over the whole STATIC
-        # budget, so a pow2 round-up directly inflates the binning pass);
-        # overflow reaction (_poll_overflow) covers camera moves past it
-        return min(64, max(2, -(-2 * total // max(t, 1))))
+        # absolute budget with 1.8x headroom for the opaque pass (the
+        # sort/pack/row-gather all run over the whole STATIC budget, so
+        # every unused slot is a per-frame tax — but a re-jit hitch on a
+        # routine orbit is worse); the shadow pass keeps the per-tri
+        # multiplier (its spans differ from the camera view's). The
+        # overflow reaction covers camera moves past either.
+        ppt = min(64, max(2, -(-2 * total // max(t, 1))))
+        abs_budget = min(self._MAX_PAIRS, int(1.8 * total) + 8192)
+        return ppt, abs_budget
 
     def _estimate_blend_budgets(self) -> tuple[float, int, int]:
         """Size the translucency budgets from the initial camera: the
@@ -639,8 +645,9 @@ class FrameRenderer:
         h, w = self.config.render_extent()
         u = uniforms.pack_params(self.params_for_camera(view_props), self.n_shadows)
         params = unpack_params(jnp.asarray(u), self.n_shadows)
-        budget = _pair_budget(self.scene_dev["tri_vidx"].shape[0],
-                              self.config.raster.pairs_per_tri)
+        budget = (self.config.raster.pair_budget
+                  or _pair_budget(self.scene_dev["tri_vidx"].shape[0],
+                                  self.config.raster.pairs_per_tri))
         eth, etw = _effective_tiles(self.config.raster, self.backend)
 
         @jax.jit
@@ -694,11 +701,19 @@ class FrameRenderer:
             cfg = self.config
             rc = cfg.raster
             t = int(self.scene_dev["tri_vidx"].shape[0])
-            if (int(ov) > 0 and rc.pairs_per_tri < 64
+            if int(ov) > 0 and 0 < rc.pair_budget < self._MAX_PAIRS:
+                # absolute opaque budget (the auto-tuned path): 1.5x
+                # growth — the sort/pack run over the whole static budget,
+                # so overshooting is a per-frame tax after the camera move
+                nb = min(self._MAX_PAIRS,
+                         rc.pair_budget + max(8192, rc.pair_budget // 2))
+                get_logger().warning(
+                    "pair budget overflow (%d dropped): budget %d -> %d, "
+                    "re-jitting", int(ov), rc.pair_budget, nb)
+                cfg = cfg.replace(raster=dataclasses.replace(
+                    rc, pair_budget=nb))
+            elif (int(ov) > 0 and rc.pairs_per_tri < 64
                     and rc.pairs_per_tri * t < self._MAX_PAIRS):
-                # 1.5x growth: the sort/pack run over the whole static
-                # budget, so overshooting the needed budget is a per-frame
-                # tax long after the camera move that caused it
                 new_ppt = min(64, rc.pairs_per_tri
                               + max(1, rc.pairs_per_tri // 2))
                 get_logger().warning(

@@ -83,3 +83,26 @@ class TestOverflowReaction:
         assert r.config.raster.pairs_per_tri > before
         np.testing.assert_array_equal(img, ref)
         assert r.binning_stats()["overflow"] == 0
+
+    def test_absolute_budget_growth(self):
+        """The auto-tuned ABSOLUTE pair budget grows by 1.5x on overflow
+        (the path the headline bench runs)."""
+        import dataclasses
+
+        w, h = 64, 48
+        sc = _dense_scene(w, h, n_quads=1200)
+        ref = np.asarray(FrameRenderer(sc, _cfg(w, h),
+                                       backend="reference").render())
+        r = FrameRenderer(sc, _cfg(w, h), backend="tiled")
+        r.config = r.config.replace(raster=dataclasses.replace(
+            r.config.raster, pair_budget=4096))
+        r._react_overflow = True
+        r._rebuild_frame_fn()
+        before = r.config.raster.pair_budget
+        np.asarray(r.render())
+        for _ in range(8):
+            img = np.asarray(r.render())
+            if (img == ref).all():
+                break
+        assert r.config.raster.pair_budget > before
+        np.testing.assert_array_equal(img, ref)
