@@ -90,10 +90,14 @@ class LiveViewer:
     """Owns the render loop, the input plumbing and the HTTP present."""
 
     def __init__(self, scene, config: RenderConfig, port: int = 8412,
-                 backend: str | None = None, target_fps: float = 60.0):
+                 backend: str | None = None, target_fps: float = 60.0,
+                 host: str = "127.0.0.1"):
         self.scene = scene
         self.config = config
         self.port = port
+        self.host = host  # loopback by default: the viewer exposes camera/
+        # config control and the frame stream; pass --host 0.0.0.0 to
+        # deliberately serve the network
         self.inputs = InputSystem()
         self.controller = CameraController(scene.camera,
                                            viewport=(config.width, config.height))
@@ -247,7 +251,7 @@ class LiveViewer:
 
     def start_server(self) -> int:
         """Start the HTTP server (daemon thread); returns the bound port."""
-        self._server = ThreadingHTTPServer(("0.0.0.0", self.port),
+        self._server = ThreadingHTTPServer((self.host, self.port),
                                            self._make_handler())
         self.port = self._server.server_address[1]
         threading.Thread(target=self._server.serve_forever,
@@ -284,6 +288,8 @@ def main(argv=None) -> int:
     parser.add_option("port", "HTTP port (default 8412)")
     parser.add_option("shadowExtent", "shadow map resolution (default 2048)")
     parser.add_option("fps", "target fps (default 60)")
+    parser.add_option("host", "bind address (default 127.0.0.1; use "
+                      "0.0.0.0 to expose on the network)")
     if not parser.parse(argv):
         return -1
     engine.init()
@@ -298,7 +304,8 @@ def main(argv=None) -> int:
     cfg = RenderConfig(width=width, height=height,
                        shadow_extent=parser.get_int("shadowExtent", 2048))
     LiveViewer(scene, cfg, port=parser.get_int("port", 8412),
-               target_fps=parser.get_float("fps", 60.0)).run()
+               target_fps=parser.get_float("fps", 60.0),
+               host=parser.get_string("host", "127.0.0.1")).run()
     return 0
 
 

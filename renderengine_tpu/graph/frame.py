@@ -181,34 +181,55 @@ def shade_sparse(shade_fn, frag, height: int, width: int,
 
 
 def render_shadow_maps(scene, world_pos, shadow_viewproj, extent: int,
-                       n_shadows: int, rc: RasterConfig, backend: str):
+                       n_shadows: int, rc: RasterConfig, backend: str,
+                       max_pairs: int | None = None):
     """Depth-only raster per shadow map (reference ``ShadowSystem::Render``,
     front-culled to reduce peter-panning, ``ShadowSystem.cpp:37-53``).
-    shadow_viewproj: [NS,4,4]. Returns [NS,E,E] f32."""
+    shadow_viewproj: [NS,4,4]. Returns ([NS,E,E] f32, overflow i32): the
+    shadow views' tile spans differ from the camera view's, so their
+    binning overflow is counted separately ('overflow is counted, not
+    silent' holds for every raster pass)."""
     world_h = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], axis=-1)
     maps = []
+    overflow = jnp.zeros((), jnp.int32)
     for si in range(n_shadows):
         m = shadow_viewproj[si]
         clip = (m[None, :, :] * world_h[:, None, :]).sum(-1)
         s = triangle_setup(clip, scene["tri_vidx"], scene["n_tris"], extent, extent,
                            CullMode.FRONT)
-        g, _ = rasterize(s, extent, extent, rc, backend)
+        budget = max_pairs or _pair_budget(s.coef.shape[0], rc.pairs_per_tri)
+        if backend == "pallas":
+            from ..raster.pallas_raster import prepare_pallas_pairs
+            prep = prepare_pallas_pairs(s, extent, extent, max_pairs=budget)
+            overflow = overflow + prep.bins.n_overflow
+            g, _ = rasterize(s, extent, extent, rc, backend, prepared=prep,
+                             max_pairs=budget)
+        else:
+            if backend == "tiled":
+                from ..raster.binning import bin_triangles
+                b = bin_triangles(s, extent, extent, rc.tile_h, rc.tile_w,
+                                  budget)
+                overflow = overflow + b.n_overflow
+            g, _ = rasterize(s, extent, extent, rc, backend, max_pairs=budget)
         maps.append(g.depth)
-    return jnp.stack(maps)
+    return jnp.stack(maps), overflow
 
 
 def render_shadow_pass(scene, uniform, config: RenderConfig, n_shadows: int,
-                       backend: str = "reference") -> jnp.ndarray:
+                       backend: str = "reference", max_pairs: int | None = None,
+                       return_overflow: bool = False):
     """Standalone shadow depth pass, cached across frames by the caller —
     the reference renders it once until marked dirty
     (``RenderScene.cpp:170-181``), while the shadow *transforms* keep
     updating per frame (``ShadowSystem::Update``); we replicate both."""
     params = unpack_params(uniform, n_shadows)
-    maps = render_shadow_maps(scene, scene["world_pos"], params["shadow_viewproj"],
-                              config.shadow_extent, n_shadows,
-                              config.raster, backend)
+    maps, overflow = render_shadow_maps(
+        scene, scene["world_pos"], params["shadow_viewproj"],
+        config.shadow_extent, n_shadows, config.raster, backend,
+        max_pairs=max_pairs)
     # pack once per (cached) render: 3x3 PCF becomes 4 block gathers
-    return shadow_mod.pack_shadow_blocks(maps)
+    packed = shadow_mod.pack_shadow_blocks(maps)
+    return (packed, overflow) if return_overflow else packed
 
 
 def cached_vertex_outputs(scene, view, proj):
@@ -527,10 +548,11 @@ class FrameRenderer:
         self._react_overflow = (backend in ("pallas", "tiled")
                                 and config.raster.auto_tune_pairs)
         self._pending_overflow = []
+        # shadow pass keeps its own per-tri pair multiplier: its tile spans
+        # differ from the camera view's, and it is cached (re-rendered on
+        # overflow at worst once per mark_shadows_dirty)
+        self._shadow_ppt = self.config.raster.pairs_per_tri
         self._rebuild_frame_fn()
-        self._shadow_fn = jax.jit(partial(render_shadow_pass, config=config,
-                                          n_shadows=self.n_shadows,
-                                          backend=backend))
         self._shadow_maps = None
         self._shadows_dirty = True
 
@@ -542,6 +564,19 @@ class FrameRenderer:
                                    slots_used=self._slots_used,
                                    shadow_lights=self._shadow_lights,
                                    return_stats=self._react_overflow))
+        # keep the shadow fn in lockstep with config re-tunes so a later
+        # mark_shadows_dirty() never renders with a stale budget
+        self._rebuild_shadow_fn()
+
+    def _shadow_budget(self) -> int:
+        t = int(self.scene_dev["tri_vidx"].shape[0])
+        return min(self._MAX_PAIRS, self._shadow_ppt * t + 8192)
+
+    def _rebuild_shadow_fn(self) -> None:
+        self._shadow_fn = jax.jit(partial(
+            render_shadow_pass, config=self.config, n_shadows=self.n_shadows,
+            backend=self.backend, max_pairs=self._shadow_budget(),
+            return_overflow=True))
 
     def _estimate_pair_budget(self) -> tuple[int, int]:
         """Size the pair-table budget from the initial camera: count the
@@ -747,7 +782,22 @@ class FrameRenderer:
             self._poll_overflow()
         u = self.uniform_for_camera(view_props)
         if self.n_shadows > 0 and self._shadows_dirty:
-            self._shadow_maps = self._shadow_fn(self.scene_dev, u)
+            # cached pass: a blocking overflow check + regrow here is a
+            # one-off, not a per-frame stall
+            for _ in range(4):
+                maps, sov = self._shadow_fn(self.scene_dev, u)
+                if (not self._react_overflow or int(sov) == 0
+                        or self._shadow_budget() >= self._MAX_PAIRS
+                        or self._shadow_ppt >= 64):
+                    break
+                from ..utils.log import get_logger
+                self._shadow_ppt = min(64, self._shadow_ppt * 2)
+                get_logger().warning(
+                    "shadow pair budget overflow (%d dropped): "
+                    "pairs_per_tri -> %d, re-rendering", int(sov),
+                    self._shadow_ppt)
+                self._rebuild_shadow_fn()
+            self._shadow_maps = maps
             self._shadows_dirty = False
         out = self._fn(self.scene_dev, u, self._shadow_maps)
         if self._react_overflow:

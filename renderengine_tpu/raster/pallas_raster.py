@@ -276,6 +276,10 @@ class PreparedPairs(NamedTuple):
     pair_data: jnp.ndarray       # [P2, 24|48] f32 pair-major coefficient rows
     pair_aux: object             # always None (kernel selects ids in-register); kept for pytree shape compat
     has_mat: bool                # static: whether mat ids are packed in aux
+    chunk: int = CHUNK           # pack-time DMA slab size; P2 was rounded
+    #                              for THIS chunk, so raster calls must not
+    #                              use a larger one (the last aligned slab
+    #                              would read past the table)
 
 
 def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None,
@@ -316,7 +320,7 @@ def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None,
     tri = jnp.pad(jnp.clip(bins.pair_tri, 0, t - 1), (0, p2 - max_pairs))
     tri = jnp.where(live, tri, 0)
     pair_data = jnp.where(live[:, None], rows[tri], 0.0)    # [P2, n_cols]
-    return PreparedPairs(bins, pair_data, None, has_mat)
+    return PreparedPairs(bins, pair_data, None, has_mat, chunk)
 
 
 def prepare_pallas_pairs(setup: TriSetup, height: int, width: int,
@@ -382,6 +386,10 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         prepared = prepare_pallas_pairs(setup, height, width, tile_h, tile_w,
                                         max_pairs, tri_offset, attr_planes,
                                         tri_mat, chunk)
+    elif chunk > prepared.chunk:
+        # the packed table's P2 was rounded for the pack-time chunk; a
+        # larger call-time slab would DMA past it — clamp to the packed one
+        chunk = prepared.chunk
     bins, pair_data = prepared.bins, prepared.pair_data
 
     peel = peel_bounds is not None

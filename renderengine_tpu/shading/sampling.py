@@ -171,13 +171,17 @@ def sample_texture_aniso(atlas, mip_y, mip_x, tex, n_mips, uv,
 
     acc = 0.0
     for i in range(max_aniso):
-        # GL-style: tap offsets (i+0.5)/N - 0.5 along the major axis;
-        # taps beyond the per-pixel N collapse onto the last valid slot
-        t = jnp.minimum(i + 0.5, n - 0.5) / n - 0.5
-        acc = acc + _bilinear_at_level_lod(atlas, tex, mip_y, mip_x,
-                                           uv + major * t[..., None],
-                                           n_mips, lod)
-    return acc * (1.0 / max_aniso)
+        # GL-style: tap offsets (i+0.5)/N - 0.5 along the major axis.
+        # Taps beyond the per-pixel N get ZERO weight and the sum is
+        # normalized by N per pixel — weighting collapsed taps 1/max_aniso
+        # each would shift the footprint centroid toward the last slot
+        # (up to ~0.9 texels at ratio 2 with max_aniso 16).
+        t = (i + 0.5) / n - 0.5
+        w = (i < n).astype(jnp.float32)[..., None]
+        acc = acc + w * _bilinear_at_level_lod(atlas, tex, mip_y, mip_x,
+                                               uv + major * t[..., None],
+                                               n_mips, lod)
+    return acc / n[..., None]
 
 
 def _bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv, n_mips, lod):

@@ -62,6 +62,8 @@ def profile_frame(renderer, reps: int = 6) -> dict:
         out["shadow_pass"] = time_jitted(
             lambda: renderer._shadow_fn(renderer.scene_dev, u), reps=reps)
         sm = renderer._shadow_fn(renderer.scene_dev, u)
+        if isinstance(sm, tuple):   # (packed maps, overflow counter)
+            sm = sm[0]
     else:
         sm = None
     out["frame"] = time_jitted(
