@@ -70,6 +70,12 @@ def main():
     img = r.render()
     img.block_until_ready()
     print(f"# compile+first frame: {time.time()-t0:.1f}s", file=sys.stderr)
+    # two more warmup frames: the renderer re-tunes the per-peel-layer
+    # shade budgets from the first frame's OBSERVED coverage (a one-time
+    # re-jit, like the reference building pipelines on first use) — absorb
+    # that compile here, not in the timed rounds
+    np.asarray(r.render())
+    np.asarray(r.render())
 
     if args.quick and r.backend == "pallas":
         # hardware-parity smoke check: the pallas kernel must agree with

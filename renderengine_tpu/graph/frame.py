@@ -180,6 +180,26 @@ def shade_sparse(shade_fn, frag, height: int, width: int,
     return out[:height, :width]
 
 
+# per-raster-call tile-count ceiling for the pallas kernel: its scalar
+# prefetch arrays (tile_map/starts/counts/phase, 4B each per tile) live in
+# SMEM; 32768 tiles (= a full 2048^2 map at 8x16 tiles) is known-good,
+# 4096^2 in one call (131072 tiles) exceeds SMEM. Bigger maps render as
+# row slices through the same y0/full_height path the sharded frame uses.
+_PALLAS_TILE_LIMIT = 32768
+
+
+def shadow_slices(extent: int, backend: str) -> int:
+    """Static row-slice count for a depth-only raster at ``extent``^2."""
+    if backend != "pallas":
+        return 1
+    from ..raster.pallas_raster import TILE_H, TILE_W
+    n_tiles = (-(-extent // TILE_H)) * (-(-extent // TILE_W))
+    n = -(-n_tiles // _PALLAS_TILE_LIMIT)
+    while extent % n or (extent // n) % TILE_H:
+        n += 1
+    return n
+
+
 def render_shadow_maps(scene, world_pos, shadow_viewproj, extent: int,
                        n_shadows: int, rc: RasterConfig, backend: str,
                        max_pairs: int | None = None):
@@ -188,30 +208,44 @@ def render_shadow_maps(scene, world_pos, shadow_viewproj, extent: int,
     shadow_viewproj: [NS,4,4]. Returns ([NS,E,E] f32, overflow i32): the
     shadow views' tile spans differ from the camera view's, so their
     binning overflow is counted separately ('overflow is counted, not
-    silent' holds for every raster pass)."""
+    silent' holds for every raster pass). 4096^2-class maps raster as row
+    slices (see ``_PALLAS_TILE_LIMIT``); ``max_pairs`` is the per-slice
+    budget."""
+    from ..raster.setup import restrict_rows
+
     world_h = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], axis=-1)
     maps = []
     overflow = jnp.zeros((), jnp.int32)
+    n_slices = shadow_slices(extent, backend)
+    slice_h = extent // n_slices
     for si in range(n_shadows):
         m = shadow_viewproj[si]
         clip = (m[None, :, :] * world_h[:, None, :]).sum(-1)
         s = triangle_setup(clip, scene["tri_vidx"], scene["n_tris"], extent, extent,
                            CullMode.FRONT)
         budget = max_pairs or _pair_budget(s.coef.shape[0], rc.pairs_per_tri)
-        if backend == "pallas":
-            from ..raster.pallas_raster import prepare_pallas_pairs
-            prep = prepare_pallas_pairs(s, extent, extent, max_pairs=budget)
-            overflow = overflow + prep.bins.n_overflow
-            g, _ = rasterize(s, extent, extent, rc, backend, prepared=prep,
-                             max_pairs=budget)
-        else:
-            if backend == "tiled":
-                from ..raster.binning import bin_triangles
-                b = bin_triangles(s, extent, extent, rc.tile_h, rc.tile_w,
-                                  budget)
-                overflow = overflow + b.n_overflow
-            g, _ = rasterize(s, extent, extent, rc, backend, max_pairs=budget)
-        maps.append(g.depth)
+        rows = []
+        for sl in range(n_slices):
+            y0 = sl * slice_h
+            ss = s if n_slices == 1 else restrict_rows(s, y0, slice_h, extent)
+            if backend == "pallas":
+                from ..raster.pallas_raster import prepare_pallas_pairs
+                prep = prepare_pallas_pairs(ss, slice_h, extent,
+                                            max_pairs=budget)
+                overflow = overflow + prep.bins.n_overflow
+                g, _ = rasterize(ss, slice_h, extent, rc, backend,
+                                 prepared=prep, max_pairs=budget,
+                                 y0=y0, full_height=extent)
+            else:
+                if backend == "tiled":
+                    from ..raster.binning import bin_triangles
+                    b = bin_triangles(ss, slice_h, extent, rc.tile_h,
+                                      rc.tile_w, budget)
+                    overflow = overflow + b.n_overflow
+                g, _ = rasterize(ss, slice_h, extent, rc, backend,
+                                 max_pairs=budget, y0=y0, full_height=extent)
+            rows.append(g.depth)
+        maps.append(rows[0] if n_slices == 1 else jnp.concatenate(rows, axis=0))
     return jnp.stack(maps), overflow
 
 
@@ -286,6 +320,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     is_full = slice_h == fh
     overflow = jnp.zeros((), jnp.int32)
     blend_overflow = jnp.zeros((), jnp.int32)
+    shade_tile_counts = []   # observed covered shade tiles per peel layer
 
     shadow_tf = None
     if config.shadows and n_shadows > 0:
@@ -304,7 +339,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                   else phong.phong_lighting)
     shade = _partial(base_shade, slots_used=slots_used,
                      shadow_lights=shadow_lights,
-                     max_aniso=config.max_anisotropy)
+                     max_aniso=config.max_anisotropy,
+                     debug_views=config.debug_views)
 
     # opaque base pass
     from ..raster.pallas_raster import attribute_planes
@@ -391,7 +427,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         layers = []
         n_tiles = ((-(-slice_h // config.raster.tile_h))
                    * (-(-w // config.raster.tile_w)))
-        budget = max(1, int(n_tiles * config.translucency_tile_fraction))
+        shared_budget = max(1, int(n_tiles * config.translucency_tile_fraction))
+        layer_budgets = config.blend_layer_tile_budgets
 
         def resolve_and_shade(fr):
             # resolve + shade on the compacted pseudo-image (few tiles)
@@ -419,7 +456,10 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             # static budget would render empty
             blend_overflow = blend_overflow + jnp.maximum(
                 (prep_t.bins.counts > 0).sum() - active, 0)
-        for _ in range(config.translucency_layers):
+        for li in range(config.translucency_layers):
+            budget = (layer_budgets[li] if li < len(layer_budgets)
+                      else shared_budget)
+            budget = max(1, min(int(budget), n_tiles))
             gt, attrs_t = rasterize(setup_ts, slice_h, w, config.raster,
                                     backend, peel_bounds=(prev, g.depth),
                                     attr_planes=ap_t, prepared=prep_t,
@@ -447,17 +487,20 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                     resolve_and_shade, sp_in,
                     slice_h, w, config.raster.tile_h, config.raster.tile_w,
                     max_tiles=budget)
-            if return_stats and budget < n_tiles:
-                # covered shade tiles beyond the static budget went
-                # unshaded: report so the renderer can grow the fraction
+            if return_stats:
+                # observed covered shade tiles per layer: feeds the
+                # reactive per-layer budget re-tune; beyond-budget tiles
+                # went unshaded => also fold into the overflow counter
                 th_, tw_ = config.raster.tile_h, config.raster.tile_w
                 ph_ = -(-slice_h // th_) * th_ - slice_h
                 pw_ = -(-w // tw_) * tw_ - w
                 ct = jnp.pad(covered_t, ((0, ph_), (0, pw_)))
                 ct = ct.reshape(-1, th_, ct.shape[1] // tw_, tw_)
                 n_cov = ct.any(axis=(1, 3)).sum()
-                blend_overflow = blend_overflow + jnp.maximum(
-                    n_cov - budget, 0)
+                shade_tile_counts.append(n_cov)
+                if budget < n_tiles:
+                    blend_overflow = blend_overflow + jnp.maximum(
+                        n_cov - budget, 0)
             layers.append((covered_t, rgba_t))
             prev = jnp.where(covered_t, gt.depth, 2.0)
         for covered_t, rgba_t in reversed(layers):
@@ -487,8 +530,11 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         rgb = rgb.reshape(slice_h // f, f, config.width, f, 3).mean(axis=(1, 3))
 
     img = encode_srgb8(rgb)
-    return img, {"pair_overflow": overflow,
-                 "blend_pair_overflow": blend_overflow}
+    stats = {"pair_overflow": overflow,
+             "blend_pair_overflow": blend_overflow}
+    if shade_tile_counts:
+        stats["blend_shade_tiles"] = jnp.stack(shade_tile_counts)
+    return img, stats
 
 
 class FrameRenderer:
@@ -548,10 +594,21 @@ class FrameRenderer:
         self._react_overflow = (backend in ("pallas", "tiled")
                                 and config.raster.auto_tune_pairs)
         self._pending_overflow = []
-        # shadow pass keeps its own per-tri pair multiplier: its tile spans
-        # differ from the camera view's, and it is cached (re-rendered on
-        # overflow at worst once per mark_shadows_dirty)
-        self._shadow_ppt = self.config.raster.pairs_per_tri
+        # observed per-peel-layer coverage (drives reactive re-tune)
+        self._blend_obs = []
+        self._polls_since_blend_retune = 0
+        self.blend_shrink_after = 12   # consecutive low observations before a shrink re-jit
+        self.blend_tile_floor = 16     # smallest per-layer shade budget
+        # shadow pass keeps its own pair budget: its tile spans differ
+        # wildly from the camera view's (a 4096^2 ortho fit of the whole
+        # scene), so measure them once at init — a mis-sized budget either
+        # drops shadow geometry or re-jits the expensive 4096^2 pass
+        if self.n_shadows > 0 and backend in ("pallas", "tiled") \
+                and config.raster.auto_tune_pairs:
+            self._shadow_budget_val = self._estimate_shadow_budget()
+        else:
+            self._shadow_budget_val = _pair_budget(
+                int(dev["tri_vidx"].shape[0]), config.raster.pairs_per_tri)
         self._rebuild_frame_fn()
         self._shadow_maps = None
         self._shadows_dirty = True
@@ -569,8 +626,53 @@ class FrameRenderer:
         self._rebuild_shadow_fn()
 
     def _shadow_budget(self) -> int:
-        t = int(self.scene_dev["tri_vidx"].shape[0])
-        return min(self._MAX_PAIRS, self._shadow_ppt * t + 8192)
+        return self._shadow_budget_val
+
+    def _estimate_shadow_budget(self) -> int:
+        """Measure the (tile, triangle) spans each shadow view produces at
+        the shadow extent (one cheap jit per map: setup + span sum, no
+        sort) and keep 1.3x headroom — the light fit tracks the scene, not
+        the camera, so the count is stable across frames. Big maps raster
+        in row slices (``shadow_slices``), so the budget is per-slice:
+        the worst slice's span count over all maps."""
+        e = self.config.shadow_extent
+        eth, etw = _effective_tiles(self.config.raster, self.backend)
+        n_slices = shadow_slices(e, self.backend)
+        sl_ty = (e // n_slices) // eth     # tile rows per slice
+        svp = self._fitting.shadow_transforms_for_scene(self.scene_host)
+
+        @jax.jit
+        def worst_slice_spans(scene, m):
+            world = scene["world_pos"]
+            world_h = jnp.concatenate(
+                [world, jnp.ones_like(world[:, :1])], axis=-1)
+            clip = (m[None, :, :] * world_h[:, None, :]).sum(-1)
+            s = triangle_setup(clip, scene["tri_vidx"], scene["n_tris"],
+                               e, e, CullMode.FRONT)
+            tx0 = s.bbox[:, 0] // etw
+            ty0 = s.bbox[:, 1] // eth
+            tx1 = s.bbox[:, 2] // etw
+            ty1 = s.bbox[:, 3] // eth
+            nx = tx1 - tx0 + 1
+            worst = jnp.zeros((), jnp.int32)
+            for sl in range(n_slices):
+                a, b = sl * sl_ty, (sl + 1) * sl_ty - 1
+                ny = jnp.minimum(ty1, b) - jnp.maximum(ty0, a) + 1
+                spans = jnp.where(s.valid & (ny > 0), nx * ny, 0).sum()
+                worst = jnp.maximum(worst, spans)
+            return worst
+
+        worst = max(int(worst_slice_spans(self.scene_dev,
+                                          jnp.asarray(m, jnp.float32)))
+                    for m in np.asarray(svp))
+        budget = int(1.3 * worst) + 8192
+        if budget > self._MAX_PAIRS:
+            from ..utils.log import get_logger
+            get_logger().warning(
+                "shadow span estimate %d exceeds the pair-table cap %d; "
+                "shadow maps may drop geometry (overflow is counted)",
+                budget, self._MAX_PAIRS)
+        return min(self._MAX_PAIRS, budget)
 
     def _rebuild_shadow_fn(self) -> None:
         self._shadow_fn = jax.jit(partial(
@@ -725,13 +827,17 @@ class FrameRenderer:
         frame unless the queue is deep."""
         grew = False
         while self._pending_overflow:
-            ov, blend_ov = self._pending_overflow[0]
+            st = self._pending_overflow[0]
+            ov = st["pair_overflow"]
+            blend_ov = st["blend_pair_overflow"]
             if (not grew and len(self._pending_overflow) <= 3
                     and hasattr(ov, "is_ready") and not ov.is_ready()):
                 break
             self._pending_overflow.pop(0)
             if grew:
                 continue
+            if "blend_shade_tiles" in st:
+                self._observe_blend_tiles(np.asarray(st["blend_shade_tiles"]))
             from ..utils.log import get_logger
             cfg = self.config
             rc = cfg.raster
@@ -758,23 +864,102 @@ class FrameRenderer:
                 cfg = cfg.replace(raster=dataclasses.replace(
                     rc, pairs_per_tri=new_ppt))
             bb = cfg.blend_pair_budget
-            if int(blend_ov) > 0 and 0 < bb < self._MAX_PAIRS:
-                get_logger().warning(
-                    "blend budget overflow (%d dropped): growing pair/"
-                    "tile/shade budgets, re-jitting", int(blend_ov))
+            if int(blend_ov) > 0:
                 # the counter folds pair, sparse-grid tile AND sparse-shade
-                # tile overflow; grow all three (sized together at init)
-                cfg = cfg.replace(
-                    blend_pair_budget=bb * 2,
-                    blend_tile_budget=min(2 * cfg.blend_tile_budget,
-                                          self._MAX_PAIRS)
-                    if cfg.blend_tile_budget else 0,
-                    translucency_tile_fraction=min(
-                        1.0, 2.0 * cfg.translucency_tile_fraction))
+                # tile overflow; grow every budget that exists. Per-layer
+                # shade budgets jump straight to 2x the OBSERVED coverage
+                # when it is larger than plain doubling (one re-jit, not a
+                # doubling ladder).
+                changed = {}
+                if 0 < bb < self._MAX_PAIRS:
+                    changed["blend_pair_budget"] = bb * 2
+                if cfg.blend_tile_budget:
+                    changed["blend_tile_budget"] = min(
+                        2 * cfg.blend_tile_budget, self._MAX_PAIRS)
+                if cfg.translucency_tile_fraction < 1.0:
+                    changed["translucency_tile_fraction"] = min(
+                        1.0, 2.0 * cfg.translucency_tile_fraction)
+                if cfg.blend_layer_tile_budgets:
+                    total = self._shade_tile_total()
+                    obs = (self._blend_obs[-1] if self._blend_obs
+                           else [0] * len(cfg.blend_layer_tile_budgets))
+                    changed["blend_layer_tile_budgets"] = tuple(
+                        min(total, max(2 * b, 2 * int(o)))
+                        for b, o in zip(cfg.blend_layer_tile_budgets, obs))
+                if changed:
+                    get_logger().warning(
+                        "blend budget overflow (%d dropped): growing %s, "
+                        "re-jitting", int(blend_ov), sorted(changed))
+                    cfg = cfg.replace(**changed)
             if cfg is not self.config:
                 self.config = cfg
                 self._rebuild_frame_fn()
                 grew = True
+        if not grew:
+            self._maybe_retune_blend_layers()
+
+    def _shade_tile_total(self) -> int:
+        h, w = self.config.render_extent()
+        return ((-(-h // self.config.raster.tile_h))
+                * (-(-w // self.config.raster.tile_w)))
+
+    def _observe_blend_tiles(self, counts: np.ndarray) -> None:
+        self._blend_obs.append(counts.astype(np.int64))
+        if len(self._blend_obs) > 16:
+            self._blend_obs.pop(0)
+        self._polls_since_blend_retune += 1
+
+    def _maybe_retune_blend_layers(self) -> None:
+        """Drive the per-peel-layer sparse-shade budgets from OBSERVED
+        coverage (previous frames' covered-tile counts) instead of the
+        initial-camera estimate: deeper layers usually cover far less than
+        layer 1 (a screen-filling banner has little banner-behind-banner),
+        so the shared budget shades ~2 full screens where ~1.1 suffices.
+
+        Policy (re-jits are pipeline-rebuild-class hitches, so be frugal):
+        - first ready observation -> set budgets = 2x observed, once;
+        - shrink only after ``blend_shrink_after`` consecutive
+          observations all below 1/4 of budget (growth is handled by the
+          overflow counter, which is exact).
+        """
+        if not self._blend_obs or not self._react_overflow:
+            return
+        n_tiles = self._shade_tile_total()
+        cur = self.config.blend_layer_tile_budgets
+        first = not cur
+
+        def target(c: int) -> int:
+            # 2x headroom; saturate to the dense path near full coverage
+            # (the sparse gather/scatter is pure overhead there)
+            t = 2 * int(c)
+            return n_tiles if t >= n_tiles else \
+                min(n_tiles, max(self.blend_tile_floor, t))
+
+        if first:
+            new = tuple(target(c) for c in self._blend_obs[-1])
+        else:
+            window = self._blend_obs[-self.blend_shrink_after:]
+            due = (len(window) >= self.blend_shrink_after
+                   and self._polls_since_blend_retune
+                   >= self.blend_shrink_after)
+            if not due:
+                return
+            worst = np.maximum.reduce(window)
+            new = tuple(target(c) for c in worst)
+            # shrink-only here (growth is the overflow counter's job, and
+            # it is exact); require a real gap to avoid re-jit churn
+            if not (len(new) == len(cur)
+                    and all(b <= c for b, c in zip(new, cur))
+                    and any(2 * b < c for b, c in zip(new, cur))):
+                return
+        if new != cur:
+            from ..utils.log import get_logger
+            get_logger().info(
+                "blend shade budgets <- observed coverage: %s -> %s "
+                "(of %d tiles), re-jitting", cur or "(shared)", new, n_tiles)
+            self.config = self.config.replace(blend_layer_tile_budgets=new)
+            self._rebuild_frame_fn()
+        self._polls_since_blend_retune = 0
 
     def render(self, view_props: ViewProperties | None = None) -> jnp.ndarray:
         """Returns the device image array (async); np.asarray() to fetch."""
@@ -787,22 +972,21 @@ class FrameRenderer:
             for _ in range(4):
                 maps, sov = self._shadow_fn(self.scene_dev, u)
                 if (not self._react_overflow or int(sov) == 0
-                        or self._shadow_budget() >= self._MAX_PAIRS
-                        or self._shadow_ppt >= 64):
+                        or self._shadow_budget() >= self._MAX_PAIRS):
                     break
                 from ..utils.log import get_logger
-                self._shadow_ppt = min(64, self._shadow_ppt * 2)
+                self._shadow_budget_val = min(
+                    self._MAX_PAIRS, self._shadow_budget_val * 2)
                 get_logger().warning(
                     "shadow pair budget overflow (%d dropped): "
-                    "pairs_per_tri -> %d, re-rendering", int(sov),
-                    self._shadow_ppt)
+                    "budget -> %d, re-rendering", int(sov),
+                    self._shadow_budget_val)
                 self._rebuild_shadow_fn()
             self._shadow_maps = maps
             self._shadows_dirty = False
         out = self._fn(self.scene_dev, u, self._shadow_maps)
         if self._react_overflow:
             img, stats = out
-            self._pending_overflow.append(
-                (stats["pair_overflow"], stats["blend_pair_overflow"]))
+            self._pending_overflow.append(stats)
             return img
         return out

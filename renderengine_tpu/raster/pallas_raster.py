@@ -271,7 +271,11 @@ MAT_LIMIT = 1 << 24            # ids must stay exact as integer-valued f32
 
 class PreparedPairs(NamedTuple):
     """Binned + packed pair tables, reusable across raster passes over the
-    same geometry+camera (e.g. successive depth-peel layers)."""
+    same geometry+camera (e.g. successive depth-peel layers).
+
+    Registered as a pytree with ``has_mat``/``chunk`` as STATIC aux data:
+    they steer trace-time decisions (output planes; DMA slab bounds), so
+    they must survive jit boundaries as Python values, not tracers."""
     bins: object                 # TileBins
     pair_data: jnp.ndarray       # [P2, 24|48] f32 pair-major coefficient rows
     pair_aux: object             # always None (kernel selects ids in-register); kept for pytree shape compat
@@ -280,6 +284,13 @@ class PreparedPairs(NamedTuple):
     #                              for THIS chunk, so raster calls must not
     #                              use a larger one (the last aligned slab
     #                              would read past the table)
+
+
+jax.tree_util.register_pytree_node(
+    PreparedPairs,
+    lambda p: ((p.bins, p.pair_data, p.pair_aux), (p.has_mat, p.chunk)),
+    lambda aux, ch: PreparedPairs(*ch, *aux),
+)
 
 
 def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None,

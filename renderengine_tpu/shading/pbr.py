@@ -212,7 +212,7 @@ def _spot_attenuation(l, light_dir, cos_inner, cos_outer):
 def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                   shadow_maps=None, shadow_transforms=None,
                   slots_used=(True, True, True, True),
-                  shadow_lights=None, max_aniso=1):
+                  shadow_lights=None, max_aniso=1, debug_views=True):
     """Port of ``BRDF_Lighting``. Returns rgba (linear, pre-sRGB-encode).
 
     view_args: dict with view_pos [3], exposure, debug_input, debug_equation.
@@ -220,6 +220,10 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
     shadow_lights: optional static per-light bools (directional + has a
     shadow map) — without it every light pays the PCF window gather just
     to multiply the result by zero (the light-type test is traced).
+    ``debug_views``: static; False drops the debug-switch selects entirely
+    (the TPU analog of a spec constant — the reference's runtime uniform
+    branch, ``pbr.glsl:410-440``, is free on a GPU but the traced selects
+    cost real bandwidth here; RenderConfig.debug_views re-jits on toggle).
     """
     mat = remap_material(scene, mat_id, frag_pos, uv, frag_normal, slots_used,
                          max_aniso)
@@ -279,17 +283,21 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
             )
 
         l0 = l0 + jnp.where(in_range, (1.0 - shadow)[..., None] * light_result, 0.0)
-        last = {"fd": fd, "f": f, "g": g, "d": d, "fr": fr, "nol": nol, "nov": nov}
+        if debug_views:
+            last = {"fd": fd, "f": f, "g": g, "d": d, "fr": fr,
+                    "nol": nol, "nov": nov}
 
-    # debug views (pbr.glsl:410-440)
-    di = view_args["debug_input"]
-    de = view_args["debug_equation"]
     color = l0 + mat["emissive"][..., :3] * mat["emissive"][..., 3:4]
     color = color * view_args["exposure"]
     ambient = 0.03 * mat["base_color"][..., :3] * mat["occlusion"][..., None]
     color = color + ambient
     out = jnp.concatenate([color, mat["base_color"][..., 3:4]], axis=-1)
+    if not debug_views:
+        return out
 
+    # debug views (pbr.glsl:410-440)
+    di = view_args["debug_input"]
+    de = view_args["debug_equation"]
     ones = jnp.ones_like(mat["occlusion"][..., None])
 
     def rgba(rgb):
