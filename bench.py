@@ -55,9 +55,13 @@ def main():
                                     target_tris=args.tris)
     import dataclasses
     from renderengine_tpu.core.config import RasterConfig
+    # debug_views=False == the reference's runtime default (debug NONE);
+    # on TPU the zero-cost-when-off form of that uniform branch is
+    # trace-time specialization (toggling re-jits, like a pipeline rebuild)
     cfg = RenderConfig(width=args.width, height=args.height,
                        shadow_extent=args.shadow_extent,
                        translucency=not args.no_translucency,
+                       debug_views=False,
                        raster=RasterConfig(pairs_per_tri=args.pairs_per_tri))
     r = FrameRenderer(scene, cfg, backend=args.backend)
     n_tris = int(np.asarray(r.scene_dev["n_tris"]))

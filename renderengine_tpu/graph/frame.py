@@ -321,6 +321,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     overflow = jnp.zeros((), jnp.int32)
     blend_overflow = jnp.zeros((), jnp.int32)
     shade_tile_counts = []   # observed covered shade tiles per peel layer
+    shadow_stats = []        # (penumbra tiles, overflow) per shadow lookup
 
     shadow_tf = None
     if config.shadows and n_shadows > 0:
@@ -340,7 +341,9 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     shade = _partial(base_shade, slots_used=slots_used,
                      shadow_lights=shadow_lights,
                      max_aniso=config.max_anisotropy,
-                     debug_views=config.debug_views)
+                     debug_views=config.debug_views,
+                     penumbra_tiles=config.penumbra_tile_budget,
+                     shadow_stats=shadow_stats)
 
     # opaque base pass
     from ..raster.pallas_raster import attribute_planes
@@ -520,7 +523,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     if config.show_shadow_quad and shadow_maps is not None and is_full:
         # packed u32-pair 4x4 stride-2 windows: even texel (2a-2, 2b-2)
         # is the low u16 of word 0; a half-res preview is plenty
-        draw_src = (shadow_maps[0, 1:, 1:, 0]
+        draw_src = (shadow_maps.blocks[0, 1:, 1:, 0]
                     & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0
         rgb = draw_textured_quad(rgb, draw_src, grayscale=True)
 
@@ -534,6 +537,14 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
              "blend_pair_overflow": blend_overflow}
     if shade_tile_counts:
         stats["blend_shade_tiles"] = jnp.stack(shade_tile_counts)
+    if shadow_stats:
+        n_pen = shadow_stats[0][0]
+        pen_ov = jnp.zeros((), jnp.int32)
+        for np_, ov_ in shadow_stats:
+            n_pen = jnp.maximum(n_pen, np_)
+            pen_ov = pen_ov + ov_
+        stats["penumbra_tiles"] = n_pen
+        stats["penumbra_overflow"] = pen_ov
     return img, stats
 
 
@@ -599,6 +610,18 @@ class FrameRenderer:
         self._polls_since_blend_retune = 0
         self.blend_shrink_after = 12   # consecutive low observations before a shrink re-jit
         self.blend_tile_floor = 16     # smallest per-layer shade budget
+        self._pen_obs = []
+        self._polls_since_pen_retune = 0
+        self._pen_tuned = False
+        # two-stage PCF pays once the window table dwarfs the coarse one;
+        # start at 35% of tiles and let observation tighten it
+        if (self.n_shadows > 0 and backend in ("pallas", "tiled")
+                and config.raster.auto_tune_pairs
+                and config.shadow_extent >= 1024
+                and config.penumbra_tile_budget == 0):
+            self.config = config = config.replace(
+                penumbra_tile_budget=max(
+                    256, self._shade_tile_total() * 35 // 100))
         # shadow pass keeps its own pair budget: its tile spans differ
         # wildly from the camera view's (a 4096^2 ortho fit of the whole
         # scene), so measure them once at init — a mis-sized budget either
@@ -838,6 +861,8 @@ class FrameRenderer:
                 continue
             if "blend_shade_tiles" in st:
                 self._observe_blend_tiles(np.asarray(st["blend_shade_tiles"]))
+            if "penumbra_tiles" in st:
+                self._observe_penumbra(int(np.asarray(st["penumbra_tiles"])))
             from ..utils.log import get_logger
             cfg = self.config
             rc = cfg.raster
@@ -891,12 +916,28 @@ class FrameRenderer:
                         "blend budget overflow (%d dropped): growing %s, "
                         "re-jitting", int(blend_ov), sorted(changed))
                     cfg = cfg.replace(**changed)
+            pen_ov = st.get("penumbra_overflow")
+            if pen_ov is not None and int(pen_ov) > 0 \
+                    and cfg.penumbra_tile_budget:
+                # over-budget penumbra tiles rendered the fully-shadowed
+                # estimate this frame: jump to 1.5x the observed count
+                total = self._shade_tile_total()
+                obs = int(np.asarray(st["penumbra_tiles"]))
+                nb = min(total, max(2 * cfg.penumbra_tile_budget,
+                                    obs + obs // 2))
+                if nb > cfg.penumbra_tile_budget:
+                    get_logger().warning(
+                        "penumbra tile budget overflow (%d over): "
+                        "%d -> %d, re-jitting", int(pen_ov),
+                        cfg.penumbra_tile_budget, nb)
+                    cfg = cfg.replace(penumbra_tile_budget=nb)
             if cfg is not self.config:
                 self.config = cfg
                 self._rebuild_frame_fn()
                 grew = True
         if not grew:
             self._maybe_retune_blend_layers()
+            self._maybe_retune_penumbra()
 
     def _shade_tile_total(self) -> int:
         h, w = self.config.render_extent()
@@ -960,6 +1001,48 @@ class FrameRenderer:
             self.config = self.config.replace(blend_layer_tile_budgets=new)
             self._rebuild_frame_fn()
         self._polls_since_blend_retune = 0
+
+    def _observe_penumbra(self, count: int) -> None:
+        self._pen_obs.append(count)
+        if len(self._pen_obs) > 16:
+            self._pen_obs.pop(0)
+        self._polls_since_pen_retune += 1
+
+    def _maybe_retune_penumbra(self) -> None:
+        """Tighten the two-stage-PCF window budget to ~1.5x the OBSERVED
+        penumbra tile count (same frugal policy as the blend budgets:
+        one first-observation tune, then shrink only after a streak)."""
+        if not self._pen_obs or not self._react_overflow \
+                or not self.config.penumbra_tile_budget:
+            return
+        total = self._shade_tile_total()
+        cur = self.config.penumbra_tile_budget
+
+        def target(c: int) -> int:
+            return min(total, max(64, c + c // 2))
+
+        if not self._pen_tuned:
+            new = target(self._pen_obs[-1])
+            if new >= cur:       # only ever tightens at first observation
+                self._pen_tuned = True
+                return
+        else:
+            window = self._pen_obs[-self.blend_shrink_after:]
+            due = (len(window) >= self.blend_shrink_after
+                   and self._polls_since_pen_retune >= self.blend_shrink_after)
+            if not due:
+                return
+            new = target(max(window))
+            if not 2 * new < cur:          # real gap only
+                return
+        from ..utils.log import get_logger
+        get_logger().info(
+            "penumbra tile budget <- observed: %d -> %d (of %d tiles), "
+            "re-jitting", cur, new, total)
+        self.config = self.config.replace(penumbra_tile_budget=new)
+        self._rebuild_frame_fn()
+        self._pen_tuned = True
+        self._polls_since_pen_retune = 0
 
     def render(self, view_props: ViewProperties | None = None) -> jnp.ndarray:
         """Returns the device image array (async); np.asarray() to fetch."""

@@ -212,7 +212,8 @@ def _spot_attenuation(l, light_dir, cos_inner, cos_outer):
 def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                   shadow_maps=None, shadow_transforms=None,
                   slots_used=(True, True, True, True),
-                  shadow_lights=None, max_aniso=1, debug_views=True):
+                  shadow_lights=None, max_aniso=1, debug_views=True,
+                  penumbra_tiles=0, shadow_stats=None):
     """Port of ``BRDF_Lighting``. Returns rgba (linear, pre-sRGB-encode).
 
     view_args: dict with view_pos [3], exposure, debug_input, debug_equation.
@@ -278,7 +279,8 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                 compute_shadow_directional(
                     shadow_maps, shadow_transforms,
                     light["light_shadow_index"], light["light_pos"],
-                    frag_pos, n),
+                    frag_pos, n, penumbra_tiles=penumbra_tiles,
+                    stats_out=shadow_stats),
                 0.0,
             )
 

@@ -20,7 +20,8 @@ from .pbr import _slot, _sample_slot
 def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                    shadow_maps=None, shadow_transforms=None,
                    slots_used=(True, True, True, True),
-                   shadow_lights=None, max_aniso=1, debug_views=True):
+                   shadow_lights=None, max_aniso=1, debug_views=True,
+                   penumbra_tiles=0, shadow_stats=None):
     """Port of ``PhongLighting`` (phong.glsl:38-81), summed over lights.
     Light colors map: ambient = 0.03*color, diffuse = specular =
     intensity*color. Returns rgba (linear)."""
@@ -79,7 +80,9 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                 is_dir,
                 compute_shadow_directional(shadow_maps, shadow_transforms,
                                            scene["light_shadow_index"][li],
-                                           scene["light_pos"][li], frag_pos, n),
+                                           scene["light_pos"][li], frag_pos, n,
+                                           penumbra_tiles=penumbra_tiles,
+                                           stats_out=shadow_stats),
                 0.0)
 
         in_range = li < scene["n_lights"]

@@ -6,26 +6,54 @@ slope-scaled bias max(0.05*(1-N.L), 0.005), 3x3 PCF over texel offsets,
 border (``ShadowSystem.cpp:18-35``) — out-of-map lookups read depth 1.0 and
 therefore never shadow.
 
-TPU shape: the depth map is packed once per (cached) shadow render into
-4x4-texel windows anchored on a stride-2 grid, so the 9 PCF taps cost ONE
-32-byte gather. Stride-2 anchoring quarters the window table (gather cost
-grows with table size on this hardware — measured 17ms vs 36ms per 1080p
-gather pass at 34MB vs 134MB); the sub-anchor parity picks which 3x3 of
-the 4x4 window the taps read, via cheap VPU selects.
+TPU shape (two-stage, EXACT):
+
+1. The depth map is packed once per (cached) shadow render into 4x4-texel
+   u16 windows anchored on a stride-2 grid, so the 9 PCF taps cost ONE
+   32-byte gather — plus a COARSE table: per 8x8-texel cell, the min/max
+   quantized depth over the 10x10 apron that bounds every 3x3 footprint
+   centered in the cell (one u32 row: min | max<<16).
+2. The per-pixel lookup first gathers only the 4-byte coarse row (a
+   ~2 MB table at 4096^2 vs 134 MB of windows). Pixels whose threshold
+   clears the cell's min/max are EXACTLY fully-lit (no tap passes) or
+   fully-shadowed (every in-range tap passes: factor = n_in_range/9,
+   computed arithmetically). Only *penumbra* pixels — threshold inside
+   [min, max] — need the 32-byte window gather; they are compacted by
+   screen tile (static budget, overflow counted like every other budget)
+   and scattered back. Typical scenes have a few percent penumbra, so the
+   dominant PCF cost drops with it. Results are bit-exact with the dense
+   window path (asserted in tests/test_shadow_sparse.py).
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 
-def pack_shadow_blocks(shadow_maps: jnp.ndarray) -> jnp.ndarray:
-    """[NS,E,E] depth -> [NS,E//2+1,E//2+1,8] u32-packed 4x4 u16 windows on a
-    stride-2 anchor grid: window (ay2,ax2) holds original rows/cols
-    [2*a2-2, 2*a2+2). Depth is quantized to 16-bit unorm — the quantization
-    step (1.5e-5) is far below the minimum shadow bias (0.005), so compare
-    results are unchanged in practice. White (1.0) border baked in.
+class ShadowPack(NamedTuple):
+    """Packed shadow-map tables (one per shadow render, cached).
+
+    blocks: [NS, A, A, 8] u32 — stride-2-anchored 4x4 u16 windows
+            (A = E//2 + 1); the one-gather 3x3 PCF footprint.
+    coarse: [NS, C, C] u32 — per 8x8-texel cell (C = ceil(E/8)),
+            min | max << 16 of the quantized depth over the cell's 10x10
+            apron (bounds every 3x3 footprint centered in the cell).
+    """
+    blocks: jnp.ndarray
+    coarse: jnp.ndarray
+
+
+_CELL = 8   # coarse cell edge in texels
+
+
+def pack_shadow_blocks(shadow_maps: jnp.ndarray) -> ShadowPack:
+    """[NS,E,E] depth -> ShadowPack. Depth is quantized to 16-bit unorm —
+    the quantization step (1.5e-5) is far below the minimum shadow bias
+    (0.005), so compare results are unchanged in practice. White (1.0)
+    border baked in.
 
     A pixel with clipped center texel (iy', ix') (iy' = clip(iy,-1,E)) uses
     anchor a2 = (iy'+1) >> 1; its 3x3 taps iy'-1..iy'+1 fall inside the 4x4
@@ -44,17 +72,89 @@ def pack_shadow_blocks(shadow_maps: jnp.ndarray) -> jnp.ndarray:
     win = jnp.stack(rows, axis=-1)
     # ship as packed u32 rows (8 per window): ~30% cheaper to gather than
     # 16 u16 elements; the lookup bitcasts back in-register
-    return jax.lax.bitcast_convert_type(
+    blocks = jax.lax.bitcast_convert_type(
         win.reshape(win.shape[:-1] + (8, 2)), jnp.uint32)
 
+    # coarse min/max per 8x8 cell over its 10x10 apron (texel rows
+    # [8c-1, 8c+8]). p is padded by 2 with 65535; dropping its first
+    # row/col aligns apron row 8c-1 with pool-window start 8c (stride 8).
+    c = -(-e // _CELL)
+    pi = p[:, 1:, 1:].astype(jnp.int32)
+    need = _CELL * (c - 1) + _CELL + 2        # rows needed for c windows
+    if pi.shape[1] < need:
+        pi = jnp.pad(pi, ((0, 0), (0, need - pi.shape[1]),
+                          (0, need - pi.shape[2])), constant_values=65535)
+    mn = -jax.lax.reduce_window(
+        -pi, -(2**31 - 1), jax.lax.max,
+        (1, _CELL + 2, _CELL + 2), (1, _CELL, _CELL), "valid")
+    mx = jax.lax.reduce_window(
+        pi, 0, jax.lax.max,
+        (1, _CELL + 2, _CELL + 2), (1, _CELL, _CELL), "valid")
+    mn = mn[:, :c, :c]
+    mx = mx[:, :c, :c]
+    coarse = (mn | (mx << 16)).astype(jnp.uint32)
+    return ShadowPack(blocks, coarse)
 
-def compute_shadow_directional(shadow_blocks, shadow_transforms, shadow_index,
-                               light_pos, frag_pos, normal):
-    """shadow_blocks [NS,A,A,8] u32 from ``pack_shadow_blocks`` (A = E//2+1);
+
+def _window_pcf(blk32, threshold, u, v, py, px_, e):
+    """9-tap PCF sum from gathered 4x4 u32[8] windows. blk32 [...,8] u32;
+    returns the /9 factor (border-range tests included)."""
+    blk = jax.lax.bitcast_convert_type(blk32, jnp.uint16)
+    blk = blk.reshape(blk.shape[:-2] + (16,))             # [...,16] u16
+    d16 = blk.astype(jnp.float32) * (1.0 / 65535.0)
+    cmp = threshold[..., None] > d16     # tap passes => shadowed
+    cmp = cmp.reshape(cmp.shape[:-1] + (4, 4)).astype(jnp.float32)
+
+    inv_e = 1.0 / e
+    ue = u * inv_e
+    ve = v * inv_e
+    pyb = py.astype(bool)
+    pxb = px_.astype(bool)
+    shadow = jnp.zeros_like(threshold)
+    for dy in (-1, 0, 1):
+        rowa = jnp.where(pyb[..., None], cmp[..., 2 + dy, :], cmp[..., 1 + dy, :])
+        tv_in = (ve + dy * inv_e >= 0.0) & (ve + dy * inv_e < 1.0)
+        for dx in (-1, 0, 1):
+            d = jnp.where(pxb, rowa[..., 2 + dx], rowa[..., 1 + dx])
+            tu_in = (ue + dx * inv_e >= 0.0) & (ue + dx * inv_e < 1.0)
+            shadow = shadow + jnp.where(tu_in & tv_in, d, 0.0)
+    return shadow / 9.0
+
+
+def _n_in_range(u, v, e):
+    """How many of the 9 taps fall inside the map — pure arithmetic
+    (the white border contributes 0 to the PCF sum)."""
+    inv_e = 1.0 / e
+    ue = u * inv_e
+    ve = v * inv_e
+    nu = jnp.zeros_like(u)
+    nv = jnp.zeros_like(v)
+    for d in (-1, 0, 1):
+        nu = nu + ((ue + d * inv_e >= 0.0) & (ue + d * inv_e < 1.0))
+        nv = nv + ((ve + d * inv_e >= 0.0) & (ve + d * inv_e < 1.0))
+    return nu * nv
+
+
+def compute_shadow_directional(shadow_pack, shadow_transforms, shadow_index,
+                               light_pos, frag_pos, normal,
+                               penumbra_tiles: int = 0,
+                               tile_h: int = 8, tile_w: int = 128,
+                               stats_out: list | None = None):
+    """shadow_pack: ShadowPack (see ``pack_shadow_blocks``);
     shadow_transforms [NS,4,4] (= lightProj @ lightView, the
     MaterialShadowData.transform, ``shadow.glsl:31``); shadow_index scalar;
-    frag_pos/normal [H,W,3]. Returns shadow factor [H,W] (1 = shadowed)."""
-    ns, na, _, _ = shadow_blocks.shape
+    frag_pos/normal [H,W,3]. Returns shadow factor [H,W] (1 = shadowed).
+
+    ``penumbra_tiles`` > 0 enables the two-stage path: the 32-byte window
+    gather runs only on the K most-penumbra-populated (tile_h, tile_w)
+    screen tiles; other pixels resolve from the 4-byte coarse row exactly.
+    Penumbra tiles beyond K fall back to the fully-shadowed estimate and
+    are COUNTED (appended to ``stats_out`` as (n_penumbra_tiles, overflow))
+    so the renderer can react. 0 = dense single-stage (every pixel pays
+    the window gather).
+    """
+    blocks = shadow_pack.blocks
+    ns, na, _, _ = blocks.shape
     e = (na - 1) * 2
     idx = jnp.clip(shadow_index, 0, ns - 1)
     m = shadow_transforms[idx]  # [4,4]
@@ -69,6 +169,7 @@ def compute_shadow_directional(shadow_blocks, shadow_transforms, shadow_index,
     ld = light_pos - frag_pos
     ld = ld / jnp.maximum(jnp.linalg.norm(ld, axis=-1, keepdims=True), 1e-20)
     bias = jnp.maximum(0.05 * (1.0 - (normal * ld).sum(-1)), 0.005)
+    threshold = current - bias
 
     map_xy = 0.5 * (flp[..., :2] / safe_w[..., None]) + 0.5
     u = map_xy[..., 0] * e
@@ -76,37 +177,89 @@ def compute_shadow_directional(shadow_blocks, shadow_transforms, shadow_index,
     ix = jnp.floor(u).astype(jnp.int32)
     iy = jnp.floor(v).astype(jnp.int32)
 
-    # ONE 32-byte gather fetches a 4x4 window covering all 9 taps
     cy = jnp.clip(iy, -1, e)             # clipped center texel
     cx = jnp.clip(ix, -1, e)
     a2y = (cy + 1) >> 1
     a2x = (cx + 1) >> 1
     py = cy - 2 * a2y + 1                # window-local row of tap dy=-1: {0,1}
     px_ = cx - 2 * a2x + 1
-    blk32 = shadow_blocks.reshape(-1, 8)[(idx * na + a2y) * na + a2x]
-    blk = jax.lax.bitcast_convert_type(blk32, jnp.uint16)
-    blk = blk.reshape(blk.shape[:-2] + (16,))             # [H,W,16] u16
 
-    threshold = current - bias
-    d16 = blk.astype(jnp.float32) * (1.0 / 65535.0)
-    cmp = threshold[..., None] > d16     # [H,W,16] tap passes => shadowed
-    cmp = cmp.reshape(cmp.shape[:-1] + (4, 4)).astype(jnp.float32)
+    def dense():
+        blk32 = blocks.reshape(-1, 8)[(idx * na + a2y) * na + a2x]
+        return _window_pcf(blk32, threshold, u, v, py, px_, e)
 
-    # white border outside [0,1): tap texel t in range iff 0 <= t < e
-    inv_e = 1.0 / e
-    ue = u * inv_e
-    ve = v * inv_e
-    pyb = py.astype(bool)
-    pxb = px_.astype(bool)
-    shadow = jnp.zeros_like(current)
-    for dy in (-1, 0, 1):
-        rowa = jnp.where(pyb[..., None], cmp[..., 2 + dy, :], cmp[..., 1 + dy, :])
-        tv_in = (ve + dy * inv_e >= 0.0) & (ve + dy * inv_e < 1.0)
-        for dx in (-1, 0, 1):
-            d = jnp.where(pxb, rowa[..., 2 + dx], rowa[..., 1 + dx])
-            tu_in = (ue + dx * inv_e >= 0.0) & (ue + dx * inv_e < 1.0)
-            shadow = shadow + jnp.where(tu_in & tv_in, d, 0.0)
-    shadow = shadow / 9.0
+    if not penumbra_tiles:
+        shadow = dense()
+        return jnp.where(current > 1.0, 0.0, shadow)
 
-    # no shadow outside the light's far plane (shadow.glsl:37-39)
+    # --- two-stage path ---------------------------------------------------
+    c = shadow_pack.coarse.shape[1]
+    cell_y = jnp.clip(iy, 0, e - 1) >> 3
+    cell_x = jnp.clip(ix, 0, e - 1) >> 3
+    crow = shadow_pack.coarse.reshape(-1)[(idx * c + cell_y) * c + cell_x]
+    mn = (crow & jnp.uint32(0xFFFF)).astype(jnp.float32) * (1.0 / 65535.0)
+    mx = (crow >> 16).astype(jnp.float32) * (1.0 / 65535.0)
+
+    n_in = _n_in_range(u, v, e)
+    lit = (threshold <= mn) | (n_in == 0) | (current > 1.0)
+    full_sh = threshold > mx             # every in-range tap passes
+    easy_val = jnp.where(lit, 0.0, n_in * (1.0 / 9.0))
+    penumbra = ~(lit | full_sh)
+
+    h, wd = threshold.shape
+    nty = -(-h // tile_h)
+    ntx = -(-wd // tile_w)
+    n_tiles = nty * ntx
+    k = min(penumbra_tiles, n_tiles)
+    ph, pw = nty * tile_h - h, ntx * tile_w - wd
+
+    def tilefy(a, fill=0):
+        a = jnp.pad(a, ((0, ph), (0, pw)), constant_values=fill)
+        a = a.reshape(nty, tile_h, ntx, tile_w)
+        return jnp.moveaxis(a, 2, 1).reshape(n_tiles, tile_h, tile_w)
+
+    pt = tilefy(penumbra)
+    cnt = pt.reshape(n_tiles, -1).sum(-1)
+    n_pen = (cnt > 0).sum()
+    _, sel = jax.lax.top_k(cnt, k)
+
+    def gather_img(a, fill=0):
+        return tilefy(a, fill)[sel].reshape(k * tile_h, tile_w)
+
+    # compact the window-path inputs; recompute anchor indices in the
+    # compacted domain (pure arithmetic on the compacted planes)
+    us = gather_img(u)
+    vs = gather_img(v, fill=-10.0)       # padded px: off-map => factor 0
+    ts = gather_img(threshold)
+    ixs = jnp.floor(us).astype(jnp.int32)
+    iys = jnp.floor(vs).astype(jnp.int32)
+    cys = jnp.clip(iys, -1, e)
+    cxs = jnp.clip(ixs, -1, e)
+    a2ys = (cys + 1) >> 1
+    a2xs = (cxs + 1) >> 1
+    blk32 = blocks.reshape(-1, 8)[(idx * na + a2ys) * na + a2xs]
+    full_sub = _window_pcf(blk32, ts, us, vs,
+                           cys - 2 * a2ys + 1, cxs - 2 * a2xs + 1, e)
+
+    # scatter back + mark which tiles carry full results
+    r = full_sub.reshape(k, tile_h, tile_w)
+    out = jnp.zeros((n_tiles, tile_h, tile_w), full_sub.dtype)
+    out = out.at[sel].set(r, mode="drop")
+    have = jnp.zeros((n_tiles, 1, 1), bool).at[sel].set(True, mode="drop")
+    have = jnp.broadcast_to(have, (n_tiles, tile_h, tile_w))
+
+    def untile(a):
+        a = a.reshape(nty, ntx, tile_h, tile_w)
+        return jnp.moveaxis(a, 1, 2).reshape(nty * tile_h, ntx * tile_w)[:h, :wd]
+
+    full_map = untile(out)
+    have_map = untile(have)
+
+    if stats_out is not None:
+        stats_out.append((n_pen, jnp.maximum(n_pen - k, 0)))
+
+    # penumbra pixels beyond the budget fall back to the fully-shadowed
+    # estimate (counted above); easy pixels are exact either way
+    shadow = jnp.where(penumbra & have_map, full_map, easy_val)
+    shadow = jnp.where(penumbra & ~have_map, n_in * (1.0 / 9.0), shadow)
     return jnp.where(current > 1.0, 0.0, shadow)

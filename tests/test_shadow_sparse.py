@@ -1,0 +1,99 @@
+"""Two-stage PCF exactness: the coarse-min/max early-out plus compacted
+penumbra window gathers must be BIT-EXACT with the dense single-stage
+path whenever the penumbra tile budget is sufficient — and must count
+(not hide) over-budget penumbra tiles."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from renderengine_tpu.core.config import RenderConfig
+from renderengine_tpu.graph.frame import FrameRenderer
+from renderengine_tpu.scene import procedural
+from renderengine_tpu.shading import shadow as shadow_mod
+
+
+def _scene(w, h):
+    return procedural.sponza_scene(width=w, height=h, n_textures=8,
+                                   target_tris=2_000)
+
+
+class TestTwoStagePCF:
+    def test_bit_exact_with_dense(self):
+        w, h = 192, 144
+        sc = _scene(w, h)
+        cfg = RenderConfig(width=w, height=h, shadow_extent=256,
+                           skybox=False, translucency=False)
+        dense = np.asarray(FrameRenderer(
+            sc, cfg.replace(penumbra_tile_budget=0), backend="tiled").render())
+        n_tiles = (-(-h // 8)) * (-(-w // 128))
+        sparse = np.asarray(FrameRenderer(
+            sc, cfg.replace(penumbra_tile_budget=n_tiles),
+            backend="tiled").render())
+        np.testing.assert_array_equal(sparse, dense)
+
+    def test_partial_budget_still_exact_when_it_fits(self):
+        """With a budget covering the actual penumbra count the result
+        stays exact even though most tiles resolve from the coarse row."""
+        w, h = 192, 144
+        sc = _scene(w, h)
+        cfg = RenderConfig(width=w, height=h, shadow_extent=256,
+                           skybox=False, translucency=False)
+        r0 = FrameRenderer(sc, cfg.replace(penumbra_tile_budget=0),
+                           backend="tiled")
+        dense = np.asarray(r0.render())
+        # measure the true penumbra tile count via renderer stats
+        n_tiles = (-(-h // 8)) * (-(-w // 128))
+        r1 = FrameRenderer(sc, cfg.replace(penumbra_tile_budget=n_tiles),
+                           backend="tiled")
+        r1._react_overflow = True
+        r1._rebuild_frame_fn()
+        np.asarray(r1.render())
+        st = r1._pending_overflow[-1]
+        n_pen = int(np.asarray(st["penumbra_tiles"]))
+        assert 0 < n_pen < n_tiles, "scene should have partial penumbra"
+        assert int(np.asarray(st["penumbra_overflow"])) == 0
+
+        r2 = FrameRenderer(sc, cfg.replace(penumbra_tile_budget=n_pen),
+                           backend="tiled")
+        np.testing.assert_array_equal(np.asarray(r2.render()), dense)
+
+    def test_overflow_counted_and_grows(self):
+        w, h = 192, 144
+        sc = _scene(w, h)
+        cfg = RenderConfig(width=w, height=h, shadow_extent=256,
+                           skybox=False, translucency=False,
+                           penumbra_tile_budget=1)
+        r = FrameRenderer(sc, cfg, backend="tiled")
+        r._react_overflow = True
+        r._rebuild_frame_fn()
+        np.asarray(r.render())
+        st = r._pending_overflow[-1]
+        assert int(np.asarray(st["penumbra_overflow"])) > 0
+        before = r.config.penumbra_tile_budget
+        dense = np.asarray(FrameRenderer(
+            sc, cfg.replace(penumbra_tile_budget=0), backend="tiled").render())
+        for _ in range(6):
+            img = np.asarray(r.render())
+            if (img == dense).all():
+                break
+        assert r.config.penumbra_tile_budget > before
+        np.testing.assert_array_equal(img, dense)
+
+    def test_coarse_pack_bounds(self):
+        """Coarse rows bound every in-range tap's quantized depth."""
+        rng = np.random.default_rng(0)
+        e = 64
+        depth = rng.uniform(0, 1, (1, e, e)).astype(np.float32)
+        pack = shadow_mod.pack_shadow_blocks(jnp.asarray(depth))
+        q = np.round(np.clip(depth[0], 0, 1) * 65535).astype(np.int64)
+        coarse = np.asarray(pack.coarse)[0]
+        c = coarse.shape[0]
+        mn = (coarse & 0xFFFF).astype(np.int64)
+        mx = (coarse >> 16).astype(np.int64)
+        for cy in range(c):
+            for cx in range(c):
+                y0, y1 = max(0, 8 * cy - 1), min(e, 8 * cy + 9)
+                x0, x1 = max(0, 8 * cx - 1), min(e, 8 * cx + 9)
+                blockq = q[y0:y1, x0:x1]
+                assert mn[cy, cx] <= blockq.min()
+                assert mx[cy, cx] >= blockq.max()
