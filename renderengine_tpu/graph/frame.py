@@ -238,10 +238,9 @@ def render_shadow_maps(scene, world_pos, shadow_viewproj, extent: int,
                                  y0=y0, full_height=extent)
             else:
                 if backend == "tiled":
-                    from ..raster.binning import bin_triangles
-                    b = bin_triangles(ss, slice_h, extent, rc.tile_h,
-                                      rc.tile_w, budget)
-                    overflow = overflow + b.n_overflow
+                    from ..raster.binning import count_span_overflow
+                    overflow = overflow + count_span_overflow(
+                        ss, rc.tile_h, rc.tile_w, budget)
                 g, _ = rasterize(ss, slice_h, extent, rc, backend,
                                  max_pairs=budget, y0=y0, full_height=extent)
             rows.append(g.depth)
@@ -364,10 +363,9 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             attr_planes=ap, tri_mat=scene["tri_material"])
         overflow = overflow + prep.bins.n_overflow
     elif return_stats and backend == "tiled":
-        from ..raster.binning import bin_triangles
-        b = bin_triangles(setup_s, slice_h, w, config.raster.tile_h,
-                          config.raster.tile_w, opq_budget)
-        overflow = overflow + b.n_overflow
+        from ..raster.binning import count_span_overflow
+        overflow = overflow + count_span_overflow(
+            setup_s, config.raster.tile_h, config.raster.tile_w, opq_budget)
     g, attrs = rasterize(setup_s, slice_h, w, config.raster, backend,
                          attr_planes=ap, y0=y0, full_height=fh,
                          tri_mat=scene["tri_material"], prepared=prep,
@@ -422,10 +420,10 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 attr_planes=ap_t, tri_mat=scene["blend_tri_material"])
             blend_overflow = prep_t.bins.n_overflow
         elif return_stats and backend == "tiled":
-            from ..raster.binning import bin_triangles
-            bt = bin_triangles(setup_ts, slice_h, w, config.raster.tile_h,
-                               config.raster.tile_w, blend_budget)
-            blend_overflow = bt.n_overflow
+            from ..raster.binning import count_span_overflow
+            blend_overflow = count_span_overflow(
+                setup_ts, config.raster.tile_h, config.raster.tile_w,
+                blend_budget)
         prev = jnp.full((slice_h, w), -1.0, jnp.float32)
         layers = []
         n_tiles = ((-(-slice_h // config.raster.tile_h))

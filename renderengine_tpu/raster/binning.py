@@ -106,6 +106,18 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
                     n_overflow)
 
 
+def count_span_overflow(setup: TriSetup, tile_h: int, tile_w: int,
+                        max_pairs: int) -> jnp.ndarray:
+    """``TileBins.n_overflow`` without the sort: the (tile, triangle) pair
+    total is the bbox span sum, so the overflow count needs no binning —
+    used by stat-only paths that would otherwise bin twice."""
+    bbox = setup.bbox
+    nx = bbox[:, 2] // tile_w - bbox[:, 0] // tile_w + 1
+    ny = bbox[:, 3] // tile_h - bbox[:, 1] // tile_h + 1
+    total = jnp.where(setup.valid, nx * ny, 0).astype(jnp.int32).sum()
+    return jnp.maximum(total - max_pairs, 0)
+
+
 def _segment_ids_from_offsets(offsets, span, n_out: int):
     """Inverse of an exclusive scan: for each output slot, the segment id
     it belongs to. Scatter each non-empty segment's id at its head
