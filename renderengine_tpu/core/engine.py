@@ -35,6 +35,18 @@ def init(compile_cache_dir: str | None = None) -> None:
     except Exception:
         pass  # older jax without the knobs
 
+    # warm the host->device path with a tiny transfer: through remote-
+    # device relays the FIRST transfer of a process runs a slow cold path
+    # whose cost scales with size (measured: an 82 MB scene upload takes
+    # ~70 s cold vs 0.1 s after any warm transfer). Pay the fixed cold
+    # cost on 4 KB instead of the whole scene.
+    try:
+        import numpy as _np
+
+        jax.block_until_ready(jax.device_put(_np.zeros((8, 128), _np.float32)))
+    except Exception:
+        pass  # no device available (e.g. docs builds) — harmless
+
 
 def device_info() -> dict:
     """The PhysicalDevice-pick analog: report what we're running on."""

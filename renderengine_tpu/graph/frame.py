@@ -342,7 +342,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                      max_aniso=config.max_anisotropy,
                      debug_views=config.debug_views,
                      penumbra_tiles=config.penumbra_tile_budget,
-                     shadow_stats=shadow_stats)
+                     shadow_stats=shadow_stats,
+                     ibl_diffuse=config.ibl_diffuse)
 
     # opaque base pass
     from ..raster.pallas_raster import attribute_planes

@@ -114,6 +114,7 @@ class TextureCache:
     _textures: list = field(default_factory=list)   # list[_PendingTexture]
     _by_key: dict = field(default_factory=dict)     # dedup: path hash -> handle
     cubemap: np.ndarray | None = None               # [6,S,S,4] uint8
+    env_cube: np.ndarray | None = None              # [6,S,S,4] f32 HDR capture (ibl.render_environment_map)
 
     def add_texture(self, image: np.ndarray, key: str | None = None, mips: bool = True) -> int:
         """Register an image (any uint8 layout); returns the texture handle.
@@ -174,6 +175,15 @@ class TextureCache:
         f = np.asarray(faces, np.uint8)
         assert f.ndim == 4 and f.shape[0] == 6 and f.shape[1] == f.shape[2]
         self.cubemap = f
+
+    def set_environment(self, cube_f32: np.ndarray) -> None:
+        """Install the captured HDR environment cube (``ibl.
+        render_environment_map`` output) as the lighting environment —
+        the irradiance term (``RenderConfig.ibl_diffuse``) convolves it
+        at upload. Without one, the display skybox is used."""
+        f = np.asarray(cube_f32, np.float32)
+        assert f.ndim == 4 and f.shape[0] == 6 and f.shape[1] == f.shape[2]
+        self.env_cube = f
 
     def __len__(self) -> int:
         return len(self._textures)
@@ -275,6 +285,7 @@ class TextureCache:
                 rx = mip_x[lvl] + (x >> lvl)
                 atlas[page, ry : ry + mh, rx : rx + mw] = blk
 
+        irradiance = self._build_irradiance()
         cube = self.cubemap if self.cubemap is not None else np.zeros((6, 1, 1, 4), np.uint8)
         # cube block layout (clamp-to-edge): one 16B gather per bilinear tap
         cx = np.concatenate([cube[:, :, 1:], cube[:, :, -1:]], axis=2)
@@ -291,4 +302,27 @@ class TextureCache:
             "mip_y": mip_y,
             "mip_x": mip_x,
             "cubemap": np.ascontiguousarray(cube_blk).view(np.uint32),
+            "irradiance": irradiance,
         }
+
+    def _build_irradiance(self, size: int = 16) -> np.ndarray:
+        """Cosine-convolved diffuse irradiance cube [6,S,S,16] f32 (2x2
+        clamp-to-edge blocks like the skybox, so shading samples it with
+        one row gather): irradiance(n) = sum_w L(w) max(0, n.w) dA / pi,
+        the diffuse term the reference left as a todo (pbr.glsl:442).
+        Convolves the HDR env capture if installed, else the display
+        skybox (whose stored values the reference samples as linear —
+        the Unorm quirk, skybox.frag:30). Zeros if neither exists."""
+        from .procedural_env import cosine_convolve_cube  # lazy: tiny module
+
+        if self.env_cube is not None:
+            src = self.env_cube[..., :4]
+        elif self.cubemap is not None:
+            src = self.cubemap.astype(np.float32) / 255.0
+        else:
+            return np.zeros((6, 1, 1, 16), np.float32)
+        irr = cosine_convolve_cube(src, size)
+        cx = np.concatenate([irr[:, :, 1:], irr[:, :, -1:]], axis=2)
+        cy = np.concatenate([irr[:, 1:], irr[:, -1:]], axis=1)
+        cxy = np.concatenate([cx[:, 1:], cx[:, -1:]], axis=1)
+        return np.concatenate([irr, cx, cy, cxy], axis=-1).astype(np.float32)

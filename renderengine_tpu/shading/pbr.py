@@ -213,7 +213,7 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                   shadow_maps=None, shadow_transforms=None,
                   slots_used=(True, True, True, True),
                   shadow_lights=None, max_aniso=1, debug_views=True,
-                  penumbra_tiles=0, shadow_stats=None):
+                  penumbra_tiles=0, shadow_stats=None, ibl_diffuse=False):
     """Port of ``BRDF_Lighting``. Returns rgba (linear, pre-sRGB-encode).
 
     view_args: dict with view_pos [3], exposure, debug_input, debug_equation.
@@ -291,7 +291,15 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
 
     color = l0 + mat["emissive"][..., :3] * mat["emissive"][..., 3:4]
     color = color * view_args["exposure"]
-    ambient = 0.03 * mat["base_color"][..., :3] * mat["occlusion"][..., None]
+    if ibl_diffuse:
+        # diffuse irradiance from the captured environment — the term the
+        # reference leaves as a todo (pbr.glsl:442); replaces the flat
+        # 0.03 ambient (pbr.glsl:448) when enabled. One row gather from
+        # the tiny pre-convolved cube (scene.procedural_env).
+        irr = sampling.sample_cubemap_f32(scene["irradiance"], mat["normal"])
+        ambient = mat["diffuse"] * irr[..., :3] * mat["occlusion"][..., None]
+    else:
+        ambient = 0.03 * mat["base_color"][..., :3] * mat["occlusion"][..., None]
     color = color + ambient
     out = jnp.concatenate([color, mat["base_color"][..., 3:4]], axis=-1)
     if not debug_views:

@@ -21,7 +21,7 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                    shadow_maps=None, shadow_transforms=None,
                    slots_used=(True, True, True, True),
                    shadow_lights=None, max_aniso=1, debug_views=True,
-                   penumbra_tiles=0, shadow_stats=None):
+                   penumbra_tiles=0, shadow_stats=None, ibl_diffuse=False):
     """Port of ``PhongLighting`` (phong.glsl:38-81), summed over lights.
     Light colors map: ambient = 0.03*color, diffuse = specular =
     intensity*color. Returns rgba (linear)."""

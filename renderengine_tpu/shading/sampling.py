@@ -215,17 +215,12 @@ def sample_texture(atlas, tex_table, mip_y, mip_x, handle, uv, lod=None) -> jnp.
 
 # --- cubemap --------------------------------------------------------------
 
-def sample_cubemap(cube: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear cubemap sample (GL/Vulkan face conventions). cube
-    [6,S,S,16] uint8 2x2 blocks (clamp-to-edge baked in — see
-    scene.textures.build_atlas); dirs [...,3]. Returns rgba f32 [...,4].
-    One gather per sample."""
+def _cube_face_uv(dirs: jnp.ndarray):
+    """dirs [...,3] -> (face i32, u, v) with GL/Vulkan face conventions."""
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
-    # face selection
     is_x = (ax >= ay) & (ax >= az)
     is_y = (~is_x) & (ay >= az)
-    is_z = ~(is_x | is_y)
     face = jnp.where(
         is_x, jnp.where(x > 0, 0, 1),
         jnp.where(is_y, jnp.where(y > 0, 2, 3), jnp.where(z > 0, 4, 5)),
@@ -234,9 +229,14 @@ def sample_cubemap(cube: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     ma = jnp.maximum(ma, 1e-20)
     sc = jnp.where(is_x, jnp.where(x > 0, -z, z), jnp.where(is_y, x, jnp.where(z > 0, x, -x)))
     tc = jnp.where(is_y, jnp.where(y > 0, z, -z), -y)
-    u = 0.5 * (sc / ma + 1.0)
-    v = 0.5 * (tc / ma + 1.0)
+    return face, 0.5 * (sc / ma + 1.0), 0.5 * (tc / ma + 1.0)
 
+
+def _sample_cube_blocks(cube: jnp.ndarray, dirs: jnp.ndarray,
+                        gather) -> jnp.ndarray:
+    """Shared bilinear cube sampling over a 2x2-block table; ``gather``
+    maps flat indices -> [...,16] f32 block values."""
+    face, u, v = _cube_face_uv(dirs)
     s = cube.shape[1]
     st_x = u * s - 0.5
     st_y = v * s - 0.5
@@ -246,8 +246,24 @@ def sample_cubemap(cube: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     fy = (st_y - iy0.astype(jnp.float32))[..., None]
     x0 = jnp.clip(ix0, 0, s - 1)       # clamp-to-edge within the face
     y0 = jnp.clip(iy0, 0, s - 1)
-    blk = _gather_block(cube, (face * s + y0) * s + x0)
+    blk = gather((face * s + y0) * s + x0)
     c00, c10, c01, c11 = blk[..., 0:4], blk[..., 4:8], blk[..., 8:12], blk[..., 12:16]
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy
+
+
+def sample_cubemap(cube: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear cubemap sample (GL/Vulkan face conventions). cube
+    [6,S,S,16] uint8 2x2 blocks (clamp-to-edge baked in — see
+    scene.textures.build_atlas); dirs [...,3]. Returns rgba f32 [...,4].
+    One gather per sample."""
+    return _sample_cube_blocks(cube, dirs,
+                               lambda flat: _gather_block(cube, flat))
+
+
+def sample_cubemap_f32(cube: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of an f32 block cube [6,S,S,16] (e.g. the
+    irradiance map): same one-row-gather scheme, no unpack."""
+    return _sample_cube_blocks(
+        cube, dirs, lambda flat: cube.reshape(-1, 16)[flat])

