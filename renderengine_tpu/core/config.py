@@ -89,6 +89,8 @@ class RenderConfig:
     debug_views: bool = True  # trace the runtime debug-view switches (pbr.glsl:410-440). Static spec-constant analog: False drops the selects; toggling re-jits (a pipeline-rebuild-class hitch)
     penumbra_tile_budget: int = 0  # two-stage PCF: screen tiles allowed the full 32B window gather; other pixels resolve EXACTLY from the 4B coarse min/max row (shading/shadow.py). 0 = dense single-stage. FrameRenderer auto-tunes from observed penumbra at big shadow extents
     ibl_diffuse: bool = False  # consume the captured environment map as a diffuse irradiance term (replaces the flat 0.03 ambient) — one step beyond the reference's pbr.glsl:442 todo
+    alpha_mask: bool = False  # glTF-correct MASK cutoff test (discard alpha<cutoff) via a peeled cutoff pass; False = MASK draws opaque (the reference's live-path behavior)
+    mask_layers: int = 2      # cutoff-pass peel depth: fragments revealed through >= this many stacked discarded MASK layers fall back to the opaque surface behind
     blend_pair_budget: int = 0  # static blend-pass (tile,tri) pair budget; 0 = derive from raster.pairs_per_tri (blend geometry is few LARGE triangles — banners, glass — so its span profile needs its own budget, not the opaque per-tri one)
     blend_tile_budget: int = 0  # static covered-tile budget for the sparse peel raster grid; 0 = dense grid over every tile
     blend_layer_tile_budgets: tuple = ()  # per-PEEL-LAYER sparse-shade tile budgets (deeper layers usually cover far less than layer 1 — banner-behind-banner); () = the shared translucency_tile_fraction. Driven from observed per-layer coverage by FrameRenderer (reactive re-tune)

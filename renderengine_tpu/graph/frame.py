@@ -284,7 +284,7 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
                  has_translucent: bool = False,
                  slots_used=(True, True, True, True),
                  return_stats: bool = False,
-                 shadow_lights=None):
+                 shadow_lights=None, has_mask: bool = False):
     """The per-frame pass chain (minus the cached shadow depth).
     scene: device dict; uniform: packed per-frame float32 vector
     (``graph.uniforms``); shadow_maps: packed blocks or None.
@@ -296,7 +296,7 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     vo = cached_vertex_outputs(scene, params["view"], params["proj"])
     out = _frame_core(scene, params, vo, shadow_maps, config, n_shadows,
                       backend, has_translucent, slots_used, return_stats,
-                      shadow_lights=shadow_lights)
+                      shadow_lights=shadow_lights, has_mask=has_mask)
     return out if return_stats else out[0]
 
 
@@ -305,7 +305,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 has_translucent: bool, slots_used,
                 return_stats: bool = False,
                 y0=0, slice_h: int | None = None,
-                shadow_lights=None):
+                shadow_lights=None, has_mask: bool = False):
     """Slice-aware frame body shared by the single-chip path (y0=0,
     slice_h=H) and the multi-chip image-row-sharded path
     (``parallel.sharded``: y0 = device row offset, traced under
@@ -348,7 +348,12 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     # opaque base pass
     from ..raster.pallas_raster import attribute_planes
 
-    setup = triangle_setup(vo.clip, scene["tri_vidx"], scene["n_opaque"], w,
+    # opaque count: with the cutoff pass on, MASK tris leave the opaque list
+    # (they sit between n_opaque_strict and n_opaque) and draw in their own
+    # peeled pass below; otherwise they draw opaque (reference parity)
+    n_opq = (scene["n_opaque_strict"] if (config.alpha_mask and has_mask)
+             else scene["n_opaque"])
+    setup = triangle_setup(vo.clip, scene["tri_vidx"], n_opq, w,
                            fh, config.cull_mode)
     setup_s = setup if is_full else restrict_rows(setup, y0, slice_h, fh)
     ap = (attribute_planes(setup, vo, scene["tri_vidx"])
@@ -385,6 +390,62 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                                   y0=y0, full_height=fh)
     rgba = shade(scene, frag["pos"], frag["uv"], frag["normal"],
                  frag["mat_id"], view_args, shadow_maps, shadow_tf)
+    covered = frag["covered"]
+    depth_eff = g.depth
+
+    # alpha-MASK cutoff pass (beyond the reference's live path, which draws
+    # MASK opaque — GraphicsPipelineCache.cpp creates only opaque/blend
+    # pipelines): glTF semantics say discard fragments with sampled alpha <
+    # material.alphaCutoff. Discarding under a z-buffer means the surface
+    # BEHIND shows through, so we depth-peel the (small) MASK draw list
+    # front-to-back and keep the nearest PASSING fragment per pixel;
+    # stacked discarded layers beyond config.mask_layers fall back to the
+    # opaque surface. Shadows still treat MASK as opaque casters (parity).
+    if config.alpha_mask and has_mask:
+        setup_m = triangle_setup(vo.clip, scene["mask_tri_vidx"],
+                                 scene["n_mask"], w, fh, config.cull_mode)
+        setup_ms = (setup_m if is_full
+                    else restrict_rows(setup_m, y0, slice_h, fh))
+        ap_m = (attribute_planes(setup_m, vo, scene["mask_tri_vidx"])
+                if backend == "pallas" else None)
+        mask_budget = _pair_budget(setup_m.coef.shape[0],
+                                   config.raster.pairs_per_tri)
+        prep_m = None
+        if backend == "pallas":
+            from ..raster.pallas_raster import prepare_pallas_pairs
+            prep_m = prepare_pallas_pairs(
+                setup_ms, slice_h, w, max_pairs=mask_budget,
+                attr_planes=ap_m, tri_mat=scene["mask_tri_material"])
+            overflow = overflow + prep_m.bins.n_overflow
+        prev_m = jnp.full((slice_h, w), -1.0, jnp.float32)
+        resolved = jnp.zeros((slice_h, w), bool)
+        for _ in range(config.mask_layers):
+            gm, attrs_m = rasterize(setup_ms, slice_h, w, config.raster,
+                                    backend, peel_bounds=(prev_m, depth_eff),
+                                    attr_planes=ap_m, prepared=prep_m,
+                                    y0=y0, full_height=fh,
+                                    tri_mat=scene["mask_tri_material"],
+                                    max_pairs=mask_budget)
+            covered_m = gm.tri_id >= 0
+            if attrs_m is not None:
+                mat_m = (gm.mat_id if gm.mat_id is not None
+                         else scene["mask_tri_material"][jnp.maximum(gm.tri_id, 0)])
+                frag_m = {"pos": attrs_m[..., 0:3], "normal": attrs_m[..., 3:6],
+                          "uv": attrs_m[..., 6:8], "mat_id": mat_m}
+            else:
+                frag_m = resolve_attributes(scene, vo, setup_m.coef, gm,
+                                            slice_h, w, y0=y0, full_height=fh,
+                                            tri_table="mask_tri_packed")
+            rgba_m = shade(scene, frag_m["pos"], frag_m["uv"],
+                           frag_m["normal"], frag_m["mat_id"], view_args,
+                           shadow_maps, shadow_tf)
+            cutoff = scene["mat_core"][frag_m["mat_id"], 13]
+            accept = covered_m & (rgba_m[..., 3] >= cutoff) & ~resolved
+            rgba = jnp.where(accept[..., None], rgba_m, rgba)
+            depth_eff = jnp.where(accept, gm.depth, depth_eff)
+            resolved = resolved | accept
+            prev_m = jnp.where(covered_m, gm.depth, 2.0)
+        covered = covered | resolved
 
     # skybox where nothing was drawn (reference draws it last at far depth).
     # Reference quirk kept: the cubemap is a Unorm format sampled raw
@@ -393,9 +454,9 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     if config.skybox:
         sky = skybox.render_skybox(scene["cubemap"], params["inv_vp_rot"],
                                    slice_h, w, y0=y0, full_height=fh)
-        rgb = jnp.where(frag["covered"][..., None], rgba[..., :3], sky[..., :3])
+        rgb = jnp.where(covered[..., None], rgba[..., :3], sky[..., :3])
     else:
-        rgb = jnp.where(frag["covered"][..., None], rgba[..., :3], 0.0)
+        rgb = jnp.where(covered[..., None], rgba[..., :3], 0.0)
 
     # translucent pass: depth-peeled K nearest layers, composited
     # back-to-front with src-alpha blending — the order-correct version of
@@ -463,7 +524,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                       else shared_budget)
             budget = max(1, min(int(budget), n_tiles))
             gt, attrs_t = rasterize(setup_ts, slice_h, w, config.raster,
-                                    backend, peel_bounds=(prev, g.depth),
+                                    backend, peel_bounds=(prev, depth_eff),
                                     attr_planes=ap_t, prepared=prep_t,
                                     y0=y0, full_height=fh,
                                     max_pairs=blend_budget,
@@ -513,7 +574,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     # Grid, SURVEY 2.3; blended + depth-tested against the opaque z-buffer)
     if config.grid:
         rgb = grid_mod.render_grid(params["inv_vp"], params["view"],
-                                   params["proj"], g.depth, rgb,
+                                   params["proj"], depth_eff, rgb,
                                    y0=y0, full_height=fh)
 
     # shadow-map preview overlay (TexturedQuad grayscale mode; anchored to
@@ -596,6 +657,7 @@ class FrameRenderer:
                            ("mat_tex_base", "mat_tex_emissive",
                             "mat_tex_orm", "mat_tex_normal"))
         self._has_translucent = has_translucent
+        self._has_mask = int(dev.get("n_mask", 0)) > 0
         self._slots_used = slots_used
         self._shadow_lights = _static_shadow_lights(dev)
         # react-to-overflow: the frame fn also reports the binning
@@ -640,6 +702,7 @@ class FrameRenderer:
                                    n_shadows=self.n_shadows,
                                    backend=self.backend,
                                    has_translucent=self._has_translucent,
+                                   has_mask=self._has_mask,
                                    slots_used=self._slots_used,
                                    shadow_lights=self._shadow_lights,
                                    return_stats=self._react_overflow))

@@ -150,7 +150,8 @@ def render_frame_sharded(scene, params, shadow_maps, config: RenderConfig,
                          n_shadows: int, mesh: Mesh, backend: str = "tiled",
                          has_translucent: bool = False,
                          slots_used=(True, True, True, True),
-                         shadow_lights=None) -> jnp.ndarray:
+                         shadow_lights=None,
+                         has_mask: bool = False) -> jnp.ndarray:
     """Full multi-chip frame (minus the cached shadow pass — pass its
     packed blocks, or None). Returns [H,W,4] uint8 row-sharded over the
     mesh. Runs the SAME ``_frame_core`` as single-chip."""
@@ -165,7 +166,7 @@ def render_frame_sharded(scene, params, shadow_maps, config: RenderConfig,
         img, _ = fgraph._frame_core(
             scene_full, params_l, vo, shadow_l, config, n_shadows, backend,
             has_translucent, slots_used, y0=idx * hs, slice_h=hs,
-            shadow_lights=shadow_lights)
+            shadow_lights=shadow_lights, has_mask=has_mask)
         return img
 
     shadow_specs = P() if shadow_maps is not None else None
@@ -202,6 +203,7 @@ class ShardedRenderer:
         self._fn = jax.jit(partial(
             render_frame_sharded, config=config, n_shadows=self.n_shadows,
             mesh=mesh, backend=backend, has_translucent=has_translucent,
+            has_mask=int(np.asarray(dev.get("n_mask", 0))) > 0,
             slots_used=slots_used,
             shadow_lights=fgraph._static_shadow_lights(dev)))
         self._shadow_fn = jax.jit(partial(

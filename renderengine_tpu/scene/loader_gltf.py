@@ -162,7 +162,8 @@ def load_gltf(path, scene: Scene | None = None) -> Scene:
         mode = {"OPAQUE": AlphaMode.OPAQUE, "MASK": AlphaMode.MASK,
                 "BLEND": AlphaMode.BLEND}[m.get("alphaMode", "OPAQUE")]
         mat_handles.append(scene.materials.create_material_instance(
-            MaterialInstanceInfo(props, alpha_mode=mode)))
+            MaterialInstanceInfo(props, alpha_mode=mode,
+                                 alpha_cutoff=m.get("alphaCutoff", 0.5))))
     default_mat = scene.materials.create_material_instance(MaterialInstanceInfo())
 
     # lights (KHR_lights_punctual)

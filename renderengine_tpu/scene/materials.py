@@ -71,6 +71,7 @@ class MaterialProperties:
 class MaterialInstanceInfo:
     properties: MaterialProperties = field(default_factory=MaterialProperties)
     alpha_mode: AlphaMode = AlphaMode.OPAQUE
+    alpha_cutoff: float = 0.5  # glTF material.alphaCutoff (MASK mode only)
 
 
 @dataclass
@@ -109,6 +110,8 @@ class MaterialSystem:
             "mat_tex_normal": np.array([m.normals_texture for m in ms], np.int32),
             "mat_tex_ao": np.array([m.ao_texture for m in ms], np.int32),
             "mat_alpha_mode": np.array([int(a) for a in am], np.int32),
+            "mat_alpha_cutoff": np.array(
+                [i.alpha_cutoff for i in self.instances] or [0.5], np.float32),
         }
 
 

@@ -63,16 +63,24 @@ class Scene:
         pos, nrm, uv, vert_node, tri_vidx, tri_mat_handle, tri_node = self.meshes.build_arrays()
         transforms, normal_mats = self.tree.build_arrays()
 
-        # opaque/translucent split by material alpha mode
+        # opaque/mask/translucent split by material alpha mode. Order is
+        # opaque | MASK | blend, so "n_opaque" (opaque+MASK — the reference's
+        # live-path semantics: MASK draws opaque, GraphicsPipelineCache.cpp)
+        # and "n_opaque_strict" (true opaque only, used when the cutoff
+        # pass is enabled) are both contiguous prefixes.
         tri_mat = np.array([material_handle_index(int(h)) for h in tri_mat_handle], np.int32)
         mat_arrays = self.materials.build_arrays()
         alpha_modes = mat_arrays["mat_alpha_mode"]
-        is_blend = alpha_modes[tri_mat] == int(AlphaMode.BLEND) if len(tri_mat) else np.zeros(0, bool)
-        order = np.argsort(is_blend, kind="stable")
+        tri_mode = alpha_modes[tri_mat] if len(tri_mat) else np.zeros(0, np.int32)
+        # AlphaMode values already sort as opaque(0) < mask(1) < blend(2)
+        order = np.argsort(tri_mode, kind="stable")
         tri_vidx = tri_vidx[order]
         tri_mat = tri_mat[order]
         tri_node = tri_node[order]
-        n_opaque = int((~is_blend).sum())
+        tri_mode = tri_mode[order]
+        n_strict = int((tri_mode == int(AlphaMode.OPAQUE)).sum())
+        n_mask = int((tri_mode == int(AlphaMode.MASK)).sum())
+        n_opaque = n_strict + n_mask
         n_tris = len(tri_vidx)
 
         # pad with degenerate triangles
@@ -111,6 +119,15 @@ class Scene:
         blend_mat = np.concatenate([tri_mat[n_opaque:n_tris], np.zeros(bpad, np.int32)])
         blend_node = np.concatenate([tri_node[n_opaque:n_tris], np.zeros(bpad, np.int32)])
 
+        # dedicated MASK draw list (used only when RenderConfig.alpha_mask
+        # enables the glTF cutoff test; otherwise these tris stay in the
+        # n_opaque prefix and draw opaque, matching the reference)
+        mpad = (-n_mask) % 64 if n_mask else 64
+        mask_vidx = np.concatenate([tri_vidx[n_strict:n_opaque],
+                                    np.zeros((mpad, 3), np.int32)])
+        mask_mat = np.concatenate([tri_mat[n_strict:n_opaque], np.zeros(mpad, np.int32)])
+        mask_node = np.concatenate([tri_node[n_strict:n_opaque], np.zeros(mpad, np.int32)])
+
         device = {
             "positions": pos,
             "normals": nrm,
@@ -127,6 +144,11 @@ class Scene:
             "blend_tri_material": blend_mat,
             "blend_tri_node": blend_node,
             "n_blend": np.int32(n_blend),
+            "mask_tri_vidx": mask_vidx,
+            "mask_tri_material": mask_mat,
+            "mask_tri_node": mask_node,
+            "n_mask": np.int32(n_mask),
+            "n_opaque_strict": np.int32(n_strict),
             "transforms": transforms,
             "normal_mats": normal_mats,
         }
@@ -144,7 +166,7 @@ def _pack_rows(device: dict) -> dict:
 
     - ``tri_packed`` i32 [T,8]: v0 v1 v2 material node pad3
     - ``mat_core`` f32 [M,16]: baseColor4 emissive4 f0 metallic roughness
-      ao alphaMode pad3
+      ao alphaMode alphaCutoff pad2
     - ``mat_tex`` f32 [M,24]: 4 slots x (page x y w h n_mips); page=-1
       means no texture (reference 'handle >= MAX_DESCRIPTOR_COUNT',
       pbr.glsl:102). Values are small ints — exact in f32.
@@ -159,6 +181,11 @@ def _pack_rows(device: dict) -> dict:
     blend_tri_packed[:, 0:3] = device["blend_tri_vidx"]
     blend_tri_packed[:, 3] = device["blend_tri_material"]
     blend_tri_packed[:, 4] = device["blend_tri_node"]
+    tm = len(device["mask_tri_vidx"])
+    mask_tri_packed = np.zeros((tm, 8), np.int32)
+    mask_tri_packed[:, 0:3] = device["mask_tri_vidx"]
+    mask_tri_packed[:, 3] = device["mask_tri_material"]
+    mask_tri_packed[:, 4] = device["mask_tri_node"]
 
     m = len(device["mat_base_color"])
     mat_core = np.zeros((m, 16), np.float32)
@@ -169,6 +196,7 @@ def _pack_rows(device: dict) -> dict:
     mat_core[:, 10] = device["mat_roughness"]
     mat_core[:, 11] = device["mat_ao"]
     mat_core[:, 12] = device["mat_alpha_mode"]
+    mat_core[:, 13] = device["mat_alpha_cutoff"]
 
     table = device["tex_table"]
     mat_tex = np.zeros((m, 24), np.float32)
@@ -185,4 +213,5 @@ def _pack_rows(device: dict) -> dict:
     # output step). One gather instead of two 64/96-byte ones.
     mat_all = np.concatenate([mat_core, mat_tex], axis=-1).astype(np.float16)
     return {"tri_packed": tri_packed, "blend_tri_packed": blend_tri_packed,
+            "mask_tri_packed": mask_tri_packed,
             "mat_core": mat_core, "mat_tex": mat_tex, "mat_all": mat_all}
