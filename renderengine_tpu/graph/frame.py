@@ -674,6 +674,9 @@ class FrameRenderer:
         self._pen_obs = []
         self._polls_since_pen_retune = 0
         self._pen_tuned = False
+        # shrink floors: budgets an overflow proved insufficient (ratchet)
+        self._blend_floor = ()
+        self._pen_floor = 0
         # two-stage PCF pays once the window table dwarfs the coarse one;
         # start at 35% of tiles and let observation tighten it
         if (self.n_shadows > 0 and backend in ("pallas", "tiled")
@@ -978,6 +981,19 @@ class FrameRenderer:
                         "blend budget overflow (%d dropped): growing %s, "
                         "re-jitting", int(blend_ov), sorted(changed))
                     cfg = cfg.replace(**changed)
+                    # ratchet: the pre-grow budgets are PROVEN too small
+                    # (overflow is exact evidence). Floor future shrinks at
+                    # the grown values and demand a fresh low streak, or an
+                    # orbiting camera oscillates shrink->overflow->grow,
+                    # paying a re-jit compile every few frames.
+                    if "blend_layer_tile_budgets" in changed:
+                        self._blend_floor = tuple(
+                            max(a, b) for a, b in zip(
+                                changed["blend_layer_tile_budgets"],
+                                self._blend_floor
+                                or (0,) * len(changed["blend_layer_tile_budgets"])))
+                    self._blend_obs.clear()
+                    self._polls_since_blend_retune = 0
             pen_ov = st.get("penumbra_overflow")
             if pen_ov is not None and int(pen_ov) > 0 \
                     and cfg.penumbra_tile_budget:
@@ -993,6 +1009,9 @@ class FrameRenderer:
                         "%d -> %d, re-jitting", int(pen_ov),
                         cfg.penumbra_tile_budget, nb)
                     cfg = cfg.replace(penumbra_tile_budget=nb)
+                    self._pen_floor = max(self._pen_floor, nb)
+                    self._pen_obs.clear()
+                    self._polls_since_pen_retune = 0
             if cfg is not self.config:
                 self.config = cfg
                 self._rebuild_frame_fn()
@@ -1038,8 +1057,14 @@ class FrameRenderer:
             return n_tiles if t >= n_tiles else \
                 min(n_tiles, max(self.blend_tile_floor, t))
 
+        def floored(vals):
+            if not self._blend_floor:
+                return vals
+            fl = self._blend_floor + (0,) * (len(vals) - len(self._blend_floor))
+            return tuple(max(v, f) for v, f in zip(vals, fl))
+
         if first:
-            new = tuple(target(c) for c in self._blend_obs[-1])
+            new = floored(tuple(target(c) for c in self._blend_obs[-1]))
         else:
             window = self._blend_obs[-self.blend_shrink_after:]
             due = (len(window) >= self.blend_shrink_after
@@ -1048,12 +1073,20 @@ class FrameRenderer:
             if not due:
                 return
             worst = np.maximum.reduce(window)
-            new = tuple(target(c) for c in worst)
+            raw = tuple(target(c) for c in worst)
+            new = floored(raw)
             # shrink-only here (growth is the overflow counter's job, and
             # it is exact); require a real gap to avoid re-jit churn
             if not (len(new) == len(cur)
                     and all(b <= c for b, c in zip(new, cur))
                     and any(2 * b < c for b, c in zip(new, cur))):
+                # if the floor alone blocked a real shrink, decay it: each
+                # grow->blocked-shrink cycle halves the gap, so an orbiting
+                # camera converges instead of oscillating (bounded re-jits)
+                if (self._blend_floor and len(raw) == len(cur)
+                        and any(2 * b < c for b, c in zip(raw, cur))):
+                    self._blend_floor = tuple(f // 2 for f in self._blend_floor)
+                    self._polls_since_blend_retune = 0
                 return
         if new != cur:
             from ..utils.log import get_logger
@@ -1081,7 +1114,7 @@ class FrameRenderer:
         cur = self.config.penumbra_tile_budget
 
         def target(c: int) -> int:
-            return min(total, max(64, c + c // 2))
+            return max(min(total, max(64, c + c // 2)), self._pen_floor)
 
         if not self._pen_tuned:
             new = target(self._pen_obs[-1])
@@ -1096,6 +1129,11 @@ class FrameRenderer:
                 return
             new = target(max(window))
             if not 2 * new < cur:          # real gap only
+                # same floor decay as the blend budgets (see above)
+                raw = min(total, max(64, max(window) * 3 // 2))
+                if self._pen_floor and 2 * raw < cur:
+                    self._pen_floor //= 2
+                    self._polls_since_pen_retune = 0
                 return
         from ..utils.log import get_logger
         get_logger().info(

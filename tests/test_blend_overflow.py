@@ -149,3 +149,49 @@ class TestBlendOverflowReaction:
             if (img == ref_front).all():
                 break
         np.testing.assert_array_equal(img, ref_front)
+
+    def test_overflow_floor_damps_oscillation(self):
+        """An orbit-style front/away/front/away sequence must not re-jit
+        every cycle: budgets an overflow proved too small are floored
+        (ratchet), and the floor decays only geometrically — so the
+        number of budget re-jits over many cycles is bounded, instead of
+        one per transition (each re-jit is a pipeline-rebuild-class
+        compile hitch on device)."""
+        w, h = 256, 192
+        sc = _banner_scene(w, h)
+        r = FrameRenderer(sc, _cfg(
+            w, h, blend_pair_budget=4096,
+            blend_layer_tile_budgets=(2, 2)), backend="tiled")
+        r._react_overflow = True
+        r.blend_shrink_after = 2
+        r.blend_tile_floor = 4
+        r._rebuild_frame_fn()
+
+        rebuilds = 0
+        orig = r._rebuild_frame_fn
+
+        def counting():
+            nonlocal rebuilds
+            rebuilds += 1
+            orig()
+        r._rebuild_frame_fn = counting
+
+        # front view overflows the starved (2,2) budgets -> grow + floor
+        for _ in range(6):
+            np.asarray(r.render())
+        assert r._blend_floor, "overflow growth must install the floor"
+        floor0 = r._blend_floor
+
+        # 6 front/away cycles; without the ratchet each away streak
+        # shrinks and each front frame re-grows (2 re-jits per cycle = 12+)
+        for _ in range(6):
+            for _ in range(3):
+                np.asarray(r.render(_away_view(sc)))
+            for _ in range(3):
+                np.asarray(r.render())
+        assert rebuilds <= 8, f"controller oscillates: {rebuilds} re-jits"
+        # any shrink that did happen respected (a decayed) floor
+        if r.config.blend_layer_tile_budgets:
+            assert all(b >= f for b, f in zip(
+                r.config.blend_layer_tile_budgets,
+                tuple(f // (2 ** 6) for f in floor0)))
