@@ -669,7 +669,12 @@ class FrameRenderer:
         # observed per-peel-layer coverage (drives reactive re-tune)
         self._blend_obs = []
         self._polls_since_blend_retune = 0
-        self.blend_shrink_after = 12   # consecutive low observations before a shrink re-jit
+        # consecutive low observations before a shrink re-jit. Must exceed
+        # the period of typical camera motion (an orbit/turntable revisits
+        # its densest view every few dozen frames): a shrink based on a
+        # window SHORTER than the motion period re-overflows at the next
+        # peak and the controller oscillates, paying a compile per cycle.
+        self.blend_shrink_after = 64
         self.blend_tile_floor = 16     # smallest per-layer shade budget
         self._pen_obs = []
         self._polls_since_pen_retune = 0
@@ -1027,7 +1032,7 @@ class FrameRenderer:
 
     def _observe_blend_tiles(self, counts: np.ndarray) -> None:
         self._blend_obs.append(counts.astype(np.int64))
-        if len(self._blend_obs) > 16:
+        if len(self._blend_obs) > max(64, self.blend_shrink_after):
             self._blend_obs.pop(0)
         self._polls_since_blend_retune += 1
 
@@ -1099,7 +1104,7 @@ class FrameRenderer:
 
     def _observe_penumbra(self, count: int) -> None:
         self._pen_obs.append(count)
-        if len(self._pen_obs) > 16:
+        if len(self._pen_obs) > max(64, self.blend_shrink_after):
             self._pen_obs.pop(0)
         self._polls_since_pen_retune += 1
 
