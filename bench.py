@@ -80,6 +80,10 @@ def main():
     ap.add_argument("--textures", type=int, default=200)
     ap.add_argument("--pairs-per-tri", type=int, default=4)
     ap.add_argument("--no-translucency", action="store_true")
+    ap.add_argument("--texture-space", action="store_true",
+                    help="light-chart (texture-space) shading: lighting at "
+                    "chart resolution, full-res albedo (lightchart.py)")
+    ap.add_argument("--chart-density", type=float, default=0.5)
     ap.add_argument("--goldens", action="store_true",
                     help="render the five golden configs with the pallas "
                     "backend ON THIS DEVICE and assert the documented "
@@ -117,6 +121,8 @@ def main():
                        shadow_extent=args.shadow_extent,
                        translucency=not args.no_translucency,
                        debug_views=False,
+                       texture_space=args.texture_space,
+                       chart_density=args.chart_density,
                        raster=RasterConfig(pairs_per_tri=args.pairs_per_tri))
     r = FrameRenderer(scene, cfg, backend=args.backend)
     n_tris = int(np.asarray(r.scene_dev["n_tris"]))
@@ -159,10 +165,12 @@ def main():
     if args.quick and r.backend == "pallas":
         # hardware-parity smoke check: the pallas kernel must agree with
         # the jnp tiled backend ON CHIP (interpret-mode tests can't catch
-        # hardware-only behaviors — e.g. the VPU flushing f32 denormals)
+        # hardware-only behaviors — e.g. the VPU flushing f32 denormals).
+        # Both renders must use the SAME camera: the orbit warmup above
+        # mutated scene.camera in place, so pin both to orbit position 0.
         r_ref = FrameRenderer(scene, cfg, backend="tiled")
-        a = np.asarray(img).astype(np.int32)
-        b = np.asarray(r_ref.render()).astype(np.int32)
+        a = np.asarray(r.render(orbit_vp(0))).astype(np.int32)
+        b = np.asarray(r_ref.render(orbit_vp(0))).astype(np.int32)
         bad = float((np.abs(a - b) > 2).mean())
         if bad > 0.01:
             print(f"# HARDWARE PARITY FAILURE: {bad:.2%} of bytes differ "

@@ -44,6 +44,10 @@ def main(argv=None) -> int:
     parser.add_option("shadowExtent", "shadow map resolution (default 2048)")
     parser.add_option("noShadows", "disable the shadow pass")
     parser.add_option("fps", "pace the loop to this fps (default off)")
+    parser.add_option("textureSpace", "light-chart (texture-space) shading:"
+                      " lighting at chart resolution, full-res albedo")
+    parser.add_option("chartDensity", "chart texels per screen pixel along"
+                      " one axis at the layout camera (default 0.5)")
     parser.add_option("hud", "burn an FPS/stats HUD into the frames")
     if not parser.parse(argv):
         return -1
@@ -65,6 +69,10 @@ def main(argv=None) -> int:
         width=width, height=height,
         shadow_extent=parser.get_int("shadowExtent", 2048),
         shadows=not parser.get_bool("noShadows"),
+        texture_space=parser.get_bool("textureSpace"),
+        chart_density=parser.get_float("chartDensity", 0.5),
+        # the factored TSS screen pass has no debug taps (lightchart.py)
+        debug_views=not parser.get_bool("textureSpace"),
     )
 
     frames = parser.get_int("frames", 1)

@@ -90,6 +90,9 @@ class RenderConfig:
     penumbra_tile_budget: int = 0  # two-stage PCF: screen tiles allowed the full 32B window gather; other pixels resolve EXACTLY from the 4B coarse min/max row (shading/shadow.py). 0 = dense single-stage. FrameRenderer auto-tunes from observed penumbra at big shadow extents
     ibl_diffuse: bool = False  # consume the captured environment map as a diffuse irradiance term (replaces the flat 0.03 ambient) — one step beyond the reference's pbr.glsl:442 todo
     alpha_mask: bool = False  # glTF-correct MASK cutoff test (discard alpha<cutoff) via a peeled cutoff pass; False = MASK draws opaque (the reference's live-path behavior)
+    texture_space: bool = False  # light-chart (texture-space) shading: lighting runs per chart texel (shading/lightchart.py), screen pass = 1 albedo tap + 1 light gather. Static scenes; lighting detail at chart resolution. False = reference-exact per-pixel path
+    chart_density: float = 0.5   # chart texels per screen pixel (one axis) at the layout camera
+    chart_budget: int = 2_000_000  # total chart texel cap (atlas size / gather-table price)
     mask_layers: int = 2      # cutoff-pass peel depth: fragments revealed through >= this many stacked discarded MASK layers fall back to the opaque surface behind
     blend_pair_budget: int = 0  # static blend-pass (tile,tri) pair budget; 0 = derive from raster.pairs_per_tri (blend geometry is few LARGE triangles — banners, glass — so its span profile needs its own budget, not the opaque per-tri one)
     blend_tile_budget: int = 0  # static covered-tile budget for the sparse peel raster grid; 0 = dense grid over every tile

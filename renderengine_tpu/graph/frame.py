@@ -345,6 +345,24 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                      shadow_stats=shadow_stats,
                      ibl_diffuse=config.ibl_diffuse)
 
+    # texture-space mode: run the per-frame chart lighting pass ONCE
+    # (dense VPU over chart texels, zero gathers — shading/lightchart.py);
+    # every raster pass below then shades via one albedo tap + one light
+    # gather instead of the full per-pixel BRDF chain.
+    tss = config.texture_space
+    if tss:
+        from ..shading import lightchart
+        light_atlas = lightchart.chart_light(
+            scene, scene["chart_pos"], scene["chart_normal"],
+            scene["chart_mat"], scene["chart_vis"], view_args)
+        light_blocks = lightchart.pack_light_blocks(light_atlas)
+        c_ah, c_aw = light_atlas.shape[:2]
+
+        def tss_shade_px(chart_uv, uv, mat_id):
+            return lightchart.tss_shade(
+                scene, chart_uv, uv, mat_id, light_blocks, c_ah, c_aw,
+                slots_used=slots_used, max_aniso=config.max_anisotropy)
+
     # opaque base pass
     from ..raster.pallas_raster import attribute_planes
 
@@ -356,8 +374,14 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     setup = triangle_setup(vo.clip, scene["tri_vidx"], n_opq, w,
                            fh, config.cull_mode)
     setup_s = setup if is_full else restrict_rows(setup, y0, slice_h, fh)
-    ap = (attribute_planes(setup, vo, scene["tri_vidx"])
-          if backend == "pallas" else None)
+    if backend != "pallas":
+        ap = None
+    elif tss:
+        from ..shading.lightchart import tss_attribute_planes
+        ap = tss_attribute_planes(setup, vo, scene["tri_vidx"],
+                                  scene["chart_corner"])
+    else:
+        ap = attribute_planes(setup, vo, scene["tri_vidx"])
     opq_budget = (config.raster.pair_budget
                   or _pair_budget(setup.coef.shape[0],
                                   config.raster.pairs_per_tri))
@@ -377,7 +401,18 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                          tri_mat=scene["tri_material"], prepared=prep,
                          max_pairs=opq_budget)
 
-    if attrs is not None:
+    if tss:
+        from ..shading.lightchart import resolve_tss
+        if attrs is not None:
+            mat_id = (g.mat_id if g.mat_id is not None
+                      else scene["tri_material"][jnp.maximum(g.tri_id, 0)])
+            frag = {"chart_uv": attrs[..., 0:2], "uv": attrs[..., 2:4],
+                    "mat_id": mat_id, "covered": g.tri_id >= 0}
+        else:
+            frag = resolve_tss(scene, setup.coef, g, slice_h, w,
+                               y0=y0, full_height=fh)
+        rgba = tss_shade_px(frag["chart_uv"], frag["uv"], frag["mat_id"])
+    elif attrs is not None:
         if g.mat_id is not None:
             mat_id = g.mat_id          # rode the pair-aux word: no gather
         else:
@@ -385,11 +420,13 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         frag = {"pos": attrs[..., 0:3], "normal": attrs[..., 3:6],
                 "uv": attrs[..., 6:8], "mat_id": mat_id,
                 "covered": g.tri_id >= 0}
+        rgba = shade(scene, frag["pos"], frag["uv"], frag["normal"],
+                     frag["mat_id"], view_args, shadow_maps, shadow_tf)
     else:
         frag = resolve_attributes(scene, vo, setup.coef, g, slice_h, w,
                                   y0=y0, full_height=fh)
-    rgba = shade(scene, frag["pos"], frag["uv"], frag["normal"],
-                 frag["mat_id"], view_args, shadow_maps, shadow_tf)
+        rgba = shade(scene, frag["pos"], frag["uv"], frag["normal"],
+                     frag["mat_id"], view_args, shadow_maps, shadow_tf)
     covered = frag["covered"]
     depth_eff = g.depth
 
@@ -468,8 +505,14 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                                  scene["n_blend"], w, fh, CullMode.NONE)
         setup_ts = (setup_t if is_full
                     else restrict_rows(setup_t, y0, slice_h, fh))
-        ap_t = (attribute_planes(setup_t, vo, scene["blend_tri_vidx"])
-                if backend == "pallas" else None)
+        if backend != "pallas":
+            ap_t = None
+        elif tss:
+            from ..shading.lightchart import tss_attribute_planes
+            ap_t = tss_attribute_planes(setup_t, vo, scene["blend_tri_vidx"],
+                                        scene["chart_corner_blend"])
+        else:
+            ap_t = attribute_planes(setup_t, vo, scene["blend_tri_vidx"])
         blend_budget = (config.blend_pair_budget
                         or _pair_budget(setup_t.coef.shape[0],
                                         config.raster.pairs_per_tri))
@@ -500,12 +543,23 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                     mat_t = fr["mat_id"]
                 else:
                     mat_t = scene["blend_tri_material"][jnp.maximum(fr["tri_id"], 0)]
+                if tss:
+                    return tss_shade_px(fr["attrs"][..., 0:2],
+                                        fr["attrs"][..., 2:4], mat_t)
                 fsub = {"pos": fr["attrs"][..., 0:3],
                         "normal": fr["attrs"][..., 3:6],
                         "uv": fr["attrs"][..., 6:8],
                         "mat_id": mat_t}
             else:
                 gsub = rref.GBuffer(depth=None, tri_id=fr["tri_id"], bary=fr["bary"])
+                if tss:
+                    from ..shading.lightchart import resolve_tss
+                    fsub = resolve_tss(scene, setup_t.coef, gsub,
+                                       *fr["tri_id"].shape,
+                                       tri_table="blend_tri_packed",
+                                       corner_table="chart_corner_blend")
+                    return tss_shade_px(fsub["chart_uv"], fsub["uv"],
+                                        fsub["mat_id"])
                 fsub = resolve_attributes(scene, vo, setup_t.coef, gsub,
                                           *fr["tri_id"].shape,
                                           tri_table="blend_tri_packed")
@@ -626,6 +680,31 @@ class FrameRenderer:
         self.config = config
         self.n_shadows = scene_host.n_shadow_maps if config.shadows else 0
         dev = scene_host.upload()
+        if config.texture_space:
+            # light-chart layout (host, once) — charts sized from the
+            # INITIAL camera footprint (shading/lightchart.py)
+            from ..core.config import ShadingModel as _SM
+            from ..shading import lightchart
+            assert config.shading == _SM.PBR and not config.alpha_mask, \
+                "texture_space supports the PBR path without the MASK pass"
+            assert not config.debug_views, \
+                "texture_space: set debug_views=False (no debug taps in " \
+                "the factored screen pass)"
+            vp0 = ViewProperties.from_camera(scene_host.camera)
+            viewproj = np.asarray(vp0.proj) @ np.asarray(vp0.view)
+            lay = lightchart.build_layout(
+                np.asarray(dev["tri_vidx"]), np.asarray(dev["tri_material"]),
+                np.asarray(dev["world_pos"]), viewproj,
+                config.width, config.height, config.chart_density,
+                config.chart_budget,
+                valid=np.arange(len(dev["tri_vidx"])) < int(dev["n_tris"]))
+            dev["chart_tri"] = lay.texel_tri
+            dev["chart_bary"] = lay.texel_bary
+            dev["chart_corner"] = lay.corner_uv
+            cb = np.zeros((len(dev["blend_tri_vidx"]), 3, 2), np.float32)
+            no, nbl = int(dev["n_opaque"]), int(dev["n_blend"])
+            cb[:nbl] = lay.corner_uv[no:no + nbl]
+            dev["chart_corner_blend"] = cb
         self.scene_dev = jax.device_put(dev, device)
         if backend is None:
             # Pallas on real TPUs; dense-jnp tiled loop elsewhere. Tiny
@@ -659,6 +738,22 @@ class FrameRenderer:
         self._has_translucent = has_translucent
         self._has_mask = int(dev.get("n_mask", 0)) > 0
         self._slots_used = slots_used
+        if config.texture_space:
+            # device bakes (once per upload): per-texel geometry, then the
+            # full material remap (texture taps, ORM, normal map) — the
+            # per-frame pass reads only these dense planes
+            from ..shading import lightchart
+            geo = jax.jit(lightchart.bake_geometry)(self.scene_dev)
+            cm, nrm = jax.jit(partial(
+                lightchart.bake_material, slots_used=slots_used,
+                max_aniso=config.max_anisotropy,
+                ibl_diffuse=config.ibl_diffuse))(self.scene_dev, geo)
+            self.scene_dev["chart_pos"] = geo["pos"]
+            self.scene_dev["chart_normal"] = nrm
+            self.scene_dev["chart_mat"] = cm
+            nl = int(self.scene_dev["light_type"].shape[0])
+            self.scene_dev["chart_vis"] = jnp.ones(
+                cm.shape[:2] + (nl,), jnp.float32)
         self._shadow_lights = _static_shadow_lights(dev)
         # react-to-overflow: the frame fn also reports the binning
         # overflow counter; render() polls it (without stalling the
@@ -1172,6 +1267,23 @@ class FrameRenderer:
                 self._rebuild_shadow_fn()
             self._shadow_maps = maps
             self._shadows_dirty = False
+            if self.config.texture_space:
+                # bake per-texel PCF visibility NOW (the reference renders
+                # shadow maps on the dirty flag; we also consume them on
+                # it) — per-frame shading then never gathers PCF windows
+                from ..shading import lightchart
+                if not hasattr(self, "_vis_fn"):
+                    def _bake_vis(scene, maps_, uniform):
+                        params = unpack_params(uniform, self.n_shadows)
+                        geo = {"pos": scene["chart_pos"],
+                               "normal": scene["chart_normal"],
+                               "mat_id": scene["chart_mat"][..., 15]}
+                        return lightchart.bake_visibility(
+                            scene, geo, maps_, params["shadow_viewproj"],
+                            self._shadow_lights)
+                    self._vis_fn = jax.jit(_bake_vis)
+                self.scene_dev["chart_vis"] = self._vis_fn(
+                    self.scene_dev, maps, u)
         out = self._fn(self.scene_dev, u, self._shadow_maps)
         if self._react_overflow:
             img, stats = out

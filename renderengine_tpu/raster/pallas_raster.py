@@ -58,7 +58,7 @@ from .setup import TriSetup
 _BIG_ID = 2**31 - 1
 _TIE_EPS = 1e-35          # normal f32; survives TPU FTZ, vanishes vs any |E|
 CHUNK = 64                # pairs per DMA slab
-GROUP = 8                 # pairs evaluated per step (across sublanes)
+GROUP = 8                 # pair ROWS evaluated per step (across sublanes)
 TILE_H = 8                # subtile pixel rows
 TILE_W = 16               # subtile pixel cols (TILE_H * TILE_W = 128 lanes)
 N_ATTRS = 8               # pos3 | normal3 | uv2
@@ -69,11 +69,24 @@ ATTR0 = 20                # first attribute-plane column
 # ints are f32 DENORMALS, and TPU hardware flushes denormals to zero in
 # the vector path (interpret mode does not — a hardware-only corruption).
 # Integer-valued floats are exact below 2^24 and always normal-or-zero.
-# 15 plane coefs + 3 tie-eps + tri + mat [+ 8 attr planes x 3] padded to
-# one lane tile: HBM DMA slices must span full 128-lane tiles, so rows
-# are 128 f32 wide (the extra bytes ride an already-pipelined DMA).
-N_COLS = 128
-N_COLS_ATTR = 128
+#
+# Pair packing: HBM DMA slices must span full 128-lane tiles, so rows are
+# 128 f32 wide — but a PAIR needs only 20 + 3*n_attrs columns. Several
+# pairs therefore share each 128-lane row (the kernel is DMA-bound;
+# PERF.md): a pair's column block is the next divisor of 128 that fits,
+#   depth-only (20 cols)       -> 32-col blocks, 4 pairs/row
+#   TSS attrs   (20+12 = 32)   -> 32-col blocks, 4 pairs/row
+#   full attrs  (20+24 = 44)   -> 64-col blocks, 2 pairs/row
+# Pair p lives at row p // P, column block p % P.
+
+
+def _cols_per_pair(n_attrs: int) -> int:
+    """Column block per pair: smallest divisor of 128 fitting the layout."""
+    need = ATTR0 + 3 * n_attrs
+    for c in (32, 64, 128):
+        if need <= c:
+            return c
+    raise ValueError(f"pair layout needs {need} > 128 columns")
 
 
 def attribute_planes(setup: TriSetup, vo, tri_vidx) -> jnp.ndarray:
@@ -92,8 +105,10 @@ def _raster_kernel(
     # inputs (HBM + optional VMEM bounds block)
     pair_data_hbm, *rest,
     tile_h: int, tile_w: int, width: int, full_height: int, ntx: int,
-    grid_n: int, chunk: int, peel: bool, interp: bool,
+    grid_n: int, chunk: int, peel: bool, n_attrs: int, cpp: int,
 ):
+    interp = n_attrs > 0
+    ppr = 128 // cpp                          # pairs per 128-lane row
     rest = list(rest)
     bounds_ref = rest.pop(0) if peel else None
     out_ref = rest.pop(0)   # [1, 5|13, npx]: depth | tri_f | mat_f | bary2 [| attrs8]
@@ -130,9 +145,9 @@ def _raster_kernel(
         zmax = bounds_ref[0, 1, :].reshape(1, -1)     # opaque depth bound
 
     def dma(slot, step):
-        off = base0 + step * chunk
+        off = (base0 + step * chunk) // ppr   # slab offset in ROWS
         return pltpu.make_async_copy(
-            pair_data_hbm.at[pl.ds(off, chunk), :],
+            pair_data_hbm.at[pl.ds(off, chunk // ppr), :],
             data_buf.at[slot], sems.at[slot])
 
     nxt = jnp.minimum(pid + 1, grid_n - 1)
@@ -146,7 +161,7 @@ def _raster_kernel(
         @pl.when((pid + 1 < grid_n) & (nxt_count > 0))
         def _():
             pltpu.make_async_copy(
-                pair_data_hbm.at[pl.ds(nxt_base0, chunk), :],
+                pair_data_hbm.at[pl.ds(nxt_base0 // ppr, chunk // ppr), :],
                 data_buf.at[nxt_phase], sems.at[nxt_phase]).start()
 
     @pl.when((pid == 0) & (n_steps > 0))
@@ -159,7 +174,7 @@ def _raster_kernel(
     def _():
         prefetch_next()
 
-    n_attr_carry = N_ATTRS if interp else 0
+    n_attr_carry = n_attrs
     shape = (GROUP, tile_h * tile_w)
 
     def chunk_body(step, carry):
@@ -172,51 +187,57 @@ def _raster_kernel(
         dma(slot, step).wait()
 
         cbase = base0 + step * chunk
-        n_groups = jnp.clip((span_end - cbase + GROUP - 1) // GROUP,
-                            0, chunk // GROUP)
+        # one group-step reads GROUP rows = GROUP * ppr pairs: sublane s of
+        # column block k evaluates pair cbase + (8g + s) * ppr + k
+        gsz = GROUP * ppr
+        n_groups = jnp.clip((span_end - cbase + gsz - 1) // gsz,
+                            0, chunk // gsz)
 
         def group_body(g, cr):
-            dmin, idmin, trif, matf, b0c, b1c = (cr[0], cr[1], cr[2], cr[3],
-                                                 cr[4], cr[5])
-            attrs_c = list(cr[6:])
-            cg = data_buf[slot, pl.ds(GROUP * g, GROUP), :]   # (8, cols)
-            idx = cbase + GROUP * g + sub               # (8,1) pair indices
+            cg = data_buf[slot, pl.ds(GROUP * g, GROUP), :]   # (8, 128)
+            for k in range(ppr):
+                c0 = k * cpp
+                dmin, idmin, trif, matf, b0c, b1c = (cr[0], cr[1], cr[2],
+                                                     cr[3], cr[4], cr[5])
+                attrs_c = list(cr[6:])
+                idx = cbase + (GROUP * g + sub) * ppr + k   # (8,1) pair ids
 
-            e0 = cg[:, 0:1] * px + cg[:, 1:2] * py + cg[:, 2:3]
-            e1 = cg[:, 3:4] * px + cg[:, 4:5] * py + cg[:, 5:6]
-            e2 = cg[:, 6:7] * px + cg[:, 7:8] * py + cg[:, 8:9]
-            zn = cg[:, 9:10] * px + cg[:, 10:11] * py + cg[:, 11:12]
-            wn = cg[:, 12:13] * px + cg[:, 13:14] * py + cg[:, 14:15]
-            inside = (((e0 + cg[:, 15:16]) > 0)
-                      & ((e1 + cg[:, 16:17]) > 0)
-                      & ((e2 + cg[:, 17:18]) > 0))
-            wpos = wn > 0
-            d = zn / jnp.where(wpos, wn, 1.0)
-            cover = (inside & wpos & (d >= 0) & (d <= 1)
-                     & (idx >= start) & (idx < span_end))
-            if peel:
-                cover = cover & (d > prev_d) & (d <= zmax)
-            take = cover & (d < dmin)
-            dmin = jnp.where(take, d, dmin)
-            # record the PAIR index; within a sublane ids ascend (stable
-            # sort), so strict-less keeps the lowest on exact depth ties;
-            # the cross-sublane fold below ties by lowest index too.
-            idmin = jnp.where(take, jnp.broadcast_to(idx, shape), idmin)
-            # tri/mat ids ride as exact integer-valued floats (see header)
-            trif = jnp.where(take, cg[:, TRI_COL:TRI_COL + 1], trif)
-            matf = jnp.where(take, cg[:, MAT_COL:MAT_COL + 1], matf)
-            esum = e0 + e1 + e2
-            inv = 1.0 / jnp.where(esum == 0, 1.0, esum)
-            # winner barycentrics (perspective-correct lambdas)
-            b0c = jnp.where(take, e0 * inv, b0c)
-            b1c = jnp.where(take, e1 * inv, b1c)
-            if interp:
-                for a in range(N_ATTRS):
-                    num = (cg[:, ATTR0 + 3 * a : ATTR0 + 3 * a + 1] * px
-                           + cg[:, ATTR0 + 3 * a + 1 : ATTR0 + 3 * a + 2] * py
-                           + cg[:, ATTR0 + 3 * a + 2 : ATTR0 + 3 * a + 3])
+                e0 = cg[:, c0+0:c0+1] * px + cg[:, c0+1:c0+2] * py + cg[:, c0+2:c0+3]
+                e1 = cg[:, c0+3:c0+4] * px + cg[:, c0+4:c0+5] * py + cg[:, c0+5:c0+6]
+                e2 = cg[:, c0+6:c0+7] * px + cg[:, c0+7:c0+8] * py + cg[:, c0+8:c0+9]
+                zn = cg[:, c0+9:c0+10] * px + cg[:, c0+10:c0+11] * py + cg[:, c0+11:c0+12]
+                wn = cg[:, c0+12:c0+13] * px + cg[:, c0+13:c0+14] * py + cg[:, c0+14:c0+15]
+                inside = (((e0 + cg[:, c0+15:c0+16]) > 0)
+                          & ((e1 + cg[:, c0+16:c0+17]) > 0)
+                          & ((e2 + cg[:, c0+17:c0+18]) > 0))
+                wpos = wn > 0
+                d = zn / jnp.where(wpos, wn, 1.0)
+                cover = (inside & wpos & (d >= 0) & (d <= 1)
+                         & (idx >= start) & (idx < span_end))
+                if peel:
+                    cover = cover & (d > prev_d) & (d <= zmax)
+                take = cover & (d < dmin)
+                dmin = jnp.where(take, d, dmin)
+                # record the PAIR index; within a sublane's (g, k) sequence
+                # ids ascend (stable sort; k is the inner loop), so
+                # strict-less keeps the lowest on exact depth ties; the
+                # cross-sublane fold below ties by lowest index too.
+                idmin = jnp.where(take, jnp.broadcast_to(idx, shape), idmin)
+                # tri/mat ids ride as exact integer-valued floats (header)
+                trif = jnp.where(take, cg[:, c0+TRI_COL:c0+TRI_COL+1], trif)
+                matf = jnp.where(take, cg[:, c0+MAT_COL:c0+MAT_COL+1], matf)
+                esum = e0 + e1 + e2
+                inv = 1.0 / jnp.where(esum == 0, 1.0, esum)
+                # winner barycentrics (perspective-correct lambdas)
+                b0c = jnp.where(take, e0 * inv, b0c)
+                b1c = jnp.where(take, e1 * inv, b1c)
+                for a in range(n_attrs):
+                    a0 = c0 + ATTR0 + 3 * a
+                    num = (cg[:, a0:a0+1] * px + cg[:, a0+1:a0+2] * py
+                           + cg[:, a0+2:a0+3])
                     attrs_c[a] = jnp.where(take, num * inv, attrs_c[a])
-            return (dmin, idmin, trif, matf, b0c, b1c, *attrs_c)
+                cr = (dmin, idmin, trif, matf, b0c, b1c, *attrs_c)
+            return cr
 
         return jax.lax.fori_loop(0, n_groups, group_body, carry)
 
@@ -247,9 +268,8 @@ def _raster_kernel(
     out_ref[0, 2, :] = jnp.sum(out[3] * m2, axis=0)
     out_ref[0, 3, :] = jnp.sum(out[4] * m2, axis=0)
     out_ref[0, 4, :] = jnp.sum(out[5] * m2, axis=0)
-    if interp:
-        for a in range(N_ATTRS):
-            out_ref[0, 5 + a, :] = jnp.sum(out[6 + a] * m2, axis=0)
+    for a in range(n_attrs):
+        out_ref[0, 5 + a, :] = jnp.sum(out[6 + a] * m2, axis=0)
 
 
 def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
@@ -273,30 +293,34 @@ class PreparedPairs(NamedTuple):
     """Binned + packed pair tables, reusable across raster passes over the
     same geometry+camera (e.g. successive depth-peel layers).
 
-    Registered as a pytree with ``has_mat``/``chunk`` as STATIC aux data:
-    they steer trace-time decisions (output planes; DMA slab bounds), so
-    they must survive jit boundaries as Python values, not tracers."""
+    Registered as a pytree with ``has_mat``/``chunk``/``n_attrs`` as STATIC
+    aux data: they steer trace-time decisions (output planes; DMA slab
+    bounds; pair column-block width), so they must survive jit boundaries
+    as Python values, not tracers."""
     bins: object                 # TileBins
-    pair_data: jnp.ndarray       # [P2, 24|48] f32 pair-major coefficient rows
+    pair_data: jnp.ndarray       # [P2 // ppr, 128] f32: ppr pairs per row
     pair_aux: object             # always None (kernel selects ids in-register); kept for pytree shape compat
     has_mat: bool                # static: whether mat ids are packed in aux
     chunk: int = CHUNK           # pack-time DMA slab size; P2 was rounded
     #                              for THIS chunk, so raster calls must not
     #                              use a larger one (the last aligned slab
     #                              would read past the table)
+    n_attrs: int = 0             # static: attr planes packed per pair
 
 
 jax.tree_util.register_pytree_node(
     PreparedPairs,
-    lambda p: ((p.bins, p.pair_data, p.pair_aux), (p.has_mat, p.chunk)),
+    lambda p: ((p.bins, p.pair_data, p.pair_aux),
+               (p.has_mat, p.chunk, p.n_attrs)),
     lambda aux, ch: PreparedPairs(*ch, *aux),
 )
 
 
 def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None,
                 tri_mat=None, chunk: int = CHUNK):
-    """Gather sorted-pair rows into the kernel's pair-major layout — ONE
-    row gather per pair. Tie bits become the +eps test columns.
+    """Gather sorted-pair rows into the kernel's layout — ONE row gather
+    per pair, ``128 // cpp`` pairs per 128-lane row (see module header).
+    Tie bits become the +eps test columns.
 
     Returns a PreparedPairs; P2 = budget rounded up so the last aligned DMA
     slab stays in bounds. Dead slots carry zero coefficients => never cover.
@@ -305,7 +329,6 @@ def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None,
     pass needs no separate [H,W] material gather."""
     t = setup.coef.shape[0]
     max_pairs = bins.pair_tri.shape[0]
-    p2 = (-(-max_pairs // chunk)) * chunk + chunk
 
     eps = jnp.where(setup.tie, _TIE_EPS, 0.0).astype(jnp.float32)   # [T,3]
     # ids ride as exact integer-valued floats (see module header: bitcast
@@ -320,18 +343,25 @@ def _pack_pairs(setup: TriSetup, bins, tri_offset: int, attr_planes=None,
     else:
         mat_f = jnp.zeros(t, jnp.float32)
     cols = [setup.coef.reshape(t, 15), eps, tri_f[:, None], mat_f[:, None]]
-    n_cols = N_COLS
+    n_attrs = 0
     if attr_planes is not None:
         cols.append(attr_planes)
-        n_cols = N_COLS_ATTR
+        n_attrs = attr_planes.shape[1] // 3
+    cpp = _cols_per_pair(n_attrs)
+    ppr = 128 // cpp
+    # the DMA slab must hold whole group spans (GROUP rows = 8*ppr pairs)
+    gsz = GROUP * ppr
+    chunk = max(gsz, (chunk // gsz) * gsz)
+    p2 = (-(-max_pairs // chunk)) * chunk + chunk
     rows = jnp.concatenate(cols, axis=-1)
-    rows = jnp.pad(rows, ((0, 0), (0, n_cols - rows.shape[1])))
+    rows = jnp.pad(rows, ((0, 0), (0, cpp - rows.shape[1])))
 
     live = jnp.pad(bins.pair_valid, (0, p2 - max_pairs))
     tri = jnp.pad(jnp.clip(bins.pair_tri, 0, t - 1), (0, p2 - max_pairs))
     tri = jnp.where(live, tri, 0)
-    pair_data = jnp.where(live[:, None], rows[tri], 0.0)    # [P2, n_cols]
-    return PreparedPairs(bins, pair_data, None, has_mat, chunk)
+    pair_data = jnp.where(live[:, None], rows[tri], 0.0)    # [P2, cpp]
+    pair_data = pair_data.reshape(p2 // ppr, 128)
+    return PreparedPairs(bins, pair_data, None, has_mat, chunk, n_attrs)
 
 
 def prepare_pallas_pairs(setup: TriSetup, height: int, width: int,
@@ -383,7 +413,6 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     """
     if tile_h * tile_w != GROUP * TILE_W:
         raise ValueError(f"tile_h*tile_w must be {GROUP * TILE_W}")
-    chunk = max(GROUP, (chunk // GROUP) * GROUP)
     fh = height if full_height is None else full_height
 
     ntx = -(-width // tile_w)
@@ -391,17 +420,20 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     n_tiles = ntx * nty
     npx = tile_h * tile_w
 
-    interp = attr_planes is not None
-    n_cols = N_COLS_ATTR if interp else N_COLS
     if prepared is None:
         prepared = prepare_pallas_pairs(setup, height, width, tile_h, tile_w,
                                         max_pairs, tri_offset, attr_planes,
                                         tri_mat, chunk)
-    elif chunk > prepared.chunk:
+    bins, pair_data = prepared.bins, prepared.pair_data
+    n_attrs = prepared.n_attrs
+    interp = n_attrs > 0
+    cpp = _cols_per_pair(n_attrs)
+    gsz = GROUP * (128 // cpp)        # pairs per group step
+    chunk = max(gsz, (chunk // gsz) * gsz)
+    if chunk > prepared.chunk:
         # the packed table's P2 was rounded for the pack-time chunk; a
         # larger call-time slab would DMA past it — clamp to the packed one
         chunk = prepared.chunk
-    bins, pair_data = prepared.bins, prepared.pair_data
 
     peel = peel_bounds is not None
     sparse = active_tiles is not None and active_tiles < n_tiles
@@ -410,7 +442,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         _raster_kernel,
         tile_h=tile_h, tile_w=tile_w,
         width=width, full_height=fh, ntx=ntx, grid_n=grid_n, chunk=chunk,
-        peel=peel, interp=interp,
+        peel=peel, n_attrs=n_attrs, cpp=cpp,
     )
     if sparse:
         # sparse grid: run only the top-K covered tiles (translucent peels
@@ -436,7 +468,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
             (1, 2, npx),
             lambda i, tile_map, *_: (tile_map[i], 0, 0),
             memory_space=pltpu.VMEM))
-    n_planes = (5 + N_ATTRS) if interp else 5
+    n_planes = 5 + n_attrs
     out_specs = [
         pl.BlockSpec((1, n_planes, npx), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -450,7 +482,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, n_cols), jnp.float32),
+            pltpu.VMEM((2, chunk // (128 // cpp), 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -495,5 +527,5 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     g = GBuffer(untile(depth), tri_id, jnp.stack([b0, b1], axis=-1), mat_id)
     if not interp:
         return g
-    attrs = jnp.stack([untile(blk[:, 5 + a]) for a in range(N_ATTRS)], axis=-1)
+    attrs = jnp.stack([untile(blk[:, 5 + a]) for a in range(n_attrs)], axis=-1)
     return g, attrs

@@ -1,0 +1,520 @@
+"""Texture-space ("light chart") shading — the TPU-native answer to the
+reference's per-pixel fragment shading cost.
+
+Motivation (PERF.md): per-pixel shading pays, per shade pass, two
+trilinear atlas gathers, a material-row gather, the full Filament BRDF
+VPU chain and a PCF window gather — the three biggest rows of the frame
+trace. On TPU, *gathers price by table size and count*; dense iteration
+is nearly free. So shading moves to a domain where iteration IS the
+layout:
+
+- Every triangle gets a small **chart** — a regular barycentric sample
+  grid — packed into one atlas. Quad-mate triangle pairs (two tris
+  sharing an edge and a material: the overwhelming case for real
+  meshes) share one square, so bilinear filtering across their shared
+  diagonal is seamless.
+- At upload, geometry (world pos/normal) and material (full
+  ``remap_material``: texture taps, ORM, normal mapping) are **baked**
+  per chart texel — the per-frame pass never touches the texture atlas.
+- On shadow-dirty, PCF visibility per light is baked per texel — the
+  per-frame pass never gathers shadow windows.
+- Per frame, the Filament BRDF runs densely over chart texels (pure
+  VPU, zero gathers) producing a small **light atlas** with shading
+  FACTORED as ``screen_rgb = albedo_tex * light_d + light_s``:
+  - ``light_d``: everything that multiplies the base-color *texture*
+    (diffuse light x base-color factor x occlusion + ambient).
+  - ``light_s``: everything that does not (specular + emissive).
+  The base-color texture itself is sampled per PIXEL on screen (one
+  trilinear tap) so texture detail stays full resolution; only
+  *lighting* runs at chart resolution — the classic lightmap
+  factorization, with charts sized from the camera footprint.
+- The screen pass per pixel: one albedo tap + one bilinear gather from
+  the (small) light atlas. Chart UVs ride the raster kernel's existing
+  8-attribute interpolation path, so the kernel is unchanged.
+
+Known, documented approximations vs the per-pixel path (all at chart
+resolution instead of pixel resolution): specular, normal-mapped
+lighting detail, emissive textures, metal spec tint. ``RenderConfig.
+texture_space`` gates the whole mode (default off = reference-exact
+path); ``chart_density`` trades texels for lighting sharpness.
+
+Reference: this subsystem replaces the per-fragment work of
+``Assets/Shaders/pbr.glsl:385-451`` + ``surface_pbr.frag``; the
+reference has no analog (it shades every fragment every frame).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+ATLAS_W = 1024          # lane-friendly fixed atlas width (texels)
+MAX_R = 256             # largest chart edge sample count (square side R+1)
+
+
+class ChartLayout(NamedTuple):
+    corner_uv: np.ndarray   # [T,3,2] f32 per-corner atlas texel coords
+    texel_tri: np.ndarray   # [Ah,Aw] i32 owning triangle (-1 = empty)
+    texel_bary: np.ndarray  # [Ah,Aw,2] f32 (b1,b2) wrt the tri's corners
+    height: int             # Ah (Aw is ATLAS_W)
+    n_texels: int           # occupied texels (diagnostics)
+
+
+def _quad_mates(tri_vidx: np.ndarray, tri_mat: np.ndarray) -> np.ndarray:
+    """partner[t] = t^1 when consecutive even/odd tris share exactly two
+    vertex indices and a material (the standard quad split emitted by our
+    loaders and procedural builders), else -1."""
+    t = len(tri_vidx)
+    partner = np.full(t, -1, np.int32)
+    if t < 2:
+        return partner
+    e = (t // 2) * 2
+    a = tri_vidx[0:e:2]         # [Q,3]
+    b = tri_vidx[1:e:2]
+    shared = (a[:, :, None] == b[:, None, :]).any(-1).sum(-1)
+    ok = (shared == 2) & (tri_mat[0:e:2] == tri_mat[1:e:2])
+    q = np.nonzero(ok)[0]
+    partner[2 * q] = 2 * q + 1
+    partner[2 * q + 1] = 2 * q
+    return partner
+
+
+def _footprint_px(world_tri: np.ndarray, viewproj: np.ndarray,
+                  width: int, height: int) -> np.ndarray:
+    """Approximate screen-space area (px^2) of each world triangle under
+    the layout camera. [T,3,3] -> [T]. Tris behind the camera get a
+    mid-size default (the camera moves after layout)."""
+    h = np.concatenate([world_tri, np.ones_like(world_tri[..., :1])], -1)
+    clip = h @ viewproj.T                       # [T,3,4]
+    w = np.maximum(np.abs(clip[..., 3]), 1e-4)
+    # clamp projected corners to a box around the viewport: off-screen /
+    # near-plane geometry must not dominate the texel budget (its true
+    # on-screen footprint is at most the viewport)
+    x = np.clip(clip[..., 0] / w * (width * 0.5), -width, width)
+    y = np.clip(clip[..., 1] / w * (height * 0.5), -height, height)
+    ax, ay = x[:, 1] - x[:, 0], y[:, 1] - y[:, 0]
+    bx, by = x[:, 2] - x[:, 0], y[:, 2] - y[:, 0]
+    behind = (clip[..., 3] <= 1e-4).any(-1)
+    area = np.minimum(0.5 * np.abs(ax * by - ay * bx),
+                      float(width * height))
+    # fully outside the viewport on one side => tiny chart (the camera
+    # may orbit onto it later; footprint then re-lays-out offline)
+    out = ((x <= -width * 0.5).all(-1) | (x >= width * 1.5 - width).all(-1)
+           | (y <= -height * 0.5).all(-1) | (y >= height * 0.5).all(-1))
+    area = np.where(out, np.minimum(area, 64.0), area)
+    return np.where(behind, 256.0, area)
+
+
+# corner-role encoding: 0 = unique (not on the shared diagonal),
+# 1/2 = shared corners ranked by GLOBAL vertex id (so quad mates agree
+# on which shared vertex maps to which square corner)
+def _corner_roles(tri_vidx, partner):
+    t = len(tri_vidx)
+    pa = np.where(partner >= 0, partner, 0)
+    sh = (tri_vidx[:, :, None] == tri_vidx[pa][:, None, :]).any(-1)  # [T,3]
+    sh = np.where((partner >= 0)[:, None], sh,
+                  np.array([False, True, True])[None])
+    uniq = np.argmin(sh, axis=1)                             # [T]
+    # rank shared corners by vertex id; unpaired tris rank by corner pos
+    vid = np.where((partner >= 0)[:, None], tri_vidx,
+                   np.arange(3)[None].repeat(t, 0))
+    big = vid.max() + 1
+    key = np.where(sh, vid, big)                             # unique last
+    rank = key.argsort(1, kind="stable").argsort(1, kind="stable")  # [T,3]
+    roles = np.where(np.arange(3)[None] == uniq[:, None], 0, rank + 1)
+    return roles                                             # [T,3] in {0,1,2}
+
+
+def build_layout(tri_vidx: np.ndarray, tri_mat: np.ndarray,
+                 world_pos: np.ndarray, viewproj: np.ndarray,
+                 width: int, height: int, density: float = 0.5,
+                 budget_texels: int = 2_000_000,
+                 valid: np.ndarray | None = None) -> ChartLayout:
+    """Allocate + pack per-triangle charts (host-side, once per upload).
+
+    ``density``: chart texels per screen pixel along one axis at the
+    layout camera (0.5 => lighting at half screen resolution).
+    ``valid``: bool [T] — padding tris get no chart.
+    """
+    t = len(tri_vidx)
+    empty = ChartLayout(np.zeros((max(t, 1), 3, 2), np.float32),
+                        np.full((8, ATLAS_W), -1, np.int32),
+                        np.zeros((8, ATLAS_W, 2), np.float32), 8, 0)
+    if t == 0:
+        return empty
+    tri_vidx = np.asarray(tri_vidx)
+    world_tri = world_pos[tri_vidx]                       # [T,3,3]
+    if valid is None:
+        valid = np.ones(t, bool)
+    degen = ~np.asarray(valid) | (np.abs(
+        np.cross(world_tri[:, 1] - world_tri[:, 0],
+                 world_tri[:, 2] - world_tri[:, 0])).max(-1) < 1e-12)
+    if degen.all():
+        return empty
+    partner = _quad_mates(tri_vidx, tri_mat)
+    pok = (partner >= 0) & ~degen & ~degen[np.clip(partner, 0, t - 1)]
+    partner = np.where(pok, partner, -1)
+
+    area = _footprint_px(world_tri, viewproj, width, height)
+    r_raw = density * np.sqrt(2.0 * np.maximum(area, 1.0))
+
+    def quantize(rr):
+        r = np.exp2(np.ceil(np.log2(np.maximum(rr, 1.0)))).astype(np.int64)
+        r = np.clip(r, 1, MAX_R)
+        r = np.where(partner >= 0,
+                     np.maximum(r, r[np.clip(partner, 0, t - 1)]), r)
+        r[degen] = 0
+        return r
+
+    owner_mask = ~degen & ((partner < 0) | (np.arange(t) < partner))
+    owners = np.nonzero(owner_mask)[0]
+    scale = 1.0
+    for _ in range(6):     # pow2 quantization overshoots; iterate to fit
+        r = quantize(r_raw * scale)
+        total = int(((r[owners] + 1) ** 2).sum())
+        if total <= budget_texels:
+            break
+        scale *= max(0.5, 0.85 * np.sqrt(budget_texels / total))
+
+    # shelf packing, grouped by (few, power-of-two) square sides
+    sq_r = r[owners]
+    bx = np.zeros(len(owners), np.int64)
+    by = np.zeros(len(owners), np.int64)
+    cur_y = 0
+    for size in np.unique(sq_r)[::-1]:
+        sel = np.nonzero(sq_r == size)[0]
+        s = int(size) + 1
+        per_row = max(1, ATLAS_W // s)
+        k = np.arange(len(sel))
+        bx[sel] = (k % per_row) * s
+        by[sel] = cur_y + (k // per_row) * s
+        cur_y = int(by[sel].max()) + s
+    ah = max(8, -(-cur_y // 8) * 8)
+
+    # per-tri square base + R
+    sq_of = np.full(t, -1, np.int64)
+    sq_of[owners] = np.arange(len(owners))
+    mate_min = np.where(partner >= 0,
+                        np.minimum(np.arange(t), partner), np.arange(t))
+    sq_idx = sq_of[mate_min]                              # [T] (-1 degen)
+    sq = np.maximum(sq_idx, 0)
+    tb = np.stack([bx[sq], by[sq]], -1).astype(np.float32)  # [T,2]
+    rr = r.astype(np.float32)
+
+    # corner atlas uvs from roles: even/single tri is the lower-left
+    # triangle (unique corner at (0,0)); the odd mate is upper-right
+    # (unique at (R,R)); shared corners at (R,0)/(0,R) by role rank
+    roles = _corner_roles(tri_vidx, partner)              # [T,3]
+    is_odd = (partner >= 0) & (np.arange(t) % 2 == 1)
+    # local uv per role: [even/odd][role] -> (u,v) in R units
+    lut = np.array([[[0, 0], [1, 0], [0, 1]],             # even / single
+                    [[1, 1], [1, 0], [0, 1]]], np.float32)
+    local = lut[is_odd.astype(np.int64)[:, None], roles]  # [T,3,2]
+    corner_uv = tb[:, None, :] + local * rr[:, None, None]
+    corner_uv[degen | (sq_idx < 0)] = 0.0
+
+    # texel maps, vectorized per square-size group. Owner of a texel is
+    # the even tri below the diagonal (u+v <= 1), the odd mate above.
+    # Closed-form bary from roles:
+    #   even/single: b(role) = {U: 1-u-v, S1: u, S2: v}
+    #   odd:         b(role) = {U: u+v-1, S1: 1-v, S2: 1-u}
+    texel_tri = np.full((ah, ATLAS_W), -1, np.int32)
+    texel_bary = np.zeros((ah, ATLAS_W, 2), np.float32)
+    even_t = owners
+    odd_t = np.where(partner[owners] >= 0, partner[owners], owners)
+    for size in np.unique(sq_r):
+        sel = np.nonzero(sq_r == size)[0]
+        s = int(size) + 1
+        rs = max(int(size), 1)
+        gi, gj = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+        u = (gj / rs).astype(np.float32)                  # [S,S]
+        v = (gi / rs).astype(np.float32)
+        lower = (u + v) <= 1.0 + 1e-6
+        te = even_t[sel]                                   # [K]
+        to = odd_t[sel]
+        own = np.where(lower[None], te[:, None, None], to[:, None, None])
+        # candidate bary grids per role: [3,S,S]
+        ge = np.stack([1.0 - u - v, u, v])
+        go = np.stack([u + v - 1.0, 1.0 - v, 1.0 - u])
+        b_ev = np.stack([ge[roles[te, 1]], ge[roles[te, 2]]], -1)  # [K,S,S,2]
+        b_od = np.stack([go[roles[to, 1]], go[roles[to, 2]]], -1)
+        # unpaired squares: the upper half belongs to the SAME tri with
+        # extrapolated (even-formula) barycentrics, not the odd mapping
+        use_ev = lower[None, :, :] | (te == to)[:, None, None]
+        bary = np.where(use_ev[..., None], b_ev, b_od)
+        ys = (by[sel][:, None, None] + gi[None]).astype(np.int64)
+        xs = (bx[sel][:, None, None] + gj[None]).astype(np.int64)
+        texel_tri[ys, xs] = own.astype(np.int32)
+        texel_bary[ys, xs] = bary
+    return ChartLayout(corner_uv.astype(np.float32), texel_tri, texel_bary,
+                       ah, total)
+
+
+# --------------------------------------------------------------------------
+# Device-side bakes + the per-frame chart lighting pass (jnp). All
+# functions are shape-static and jit-friendly; the bakes run once per
+# upload (geometry/material) or per shadow-dirty (visibility), the light
+# pass runs per frame inside the jitted frame function.
+
+import jax.numpy as jnp
+
+
+def bake_geometry(scene) -> dict:
+    """Per-texel world pos / shading inputs from the texel->tri maps.
+    One [T,8] row gather + one [V,8] corner gather per texel — paid once
+    per upload, never per frame."""
+    tri = scene["chart_tri"]                       # [Ah,Aw] i32
+    bary = scene["chart_bary"]                     # [Ah,Aw,2]
+    safe = jnp.maximum(tri, 0)
+    trow = scene["tri_packed"][safe]               # [Ah,Aw,8]
+    vidx = trow[..., 0:3]
+    vattr = jnp.concatenate([scene["world_pos"], scene["world_normal"],
+                             scene["uvs"]], axis=-1)          # [V,8]
+    corners = vattr[vidx]                          # [Ah,Aw,3,8]
+    b1 = bary[..., 0:1]
+    b2 = bary[..., 1:2]
+    b = jnp.concatenate([1.0 - b1 - b2, b1, b2], -1)[..., None]
+    interp = (corners * b).sum(-2)                 # [Ah,Aw,8]
+    n = interp[..., 3:6]
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    return {
+        "pos": interp[..., 0:3],
+        "normal": n,
+        "uv": interp[..., 6:8],
+        "mat_id": trow[..., 3],
+        "live": tri >= 0,
+    }
+
+
+def bake_material(scene, geo, slots_used, max_aniso: int = 1,
+                  ibl_diffuse: bool = False) -> jnp.ndarray:
+    """Full ``remap_material`` (texture taps, ORM, normal mapping) per
+    chart texel, reduced to the factored per-texel constants the light
+    pass needs. Returns chart_mat [Ah,Aw,16] f32:
+      0:3  diffuse_nt  base-color FACTOR rgb x (1-metal)   (texture on screen)
+      3:6  f0          (metal tint uses chart-res base color)
+      6    roughness (remapped)      7  occlusion
+      8:11 emissive premultiplied    11 base-color factor alpha
+      12:15 ambient_d (x albedo_tex on screen)   15 live
+    """
+    from . import pbr, sampling
+
+    mat = pbr.remap_material(scene, geo["mat_id"], geo["pos"], geo["uv"],
+                             geo["normal"], slots_used, max_aniso)
+    factor = sampling.table_lookup(scene["mat_all"], geo["mat_id"])[..., 0:4]
+    factor = factor.astype(jnp.float32)
+    one_m = (1.0 - mat["metallic"])[..., None]
+    diffuse_nt = factor[..., :3] * one_m
+    if ibl_diffuse:
+        irr = sampling.sample_cubemap_f32(scene["irradiance"], mat["normal"])
+        amb = diffuse_nt * irr[..., :3] * mat["occlusion"][..., None]
+    else:
+        amb = 0.03 * factor[..., :3] * mat["occlusion"][..., None]
+    live = geo["live"][..., None].astype(jnp.float32)
+    out = jnp.concatenate([
+        diffuse_nt,
+        mat["f0"],
+        mat["roughness"][..., None],
+        mat["occlusion"][..., None],
+        mat["emissive"][..., :3] * mat["emissive"][..., 3:4],
+        factor[..., 3:4],
+        amb,
+        live,
+    ], axis=-1)
+    # store the mapped normal for the light pass (normal-mapped at chart
+    # resolution) by overwriting geo's interpolated normal
+    return out * live, mat["normal"]
+
+
+def bake_visibility(scene, geo, shadow_maps, shadow_transforms,
+                    shadow_lights) -> jnp.ndarray:
+    """(1 - shadow) per texel per light — PCF runs HERE, once per
+    shadow-dirty, never per frame. [Ah,Aw,NL] f32."""
+    from .shadow import compute_shadow_directional
+
+    nl = scene["light_type"].shape[0]
+    vis = []
+    for li in range(nl):
+        if shadow_maps is None or not shadow_lights[li]:
+            vis.append(jnp.ones(geo["mat_id"].shape, jnp.float32))
+            continue
+        s = compute_shadow_directional(
+            shadow_maps, shadow_transforms, scene["light_shadow_index"][li],
+            scene["light_pos"][li], geo["pos"], geo["normal"],
+            penumbra_tiles=0)
+        vis.append(1.0 - s)
+    return jnp.stack(vis, axis=-1)
+
+
+def chart_light(scene, chart_pos, chart_normal, chart_mat, chart_vis,
+                view_args) -> jnp.ndarray:
+    """The per-frame texture-space pass: Filament BRDF over chart texels,
+    ZERO gathers (every input is a dense baked plane). Returns the light
+    atlas [Ah,Aw,8] f16: light_d rgb | light_s rgb | alpha | live.
+    Formulas match pbr.brdf_lighting term for term (pbr.glsl:385-451);
+    the base-color texture factor is deferred to the screen pass."""
+    from . import pbr
+
+    n = chart_normal
+    pos = chart_pos
+    diffuse_nt = chart_mat[..., 0:3]
+    f0 = chart_mat[..., 3:6]
+    rough = chart_mat[..., 6]
+    occ = chart_mat[..., 7]
+    v = view_args["view_pos"] - pos
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+    n_lights = scene["light_type"].shape[0]
+    ld = jnp.zeros_like(pos)
+    ls = jnp.zeros_like(pos)
+    for li in range(n_lights):
+        light = {k: scene[k][li] for k in (
+            "light_type", "light_color", "light_pos", "light_dir",
+            "light_intensity", "light_falloff", "light_cos_inner",
+            "light_cos_outer")}
+        in_range = li < scene["n_lights"]
+        l = pbr._light_direction(light, pos)
+        h = v + l
+        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+        nov = jnp.abs((n * v).sum(-1)) + 1e-5
+        noh = jnp.clip((n * h).sum(-1), 0.0, 1.0)
+        nol = jnp.clip((n * l).sum(-1), 0.0, 1.0)
+        hol = jnp.clip((h * l).sum(-1), 0.0, 1.0)
+        d = pbr.d_ggx(noh, rough)
+        f = pbr.f_schlick(hol, f0)
+        g = pbr.g_smith_ggx_correlated(nov, nol, rough)
+        fr = (d * g)[..., None] * f
+        fd_nt = (1.0 - f) * occ[..., None] * diffuse_nt * pbr.fd_lambert()
+        is_punctual = (light["light_type"] == 2) | (light["light_type"] == 3)
+        l_un = light["light_pos"] - pos
+        att = jnp.where(is_punctual,
+                        pbr._square_falloff(l_un, light["light_falloff"]), 1.0)
+        att = jnp.where(
+            light["light_type"] == 3,
+            att * pbr._spot_attenuation(l, light["light_dir"],
+                                        light["light_cos_inner"],
+                                        light["light_cos_outer"]), att)
+        common = (light["light_intensity"] * att * nol)[..., None] \
+            * light["light_color"] * chart_vis[..., li:li + 1]
+        ok = jnp.where(in_range, 1.0, 0.0)
+        ld = ld + fd_nt * common * ok
+        ls = ls + fr * common * ok
+
+    exposure = view_args["exposure"]
+    ld = ld * exposure + chart_mat[..., 12:15]             # + ambient_d
+    ls = (ls + chart_mat[..., 8:11]) * exposure            # + emissive
+    out = jnp.concatenate([ld, ls], axis=-1)
+    return out.astype(jnp.float16)
+
+
+N_LIGHT_CH = 6     # light_d rgb | light_s rgb (alpha rides the mat row)
+
+
+def pack_light_blocks(atlas6: jnp.ndarray) -> jnp.ndarray:
+    """[Ah,Aw,6] f16 -> [Ah*Aw,12] u32 2x2 clamp-to-edge blocks: one row
+    gather fetches all four bilinear corners (the texture-atlas trick,
+    scene.textures.build_atlas). Rows are f16-pair bitcasts — gather cost
+    scales with element count, and u32 rows halve it (PERF.md)."""
+    import jax
+
+    cx = jnp.concatenate([atlas6[:, 1:], atlas6[:, -1:]], axis=1)
+    cy = jnp.concatenate([atlas6[1:], atlas6[-1:]], axis=0)
+    cxy = jnp.concatenate([cx[1:], cx[-1:]], axis=0)
+    blk = jnp.concatenate([atlas6, cx, cy, cxy], axis=-1)   # [Ah,Aw,24]
+    blk = blk.reshape(-1, 12, 2)
+    return jax.lax.bitcast_convert_type(blk, jnp.uint32)    # [Ah*Aw,12]
+
+
+def sample_light_blocks(blocks: jnp.ndarray, uv: jnp.ndarray,
+                        ah: int, aw: int) -> jnp.ndarray:
+    """Bilinear light-atlas sample: uv [...,2] in texel coords (samples
+    sit AT integer positions). Returns [...,6] f32. One row gather."""
+    import jax
+
+    x = jnp.clip(uv[..., 0], 0.0, aw - 1.001)
+    y = jnp.clip(uv[..., 1], 0.0, ah - 1.001)
+    ix = jnp.floor(x).astype(jnp.int32)
+    iy = jnp.floor(y).astype(jnp.int32)
+    fx = (x - ix.astype(jnp.float32))[..., None]
+    fy = (y - iy.astype(jnp.float32))[..., None]
+    raw = blocks[iy * aw + ix]                             # [...,12] u32
+    row = jax.lax.bitcast_convert_type(raw, jnp.float16)   # [...,12,2]
+    row = row.reshape(*raw.shape[:-1], 24).astype(jnp.float32)
+    c00, c10 = row[..., 0:6], row[..., 6:12]
+    c01, c11 = row[..., 12:18], row[..., 18:24]
+    top = c00 * (1 - fx) + c10 * fx
+    bot = c01 * (1 - fx) + c11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def tss_attribute_planes(setup, vo, tri_vidx, corner_uv) -> jnp.ndarray:
+    """TSS variant of ``raster.pallas_raster.attribute_planes``: the
+    kernel carries only 4 attributes (chart_u, chart_v, uv_u, uv_v) — the
+    screen pass needs nothing else, and a 4-attr pair fits a 32-column
+    block, so FOUR pairs share each 128-lane row (4x less raster DMA than
+    the full 8-attr layout; see pallas_raster module header)."""
+    t = tri_vidx.shape[0]
+    corners = jnp.concatenate([
+        jnp.asarray(corner_uv, jnp.float32),
+        vo.uv[tri_vidx],
+    ], axis=-1)                                   # [T,3,4]
+    e = setup.coef[:, 0:3, :]
+    planes = (corners[:, :, :, None] * e[:, :, None, :]).sum(1)
+    return planes.reshape(t, 12)
+
+
+def resolve_tss(scene, coef, g, height, width, y0=0, full_height=None,
+                tri_table: str = "tri_packed",
+                corner_table: str = "chart_corner"):
+    """Non-pallas resolve for TSS mode: chart uv + material uv + mat id
+    from bary (mirrors ``graph.frame.resolve_attributes``)."""
+    from ..raster import reference_raster as rref
+
+    tri_id = g.tri_id
+    if g.bary is not None:
+        b01 = g.bary
+        bary = jnp.concatenate(
+            [b01, 1.0 - b01[..., :1] - b01[..., 1:2]], axis=-1)
+    else:
+        bary, _ = rref.barycentrics_at(coef, tri_id, height, width, y0,
+                                       full_height)
+    # barycentrics_at returns (b0,b1,b2)? keep the same convention as
+    # resolve_attributes: corners weighted by bary[..., c]
+    safe = jnp.maximum(tri_id, 0)
+    trow = scene[tri_table][safe]
+    vidx = trow[..., 0:3]
+    uv = (scene["uvs"][vidx] * bary[..., None]).sum(-2)
+    cuv = jnp.asarray(scene[corner_table], jnp.float32)
+    chart = (cuv[safe] * bary[..., None]).sum(-2)
+    return {"chart_uv": chart, "uv": uv, "mat_id": trow[..., 3],
+            "covered": tri_id >= 0}
+
+
+def tss_shade(scene, chart_uv, uv, mat_id, light_blocks, ah: int, aw: int,
+              slots_used=(True, True, True, True), max_aniso: int = 1):
+    """The TSS screen pass: one albedo tap (full-res texture detail) +
+    one light-atlas gather. rgb = albedo * light_d + light_s; alpha =
+    texture alpha x the material's base-color factor alpha (read straight
+    from the small material table — exact, not chart-interpolated)."""
+    from . import pbr, sampling
+    from .srgb import srgb_to_linear
+
+    light = sample_light_blocks(light_blocks, chart_uv, ah, aw)
+    row = sampling.table_lookup(scene["mat_all"], mat_id)
+    factor_a = row[..., 3].astype(jnp.float32)
+    if slots_used[0]:
+        tb = pbr._slot(row[..., 16:].astype(jnp.float32), 0)
+        duv_dx = sampling.quad_dfdx(uv)
+        duv_dy = sampling.quad_dfdy(uv)
+        tap = pbr._sample_slot(scene, tb, uv, duv_dx, duv_dy,
+                               jnp.ones(4), max_aniso)
+        alb = jnp.where(tb["valid"][..., None],
+                        srgb_to_linear(tap[..., :3]), 1.0)
+        ta = jnp.where(tb["valid"], tap[..., 3], 1.0)
+    else:
+        alb = jnp.ones_like(light[..., 0:3])
+        ta = jnp.ones_like(light[..., 0])
+    rgb = alb * light[..., 0:3] + light[..., 3:6]
+    a = ta * factor_a
+    return jnp.concatenate([rgb, a[..., None]], axis=-1)

@@ -1,0 +1,132 @@
+"""Light-chart (texture-space) shading: layout invariants + image parity
+against the per-pixel reference path (``shading/lightchart.py``).
+
+Parity tolerance is looser than the golden harness: lighting is
+resampled at chart resolution by design, so a small fraction of pixels
+(silhouettes, shadow penumbrae) legitimately moves by more than the
+golden 1/255. The mode is config-gated (default off)."""
+
+import numpy as np
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from renderengine_tpu.graph.frame import FrameRenderer
+from renderengine_tpu.scene import procedural
+from renderengine_tpu.scene.camera import ViewProperties
+from renderengine_tpu.shading import lightchart as lc
+
+
+def _layout(w=192, h=144, tris=12_000, density=0.5, budget=2_000_000):
+    sc = procedural.sponza_scene(width=w, height=h, n_textures=16,
+                                 target_tris=tris)
+    dev = sc.upload()
+    vp = ViewProperties.from_camera(sc.camera)
+    vpj = np.asarray(vp.proj) @ np.asarray(vp.view)
+    valid = np.arange(len(dev["tri_vidx"])) < int(dev["n_tris"])
+    lay = lc.build_layout(dev["tri_vidx"], dev["tri_material"],
+                          dev["world_pos"], vpj, w, h, density, budget,
+                          valid)
+    return sc, dev, lay
+
+
+class TestLayout:
+    def test_bary_uv_roundtrip_exact(self):
+        """corner_uv and texel_bary are exact inverses: mapping a texel's
+        bary through its owner's corners lands on the texel."""
+        _, dev, lay = _layout()
+        iy, ix = np.nonzero(lay.texel_tri >= 0)
+        sel = np.random.default_rng(0).choice(len(iy), 4000, replace=False)
+        iy, ix = iy[sel], ix[sel]
+        own = lay.texel_tri[iy, ix]
+        tb = lay.texel_bary[iy, ix]
+        cu = lay.corner_uv[own]
+        uv = ((1 - tb[:, :1] - tb[:, 1:]) * cu[:, 0] + tb[:, :1] * cu[:, 1]
+              + tb[:, 1:] * cu[:, 2])
+        np.testing.assert_allclose(uv, np.stack([ix, iy], -1), atol=1e-3)
+
+    def test_quad_mates_share_seamless_diagonal(self):
+        """A texel owned by a tri's quad mate evaluates to the same world
+        position through either triangle's plane — bilinear filtering
+        across the shared diagonal is one surface."""
+        _, dev, lay = _layout()
+        tv, wp = dev["tri_vidx"], dev["world_pos"]
+        rng = np.random.default_rng(1)
+        tt = rng.integers(0, int(dev["n_tris"]), 3000)
+        b1 = rng.uniform(0.05, 0.6, 3000)
+        b2 = rng.uniform(0.05, 0.3, 3000)
+        cu = lay.corner_uv[tt]
+        uv = ((1 - b1 - b2)[:, None] * cu[:, 0] + b1[:, None] * cu[:, 1]
+              + b2[:, None] * cu[:, 2])
+        ix = np.clip(np.round(uv[:, 0]).astype(int), 0, lc.ATLAS_W - 1)
+        iy = np.clip(np.round(uv[:, 1]).astype(int), 0, lay.height - 1)
+        own = lay.texel_tri[iy, ix]
+        m = (own >= 0) & (own != tt) & (np.ptp(cu, axis=(1, 2)) > 0)
+        if not m.any():
+            return
+        tb = lay.texel_bary[iy[m], ix[m]]
+        wo = wp[tv[own[m]]]
+        w_owner = ((1 - tb[:, :1] - tb[:, 1:]) * wo[:, 0]
+                   + tb[:, :1] * wo[:, 1] + tb[:, 1:] * wo[:, 2])
+        cu2 = lay.corner_uv[tt[m]]
+        d1 = cu2[:, 1] - cu2[:, 0]
+        d2 = cu2[:, 2] - cu2[:, 0]
+        det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+        p = np.stack([ix[m], iy[m]], -1) - cu2[:, 0]
+        bb1 = (p[:, 0] * d2[:, 1] - p[:, 1] * d2[:, 0]) / det
+        bb2 = (p[:, 1] * d1[:, 0] - p[:, 0] * d1[:, 1]) / det
+        wm = wp[tv[tt[m]]]
+        w_mine = ((1 - bb1 - bb2)[:, None] * wm[:, 0]
+                  + bb1[:, None] * wm[:, 1] + bb2[:, None] * wm[:, 2])
+        assert np.abs(w_owner - w_mine).max() < 1e-4
+
+    def test_budget_respected(self):
+        _, _, lay = _layout(budget=300_000)
+        assert lay.n_texels <= 300_000
+
+    def test_density_scales_texels(self):
+        _, _, hi = _layout(density=1.0)
+        _, _, lo = _layout(density=0.25)
+        assert lo.n_texels < hi.n_texels
+
+
+class TestParity:
+    def _pair(self, cfg_extra=None, density=1.0):
+        import golden_configs
+        cases = {n: (f, c) for n, f, c in golden_configs.golden_cases()}
+        factory, cfg = cases["shadows_pcf"]
+        cfg = cfg.replace(debug_views=False, **(cfg_extra or {}))
+        a = np.asarray(FrameRenderer(factory(), cfg,
+                                     backend="tiled").render())
+        b = np.asarray(FrameRenderer(
+            factory(), cfg.replace(texture_space=True,
+                                   chart_density=density),
+            backend="tiled").render())
+        return a.astype(np.int32), b.astype(np.int32)
+
+    def test_matches_per_pixel_path(self):
+        a, b = self._pair()
+        d = np.abs(a - b).max(-1)
+        assert d.mean() < 4.0, d.mean()
+        assert (d <= 4).mean() > 0.70, (d <= 4).mean()
+        assert (d <= 16).mean() > 0.97, (d <= 16).mean()
+
+    def test_translucency_parity(self):
+        a, b = self._pair({"translucency": True, "skybox": True})
+        d = np.abs(a - b).max(-1)
+        assert d.mean() < 4.0, d.mean()
+        assert (d <= 16).mean() > 0.97, (d <= 16).mean()
+
+    def test_backend_parity_tss(self):
+        """tiled and reference backends agree bit-for-bit (same light
+        atlas, same taps) — the raster backend doesn't change TSS."""
+        import golden_configs
+        cases = {n: (f, c) for n, f, c in golden_configs.golden_cases()}
+        factory, cfg = cases["shadows_pcf"]
+        cfg = cfg.replace(debug_views=False, texture_space=True)
+        a = np.asarray(FrameRenderer(factory(), cfg, backend="tiled").render())
+        b = np.asarray(FrameRenderer(factory(), cfg,
+                                     backend="reference").render())
+        d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert (d <= 1).mean() > 0.995
