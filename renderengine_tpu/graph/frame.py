@@ -345,22 +345,26 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                      shadow_stats=shadow_stats,
                      ibl_diffuse=config.ibl_diffuse)
 
-    # texture-space mode: run the per-frame chart lighting pass ONCE
+    # texture-space mode: run the per-frame SPECULAR chart pass once
     # (dense VPU over chart texels, zero gathers — shading/lightchart.py);
-    # every raster pass below then shades via one albedo tap + one light
-    # gather instead of the full per-pixel BRDF chain.
+    # the diffuse table scene["chart_ld"] is static (baked on upload /
+    # shadow-dirty / exposure change). Every raster pass below then
+    # shades via one albedo tap + two 16-byte light gathers instead of
+    # the full per-pixel BRDF chain.
     tss = config.texture_space
     if tss:
         from ..shading import lightchart
-        light_atlas = lightchart.chart_light(
+        ls_atlas = lightchart.chart_light_spec(
             scene, scene["chart_pos"], scene["chart_normal"],
             scene["chart_mat"], scene["chart_vis"], view_args)
-        light_blocks = lightchart.pack_light_blocks(light_atlas)
-        c_ah, c_aw = light_atlas.shape[:2]
+        ls_blocks = lightchart.pack_rgbe_blocks(ls_atlas)
+        ld_blocks = scene["chart_ld"]
+        c_ah, c_aw = ls_atlas.shape[:2]
 
         def tss_shade_px(chart_uv, uv, mat_id):
             return lightchart.tss_shade(
-                scene, chart_uv, uv, mat_id, light_blocks, c_ah, c_aw,
+                scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
+                c_ah, c_aw,
                 slots_used=slots_used, max_aniso=config.max_anisotropy)
 
     # opaque base pass
@@ -411,7 +415,18 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         else:
             frag = resolve_tss(scene, setup.coef, g, slice_h, w,
                                y0=y0, full_height=fh)
-        rgba = tss_shade_px(frag["chart_uv"], frag["uv"], frag["mat_id"])
+        if config.chart_density <= 0.5:
+            # dense full-screen pass at <= half-pixel chart density: the
+            # light field varies at >= 2 px scale, so sample it on the
+            # half-res pixel grid (4x fewer gather indices — a 2M-index
+            # gather costs ~10 ms regardless of table size, PERF.md)
+            rgba = lightchart.tss_shade_halfres(
+                scene, frag["chart_uv"], frag["uv"], frag["mat_id"],
+                ld_blocks, ls_blocks, c_ah, c_aw, y0=y0,
+                slots_used=slots_used, max_aniso=config.max_anisotropy)
+        else:
+            rgba = tss_shade_px(frag["chart_uv"], frag["uv"],
+                                frag["mat_id"])
     elif attrs is not None:
         if g.mat_id is not None:
             mat_id = g.mat_id          # rode the pair-aux word: no gather
@@ -754,6 +769,15 @@ class FrameRenderer:
             nl = int(self.scene_dev["light_type"].shape[0])
             self.scene_dev["chart_vis"] = jnp.ones(
                 cm.shape[:2] + (nl,), jnp.float32)
+            # static diffuse table: baked, refreshed on shadow-dirty /
+            # exposure change (lightchart.chart_light_static)
+            self._ld_fn = jax.jit(lambda sc, e: lightchart.pack_rgbe_blocks(
+                lightchart.chart_light_static(
+                    sc, sc["chart_pos"], sc["chart_normal"],
+                    sc["chart_mat"], sc["chart_vis"], e)))
+            self._baked_exposure = float(scene_host.camera.exposure)
+            self.scene_dev["chart_ld"] = self._ld_fn(
+                self.scene_dev, self._baked_exposure)
         self._shadow_lights = _static_shadow_lights(dev)
         # react-to-overflow: the frame fn also reports the binning
         # overflow counter; render() polls it (without stalling the
@@ -1249,6 +1273,16 @@ class FrameRenderer:
         if self._react_overflow:
             self._poll_overflow()
         u = self.uniform_for_camera(view_props)
+        if self.config.texture_space:
+            # exposure is folded into the static diffuse bake; a change
+            # re-bakes it (a pipeline-rebuild-class hitch, not per-frame)
+            e = (float(view_props.exposure) if view_props is not None
+                 else float(self.scene_host.camera.exposure))
+            if e != self._baked_exposure:
+                self._baked_exposure = e
+                if not (self.n_shadows > 0 and self._shadows_dirty):
+                    self.scene_dev["chart_ld"] = self._ld_fn(
+                        self.scene_dev, e)
         if self.n_shadows > 0 and self._shadows_dirty:
             # cached pass: a blocking overflow check + regrow here is a
             # one-off, not a per-frame stall
@@ -1284,6 +1318,8 @@ class FrameRenderer:
                     self._vis_fn = jax.jit(_bake_vis)
                 self.scene_dev["chart_vis"] = self._vis_fn(
                     self.scene_dev, maps, u)
+                self.scene_dev["chart_ld"] = self._ld_fn(
+                    self.scene_dev, self._baked_exposure)
         out = self._fn(self.scene_dev, u, self._shadow_maps)
         if self._react_overflow:
             img, stats = out

@@ -18,19 +18,24 @@ layout:
   per chart texel — the per-frame pass never touches the texture atlas.
 - On shadow-dirty, PCF visibility per light is baked per texel — the
   per-frame pass never gathers shadow windows.
-- Per frame, the Filament BRDF runs densely over chart texels (pure
-  VPU, zero gathers) producing a small **light atlas** with shading
-  FACTORED as ``screen_rgb = albedo_tex * light_d + light_s``:
-  - ``light_d``: everything that multiplies the base-color *texture*
-    (diffuse light x base-color factor x occlusion + ambient).
-  - ``light_s``: everything that does not (specular + emissive).
+- Lighting is FACTORED as ``screen_rgb = albedo_tex * light_d +
+  light_s`` and SPLIT by view-dependence:
+  - ``light_d`` (diffuse light x base-color factor x occlusion +
+    ambient): **view-independent** for static lights/geometry, so it is
+    *baked*, not computed per frame — refreshed only on upload,
+    shadow-dirty, or exposure change.
+  - ``light_s`` (specular + emissive): view-dependent; recomputed per
+    frame as a dense zero-gather VPU pass over chart texels.
   The base-color texture itself is sampled per PIXEL on screen (one
   trilinear tap) so texture detail stays full resolution; only
   *lighting* runs at chart resolution — the classic lightmap
   factorization, with charts sized from the camera footprint.
-- The screen pass per pixel: one albedo tap + one bilinear gather from
-  the (small) light atlas. Chart UVs ride the raster kernel's existing
-  8-attribute interpolation path, so the kernel is unchanged.
+- Both light tables store one **rgb9e5** u32 per texel in 2x2
+  clamp-to-edge blocks: a bilinear sample is ONE 16-byte row gather
+  (gather cost scales with table bytes and row elements — PERF.md).
+- The screen pass per pixel: one albedo tap + two 16-byte light
+  gathers. Chart UVs ride the raster kernel's attribute-plane path
+  (4 attrs -> 32-column pair blocks, 4 pairs per 128-lane DMA row).
 
 Known, documented approximations vs the per-pixel path (all at chart
 resolution instead of pixel resolution): specular, normal-mapped
@@ -347,105 +352,257 @@ def bake_visibility(scene, geo, shadow_maps, shadow_transforms,
     return jnp.stack(vis, axis=-1)
 
 
-def chart_light(scene, chart_pos, chart_normal, chart_mat, chart_vis,
-                view_args) -> jnp.ndarray:
-    """The per-frame texture-space pass: Filament BRDF over chart texels,
-    ZERO gathers (every input is a dense baked plane). Returns the light
-    atlas [Ah,Aw,8] f16: light_d rgb | light_s rgb | alpha | live.
-    Formulas match pbr.brdf_lighting term for term (pbr.glsl:385-451);
-    the base-color texture factor is deferred to the screen pass."""
+def _light_common(scene, li: int, pos, n, chart_vis):
+    """Per-light direction + shared scalar weight (intensity x attenuation
+    x nol x visibility) x color — the factor both the diffuse and the
+    specular lobes multiply (pbr.glsl:385-409)."""
+    from . import pbr
+
+    light = {k: scene[k][li] for k in (
+        "light_type", "light_color", "light_pos", "light_dir",
+        "light_intensity", "light_falloff", "light_cos_inner",
+        "light_cos_outer")}
+    in_range = li < scene["n_lights"]
+    l = pbr._light_direction(light, pos)
+    nol = jnp.clip((n * l).sum(-1), 0.0, 1.0)
+    is_punctual = (light["light_type"] == 2) | (light["light_type"] == 3)
+    l_un = light["light_pos"] - pos
+    att = jnp.where(is_punctual,
+                    pbr._square_falloff(l_un, light["light_falloff"]), 1.0)
+    att = jnp.where(
+        light["light_type"] == 3,
+        att * pbr._spot_attenuation(l, light["light_dir"],
+                                    light["light_cos_inner"],
+                                    light["light_cos_outer"]), att)
+    common = (light["light_intensity"] * att * nol)[..., None] \
+        * light["light_color"] * chart_vis[..., li:li + 1]
+    return l, common * jnp.where(in_range, 1.0, 0.0)
+
+
+def chart_light_static(scene, chart_pos, chart_normal, chart_mat, chart_vis,
+                       exposure) -> jnp.ndarray:
+    """The STATIC (view-independent) half of the factored lighting: summed
+    diffuse from every light x baked PCF visibility, exposure folded in,
+    plus the ambient term. Baked once per upload / shadow-dirty /
+    exposure change — NOT per frame (lights and geometry are static; the
+    camera is not, but diffuse doesn't see it).
+
+    Approximation vs the per-pixel path: the diffuse lobe's (1 - F(hol))
+    energy factor is view-dependent; the bake uses (1 - f0) (its
+    normal-incidence value). Dielectric f0 = 0.04, so the divergence only
+    matters at grazing view angles where nol is small too."""
+    from . import pbr
+
+    n = chart_normal
+    diffuse_nt = chart_mat[..., 0:3]
+    f0 = chart_mat[..., 3:6]
+    occ = chart_mat[..., 7]
+    fd_nt = (1.0 - f0) * occ[..., None] * diffuse_nt * pbr.fd_lambert()
+    ld = jnp.zeros_like(chart_pos)
+    for li in range(scene["light_type"].shape[0]):
+        _, common = _light_common(scene, li, chart_pos, n, chart_vis)
+        ld = ld + fd_nt * common
+    return ld * exposure + chart_mat[..., 12:15]           # + ambient_d
+
+
+def chart_light_spec(scene, chart_pos, chart_normal, chart_mat, chart_vis,
+                     view_args) -> jnp.ndarray:
+    """The per-frame (view-dependent) half: summed Filament specular +
+    emissive, exposed. Dense VPU over chart texels, zero gathers."""
     from . import pbr
 
     n = chart_normal
     pos = chart_pos
-    diffuse_nt = chart_mat[..., 0:3]
     f0 = chart_mat[..., 3:6]
     rough = chart_mat[..., 6]
-    occ = chart_mat[..., 7]
     v = view_args["view_pos"] - pos
     v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
-
-    n_lights = scene["light_type"].shape[0]
-    ld = jnp.zeros_like(pos)
+    nov = jnp.abs((n * v).sum(-1)) + 1e-5
     ls = jnp.zeros_like(pos)
-    for li in range(n_lights):
-        light = {k: scene[k][li] for k in (
-            "light_type", "light_color", "light_pos", "light_dir",
-            "light_intensity", "light_falloff", "light_cos_inner",
-            "light_cos_outer")}
-        in_range = li < scene["n_lights"]
-        l = pbr._light_direction(light, pos)
+    for li in range(scene["light_type"].shape[0]):
+        l, common = _light_common(scene, li, pos, n, chart_vis)
         h = v + l
         h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
-        nov = jnp.abs((n * v).sum(-1)) + 1e-5
         noh = jnp.clip((n * h).sum(-1), 0.0, 1.0)
         nol = jnp.clip((n * l).sum(-1), 0.0, 1.0)
         hol = jnp.clip((h * l).sum(-1), 0.0, 1.0)
         d = pbr.d_ggx(noh, rough)
         f = pbr.f_schlick(hol, f0)
         g = pbr.g_smith_ggx_correlated(nov, nol, rough)
-        fr = (d * g)[..., None] * f
-        fd_nt = (1.0 - f) * occ[..., None] * diffuse_nt * pbr.fd_lambert()
-        is_punctual = (light["light_type"] == 2) | (light["light_type"] == 3)
-        l_un = light["light_pos"] - pos
-        att = jnp.where(is_punctual,
-                        pbr._square_falloff(l_un, light["light_falloff"]), 1.0)
-        att = jnp.where(
-            light["light_type"] == 3,
-            att * pbr._spot_attenuation(l, light["light_dir"],
-                                        light["light_cos_inner"],
-                                        light["light_cos_outer"]), att)
-        common = (light["light_intensity"] * att * nol)[..., None] \
-            * light["light_color"] * chart_vis[..., li:li + 1]
-        ok = jnp.where(in_range, 1.0, 0.0)
-        ld = ld + fd_nt * common * ok
-        ls = ls + fr * common * ok
-
-    exposure = view_args["exposure"]
-    ld = ld * exposure + chart_mat[..., 12:15]             # + ambient_d
-    ls = (ls + chart_mat[..., 8:11]) * exposure            # + emissive
-    out = jnp.concatenate([ld, ls], axis=-1)
-    return out.astype(jnp.float16)
+        ls = ls + (d * g)[..., None] * f * common
+    return (ls + chart_mat[..., 8:11]) * view_args["exposure"]
 
 
-N_LIGHT_CH = 6     # light_d rgb | light_s rgb (alpha rides the mat row)
+# --- rgb9e5 shared-exponent HDR packing (one u32 per texel) -------------
+# Gather cost scales with table bytes AND row element count (PERF.md), so
+# the light tables store each texel as ONE u32: 9-bit mantissas r|g|b and
+# a 5-bit shared exponent (the GL_EXT_texture_shared_exponent layout).
+# Max relative step 2^-9 of the dominant channel — under half an 8-bit
+# code after the sRGB encode for the values that matter.
+
+_E_BIAS = 24   # value = mant * 2^(e - _E_BIAS); e in [0,31]
 
 
-def pack_light_blocks(atlas6: jnp.ndarray) -> jnp.ndarray:
-    """[Ah,Aw,6] f16 -> [Ah*Aw,12] u32 2x2 clamp-to-edge blocks: one row
-    gather fetches all four bilinear corners (the texture-atlas trick,
-    scene.textures.build_atlas). Rows are f16-pair bitcasts — gather cost
-    scales with element count, and u32 rows halve it (PERF.md)."""
+def rgb9e5_encode(rgb: jnp.ndarray) -> jnp.ndarray:
+    """[...,3] f32 (>=0, HDR) -> [...] u32."""
     import jax
 
-    cx = jnp.concatenate([atlas6[:, 1:], atlas6[:, -1:]], axis=1)
-    cy = jnp.concatenate([atlas6[1:], atlas6[-1:]], axis=0)
-    cxy = jnp.concatenate([cx[1:], cx[-1:]], axis=0)
-    blk = jnp.concatenate([atlas6, cx, cy, cxy], axis=-1)   # [Ah,Aw,24]
-    blk = blk.reshape(-1, 12, 2)
-    return jax.lax.bitcast_convert_type(blk, jnp.uint32)    # [Ah*Aw,12]
+    rgb = jnp.clip(rgb, 0.0, 65408.0)
+    m = jnp.maximum(jnp.max(rgb, axis=-1), 3e-5)   # normal f32; e >= 0
+    # floor(log2(m)) from the f32 exponent bits (m is normal, positive)
+    k = (jax.lax.bitcast_convert_type(m, jnp.uint32) >> 23).astype(jnp.int32) - 127
+    e = jnp.clip(k + 16, 0, 31)                    # mant of max in [256,511]
+    # 2^(_E_BIAS - e) by exponent-bit construction
+    inv_scale = jax.lax.bitcast_convert_type(
+        ((127 + _E_BIAS - e) << 23).astype(jnp.uint32), jnp.float32)
+    mant = jnp.clip(jnp.round(rgb * inv_scale[..., None]), 0, 511)
+    mant = mant.astype(jnp.uint32)
+    return (mant[..., 0] | (mant[..., 1] << 9) | (mant[..., 2] << 18)
+            | (e.astype(jnp.uint32) << 27))
 
 
-def sample_light_blocks(blocks: jnp.ndarray, uv: jnp.ndarray,
-                        ah: int, aw: int) -> jnp.ndarray:
-    """Bilinear light-atlas sample: uv [...,2] in texel coords (samples
-    sit AT integer positions). Returns [...,6] f32. One row gather."""
+def rgb9e5_decode(raw: jnp.ndarray) -> jnp.ndarray:
+    """[...] u32 -> [...,3] f32."""
     import jax
 
+    e = (raw >> 27).astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        ((127 - _E_BIAS + e) << 23).astype(jnp.uint32), jnp.float32)
+    mant = jnp.stack([raw & 511, (raw >> 9) & 511, (raw >> 18) & 511],
+                     axis=-1).astype(jnp.float32)
+    return mant * scale[..., None]
+
+
+def pack_rgbe_blocks(atlas3: jnp.ndarray) -> jnp.ndarray:
+    """[Ah,Aw,3] f32 -> [Ah*Aw,4] u32 2x2 clamp-to-edge rgb9e5 blocks: one
+    16-byte row gather fetches all four bilinear corners (the texture-
+    atlas trick, scene.textures.build_atlas). Pure u32 slicing/concat —
+    no sub-word bitcasts, so XLA keeps the layout (the f16-pair variant
+    cost 28 ms/frame in relayouts)."""
+    p = rgb9e5_encode(atlas3)                               # [Ah,Aw] u32
+    px = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    py = jnp.concatenate([p[1:], p[-1:]], axis=0)
+    pxy = jnp.concatenate([px[1:], px[-1:]], axis=0)
+    blk = jnp.stack([p, px, py, pxy], axis=-1)              # [Ah,Aw,4]
+    return blk.reshape(-1, 4)
+
+
+def sample_rgbe_blocks(blocks: jnp.ndarray, uv: jnp.ndarray,
+                       ah: int, aw: int) -> jnp.ndarray:
+    """Bilinear light-table sample: uv [...,2] in texel coords (samples
+    sit AT integer positions). Returns [...,3] f32. ONE 16-byte gather."""
     x = jnp.clip(uv[..., 0], 0.0, aw - 1.001)
     y = jnp.clip(uv[..., 1], 0.0, ah - 1.001)
     ix = jnp.floor(x).astype(jnp.int32)
     iy = jnp.floor(y).astype(jnp.int32)
     fx = (x - ix.astype(jnp.float32))[..., None]
     fy = (y - iy.astype(jnp.float32))[..., None]
-    raw = blocks[iy * aw + ix]                             # [...,12] u32
-    row = jax.lax.bitcast_convert_type(raw, jnp.float16)   # [...,12,2]
-    row = row.reshape(*raw.shape[:-1], 24).astype(jnp.float32)
-    c00, c10 = row[..., 0:6], row[..., 6:12]
-    c01, c11 = row[..., 12:18], row[..., 18:24]
+    raw = blocks[iy * aw + ix]                             # [...,4] u32
+    c00 = rgb9e5_decode(raw[..., 0])
+    c10 = rgb9e5_decode(raw[..., 1])
+    c01 = rgb9e5_decode(raw[..., 2])
+    c11 = rgb9e5_decode(raw[..., 3])
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
     return top * (1 - fy) + bot * fy
+
+
+def sample_light_halfres(ld_blocks, ls_blocks, chart_uv, ah: int, aw: int,
+                         y0: int = 0, sim_radius: float = 3.0):
+    """Light-table sampling on the HALF-resolution pixel grid + a
+    chart-uv-guided upsample back to full res — the gather-count killer.
+
+    A 2M-index gather costs ~10 ms on TPU *per gather op* (per-index cost
+    dominates; table size is secondary — PERF.md), and lighting varies at
+    chart density (~half a screen pixel) anyway, so sampling the light
+    field at every screen pixel buys nothing. Instead:
+
+    - gather both tables at the even-pixel half grid (4x fewer indices),
+    - upsample bilinearly where a corner's chart uv is within
+      ``sim_radius`` texels of the pixel's own (same surface — charts of
+      different triangles land in different atlas squares, far apart in
+      uv), falling back toward the nearest corner at silhouettes.
+
+    The upsample is repeats/slices/elementwise — zero full-res gathers.
+    ``y0``: global row of this image slice (sharded slices must agree on
+    the GLOBAL even-row grid; a TRACED y0 — shard_map offsets — assumes
+    even slice starts, the sharded path's row split for even heights,
+    else the half grid is locally anchored: a 1-row phase shift, not an
+    error). Returns ([...,3] ld, [...,3] ls)."""
+    h, w = chart_uv.shape[:2]
+    r0 = (y0 % 2) if isinstance(y0, int) else 0   # static slicing only
+    hu = chart_uv[r0::2, 0::2]                        # [Hh,Wh,2]
+    ld_h = sample_rgbe_blocks(ld_blocks, hu, ah, aw)
+    ls_h = sample_rgbe_blocks(ls_blocks, hu, ah, aw)
+    hl = jnp.concatenate([ld_h, ls_h, hu], axis=-1)   # [Hh,Wh,8]
+
+    def up(x):                       # h[i,j] -> full[y,x] = h[y//2,x//2]
+        f = jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
+        if r0:
+            f = jnp.concatenate([f[:1], f[:-1]], axis=0)
+        return f[:h, :w]
+
+    sx = jnp.concatenate([hl[:, 1:], hl[:, -1:]], axis=1)
+    sy = jnp.concatenate([hl[1:], hl[-1:]], axis=0)
+    sxy = jnp.concatenate([sx[1:], sx[-1:]], axis=0)
+    c00, c10, c01, c11 = up(hl), up(sx), up(sy), up(sxy)
+
+    yy = (jnp.arange(h, dtype=jnp.int32) - r0) % 2
+    xx = jnp.arange(w, dtype=jnp.int32) % 2
+    fy = (0.5 * yy.astype(jnp.float32))[:, None, None]
+    fx = (0.5 * xx.astype(jnp.float32))[None, :, None]
+
+    def cdist(c):
+        return jnp.abs(c[..., 6:8] - chart_uv).sum(-1, keepdims=True)
+
+    d00, d10, d01, d11 = cdist(c00), cdist(c10), cdist(c01), cdist(c11)
+    w00 = (1 - fy) * (1 - fx) * (d00 < sim_radius)
+    w10 = (1 - fy) * fx * (d10 < sim_radius)
+    w01 = fy * (1 - fx) * (d01 < sim_radius)
+    w11 = fy * fx * (d11 < sim_radius)
+    tot = w00 + w10 + w01 + w11
+    acc = (c00[..., :6] * w00 + c10[..., :6] * w10
+           + c01[..., :6] * w01 + c11[..., :6] * w11) / jnp.maximum(tot, 1e-6)
+    # silhouette fallback: every corner rejected -> the corner whose chart
+    # uv is closest to the pixel's own (the same-surface sample if one
+    # exists; c00 is only screen-nearest, not surface-nearest)
+    best, bd = c00[..., :6], d00
+    for c, d in ((c10, d10), (c01, d01), (c11, d11)):
+        best = jnp.where(d < bd, c[..., :6], best)
+        bd = jnp.minimum(bd, d)
+    acc = jnp.where(tot > 1e-6, acc, best)
+    return acc[..., 0:3], acc[..., 3:6]
+
+
+def tss_shade_halfres(scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
+                      ah: int, aw: int, y0: int = 0,
+                      slots_used=(True, True, True, True),
+                      max_aniso: int = 1):
+    """``tss_shade`` with the half-res light path (dense [H,W] passes
+    only — packed sparse tiles keep per-pixel gathers, their index
+    counts are already small)."""
+    from . import pbr, sampling
+    from .srgb import srgb_to_linear
+
+    light_d, light_s = sample_light_halfres(ld_blocks, ls_blocks, chart_uv,
+                                            ah, aw, y0)
+    row = sampling.table_lookup(scene["mat_all"], mat_id)
+    factor_a = row[..., 3].astype(jnp.float32)
+    if slots_used[0]:
+        tb = pbr._slot(row[..., 16:].astype(jnp.float32), 0)
+        duv_dx = sampling.quad_dfdx(uv)
+        duv_dy = sampling.quad_dfdy(uv)
+        tap = pbr._sample_slot(scene, tb, uv, duv_dx, duv_dy,
+                               jnp.ones(4), max_aniso)
+        alb = jnp.where(tb["valid"][..., None],
+                        srgb_to_linear(tap[..., :3]), 1.0)
+        ta = jnp.where(tb["valid"], tap[..., 3], 1.0)
+    else:
+        alb = jnp.ones_like(light_d)
+        ta = jnp.ones_like(light_d[..., 0])
+    rgb = alb * light_d + light_s
+    a = ta * factor_a
+    return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
 
 def tss_attribute_planes(setup, vo, tri_vidx, corner_uv) -> jnp.ndarray:
@@ -491,16 +648,19 @@ def resolve_tss(scene, coef, g, height, width, y0=0, full_height=None,
             "covered": tri_id >= 0}
 
 
-def tss_shade(scene, chart_uv, uv, mat_id, light_blocks, ah: int, aw: int,
+def tss_shade(scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
+              ah: int, aw: int,
               slots_used=(True, True, True, True), max_aniso: int = 1):
     """The TSS screen pass: one albedo tap (full-res texture detail) +
-    one light-atlas gather. rgb = albedo * light_d + light_s; alpha =
-    texture alpha x the material's base-color factor alpha (read straight
-    from the small material table — exact, not chart-interpolated)."""
+    two 16-byte light-table gathers (static diffuse ld; per-frame
+    specular ls). rgb = albedo * ld + ls; alpha = texture alpha x the
+    material's base-color factor alpha (read straight from the small
+    material table — exact, not chart-interpolated)."""
     from . import pbr, sampling
     from .srgb import srgb_to_linear
 
-    light = sample_light_blocks(light_blocks, chart_uv, ah, aw)
+    light_d = sample_rgbe_blocks(ld_blocks, chart_uv, ah, aw)
+    light_s = sample_rgbe_blocks(ls_blocks, chart_uv, ah, aw)
     row = sampling.table_lookup(scene["mat_all"], mat_id)
     factor_a = row[..., 3].astype(jnp.float32)
     if slots_used[0]:
@@ -513,8 +673,8 @@ def tss_shade(scene, chart_uv, uv, mat_id, light_blocks, ah: int, aw: int,
                         srgb_to_linear(tap[..., :3]), 1.0)
         ta = jnp.where(tb["valid"], tap[..., 3], 1.0)
     else:
-        alb = jnp.ones_like(light[..., 0:3])
-        ta = jnp.ones_like(light[..., 0])
-    rgb = alb * light[..., 0:3] + light[..., 3:6]
+        alb = jnp.ones_like(light_d)
+        ta = jnp.ones_like(light_d[..., 0])
+    rgb = alb * light_d + light_s
     a = ta * factor_a
     return jnp.concatenate([rgb, a[..., None]], axis=-1)

@@ -91,13 +91,49 @@ class TestLayout:
         assert lo.n_texels < hi.n_texels
 
 
+class TestRgb9e5:
+    def test_roundtrip_error_bound(self):
+        """Shared-exponent packing: error <= 2^-9 of the max channel."""
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (2048, 3)).astype(np.float32) ** 2
+        x *= rng.choice([1e-3, 0.1, 1.0, 40.0], (2048, 1)).astype(np.float32)
+        dec = np.asarray(lc.rgb9e5_decode(lc.rgb9e5_encode(jnp.asarray(x))))
+        rel = np.abs(dec - x) / np.maximum(x.max(-1, keepdims=True), 1e-6)
+        assert rel.max() <= 2.0 ** -9 + 1e-4
+
+    def test_block_sample_matches_direct_bilinear(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(1)
+        atlas = rng.uniform(0, 4, (24, 48, 3)).astype(np.float32)
+        blocks = lc.pack_rgbe_blocks(jnp.asarray(atlas))
+        uv = np.stack([rng.uniform(0, 47, 400),
+                       rng.uniform(0, 23, 400)], -1).astype(np.float32)
+        out = np.asarray(lc.sample_rgbe_blocks(blocks, jnp.asarray(uv),
+                                               24, 48))
+        ix = np.floor(uv[:, 0]).astype(int)
+        iy = np.floor(uv[:, 1]).astype(int)
+        fx = (uv[:, 0] - ix)[:, None]
+        fy = (uv[:, 1] - iy)[:, None]
+        x1 = np.minimum(ix + 1, 47)
+        y1 = np.minimum(iy + 1, 23)
+        ref = ((atlas[iy, ix] * (1 - fx) + atlas[iy, x1] * fx) * (1 - fy)
+               + (atlas[y1, ix] * (1 - fx) + atlas[y1, x1] * fx) * fy)
+        assert np.abs(out - ref).max() < 0.01 * max(1.0, ref.max())
+
+
 class TestParity:
-    def _pair(self, cfg_extra=None, density=1.0):
+    def _pair(self, cfg_extra=None, density=1.0, base_density=None,
+              base_tss=False):
         import golden_configs
         cases = {n: (f, c) for n, f, c in golden_configs.golden_cases()}
         factory, cfg = cases["shadows_pcf"]
         cfg = cfg.replace(debug_views=False, **(cfg_extra or {}))
-        a = np.asarray(FrameRenderer(factory(), cfg,
+        base = cfg
+        if base_tss:
+            base = cfg.replace(texture_space=True,
+                               chart_density=base_density or density)
+        a = np.asarray(FrameRenderer(factory(), base,
                                      backend="tiled").render())
         b = np.asarray(FrameRenderer(
             factory(), cfg.replace(texture_space=True,
@@ -111,6 +147,26 @@ class TestParity:
         assert d.mean() < 4.0, d.mean()
         assert (d <= 4).mean() > 0.70, (d <= 4).mean()
         assert (d <= 16).mean() > 0.97, (d <= 16).mean()
+
+    def test_halfres_light_parity(self):
+        """density <= 0.5 switches the dense pass to half-res light
+        sampling (chart-uv-guided upsample). Measured against the
+        per-pixel-gather TSS path at the SAME density — the charts are
+        coarse by configuration at 0.5 (TSS-vs-reference there is ~93%
+        within 16/255 with either sampler); the half-res upsample itself
+        must be near-lossless on top of that."""
+        # density 0.501 keeps per-pixel gathers (the frame.py gate is
+        # <= 0.5) at indistinguishable chart resolution
+        perpix, half = self._pair(density=0.5, base_density=0.501,
+                                  base_tss=True)
+        d = np.abs(perpix - half).max(-1)
+        assert d.mean() < 1.0, d.mean()
+        assert (d <= 16).mean() > 0.99, (d <= 16).mean()
+        # and an absolute floor vs the non-TSS reference path
+        ref, _ = self._pair(density=0.5)
+        d = np.abs(ref - half).max(-1)
+        assert d.mean() < 5.0, d.mean()
+        assert (d <= 16).mean() > 0.90, (d <= 16).mean()
 
     def test_translucency_parity(self):
         a, b = self._pair({"translucency": True, "skybox": True})
