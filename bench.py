@@ -83,7 +83,12 @@ def main():
     ap.add_argument("--texture-space", action="store_true",
                     help="light-chart (texture-space) shading: lighting at "
                     "chart resolution, full-res albedo (lightchart.py)")
+    ap.add_argument("--preshaded", action="store_true",
+                    help="fully pre-shaded charts (rgb composes in chart "
+                    "space; one block gather per pixel per pass); implies "
+                    "--texture-space")
     ap.add_argument("--chart-density", type=float, default=0.5)
+    ap.add_argument("--chart-budget", type=int, default=2_000_000)
     ap.add_argument("--goldens", action="store_true",
                     help="render the five golden configs with the pallas "
                     "backend ON THIS DEVICE and assert the documented "
@@ -121,8 +126,10 @@ def main():
                        shadow_extent=args.shadow_extent,
                        translucency=not args.no_translucency,
                        debug_views=False,
-                       texture_space=args.texture_space,
+                       texture_space=args.texture_space or args.preshaded,
+                       tss_preshaded=args.preshaded,
                        chart_density=args.chart_density,
+                       chart_budget=args.chart_budget,
                        raster=RasterConfig(pairs_per_tri=args.pairs_per_tri))
     r = FrameRenderer(scene, cfg, backend=args.backend)
     n_tris = int(np.asarray(r.scene_dev["n_tris"]))

@@ -93,6 +93,7 @@ class RenderConfig:
     texture_space: bool = False  # light-chart (texture-space) shading: lighting runs per chart texel (shading/lightchart.py), screen pass = 1 albedo tap + 1 light gather. Static scenes; lighting detail at chart resolution. False = reference-exact per-pixel path
     chart_density: float = 0.5   # chart texels per screen pixel (one axis) at the layout camera
     chart_budget: int = 2_000_000  # total chart texel cap (atlas size / gather-table price)
+    tss_preshaded: bool = False  # fully pre-shaded charts: albedo is baked at chart resolution and rgb = albedo*ld + ls composes IN CHART SPACE, so every screen pass costs ONE 16-byte rgb9e5-block gather per pixel (translucent passes add one 4-byte alpha-block gather). Texture detail then lives at chart_density — run with chart_density 1.0 / a larger chart_budget for parity-grade detail. Requires texture_space
     mask_layers: int = 2      # cutoff-pass peel depth: fragments revealed through >= this many stacked discarded MASK layers fall back to the opaque surface behind
     blend_pair_budget: int = 0  # static blend-pass (tile,tri) pair budget; 0 = derive from raster.pairs_per_tri (blend geometry is few LARGE triangles — banners, glass — so its span profile needs its own budget, not the opaque per-tri one)
     blend_tile_budget: int = 0  # static covered-tile budget for the sparse peel raster grid; 0 = dense grid over every tile

@@ -23,7 +23,8 @@ import numpy as np
 
 from ..core.config import CullMode, RasterConfig, RenderConfig
 from ..raster import reference_raster as rref
-from ..raster.setup import triangle_setup, vertex_transform
+from ..raster.setup import (corner_clip, triangle_setup,
+                            triangle_setup_corners, vertex_transform)
 from ..raster.tiled import rasterize_tiled
 from ..raster.pallas_raster import rasterize_pallas
 from ..shading import pbr, phong, skybox
@@ -200,7 +201,7 @@ def shadow_slices(extent: int, backend: str) -> int:
     return n
 
 
-def render_shadow_maps(scene, world_pos, shadow_viewproj, extent: int,
+def render_shadow_maps(scene, shadow_viewproj, extent: int,
                        n_shadows: int, rc: RasterConfig, backend: str,
                        max_pairs: int | None = None):
     """Depth-only raster per shadow map (reference ``ShadowSystem::Render``,
@@ -213,16 +214,15 @@ def render_shadow_maps(scene, world_pos, shadow_viewproj, extent: int,
     budget."""
     from ..raster.setup import restrict_rows
 
-    world_h = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], axis=-1)
     maps = []
     overflow = jnp.zeros((), jnp.int32)
     n_slices = shadow_slices(extent, backend)
     slice_h = extent // n_slices
     for si in range(n_shadows):
         m = shadow_viewproj[si]
-        clip = (m[None, :, :] * world_h[:, None, :]).sum(-1)
-        s = triangle_setup(clip, scene["tri_vidx"], scene["n_tris"], extent, extent,
-                           CullMode.FRONT)
+        c = corner_clip(scene["corner_attr"][..., 0:3], m)
+        s = triangle_setup_corners(c, scene["n_tris"], extent, extent,
+                                   CullMode.FRONT)
         budget = max_pairs or _pair_budget(s.coef.shape[0], rc.pairs_per_tri)
         rows = []
         for sl in range(n_slices):
@@ -257,7 +257,7 @@ def render_shadow_pass(scene, uniform, config: RenderConfig, n_shadows: int,
     updating per frame (``ShadowSystem::Update``); we replicate both."""
     params = unpack_params(uniform, n_shadows)
     maps, overflow = render_shadow_maps(
-        scene, scene["world_pos"], params["shadow_viewproj"],
+        scene, params["shadow_viewproj"],
         config.shadow_extent, n_shadows, config.raster, backend,
         max_pairs=max_pairs)
     # pack once per (cached) render: 3x3 PCF becomes 4 block gathers
@@ -357,15 +357,46 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         ls_atlas = lightchart.chart_light_spec(
             scene, scene["chart_pos"], scene["chart_normal"],
             scene["chart_mat"], scene["chart_vis"], view_args)
-        ls_blocks = lightchart.pack_rgbe_blocks(ls_atlas)
-        ld_blocks = scene["chart_ld"]
         c_ah, c_aw = ls_atlas.shape[:2]
+        if config.tss_preshaded:
+            # PRE-SHADED charts: compose rgb = albedo*ld + ls in CHART
+            # space per frame (dense VPU + one rgb9e5 re-pack); every
+            # screen pass below is ONE 16-byte block gather per pixel
+            # (+ a 4-byte alpha block when the pass blends)
+            rgb_blocks = lightchart.pack_rgbe_blocks(
+                scene["chart_base"] + ls_atlas)
+            a_blocks = scene["chart_a"]
 
-        def tss_shade_px(chart_uv, uv, mat_id):
-            return lightchart.tss_shade(
-                scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
-                c_ah, c_aw,
-                slots_used=slots_used, max_aniso=config.max_anisotropy)
+            def tss_shade_px(chart_uv, uv, mat_id, need_alpha=True):
+                return lightchart.tss_shade_pre(
+                    rgb_blocks, a_blocks, chart_uv, c_ah, c_aw,
+                    need_alpha=need_alpha)
+
+            tss_shade_dense = tss_shade_px
+        else:
+            ls_blocks = lightchart.pack_rgbe_blocks(ls_atlas)
+            ld_blocks = scene["chart_ld"]
+
+            def tss_shade_px(chart_uv, uv, mat_id, need_alpha=True):
+                return lightchart.tss_shade(
+                    scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
+                    c_ah, c_aw,
+                    slots_used=slots_used, max_aniso=config.max_anisotropy)
+
+            def tss_shade_dense(chart_uv, uv, mat_id, need_alpha=True):
+                # any DENSE [slice_h, W] pass at <= half-pixel chart
+                # density samples the light field on the half-res pixel
+                # grid (4x fewer gather indices; albedo/alpha stay
+                # full-res) — this covers the opaque base pass AND
+                # full-coverage peel layers (a screen-filling banner costs
+                # two dense shades otherwise)
+                if config.chart_density <= 0.5:
+                    return lightchart.tss_shade_halfres(
+                        scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
+                        c_ah, c_aw, y0=y0,
+                        slots_used=slots_used,
+                        max_aniso=config.max_anisotropy)
+                return tss_shade_px(chart_uv, uv, mat_id)
 
     # opaque base pass
     from ..raster.pallas_raster import attribute_planes
@@ -375,17 +406,21 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     # peeled pass below; otherwise they draw opaque (reference parity)
     n_opq = (scene["n_opaque_strict"] if (config.alpha_mask and has_mask)
              else scene["n_opaque"])
-    setup = triangle_setup(vo.clip, scene["tri_vidx"], n_opq, w,
-                           fh, config.cull_mode)
+    # zero-gather setup path: clip corners are a dense FMA over the STATIC
+    # per-corner attr tables (scene.upload), not a clip[tri_vidx] gather
+    vpm = (params["proj"][:, :, None] * params["view"][None, :, :]).sum(1)
+    setup = triangle_setup_corners(
+        corner_clip(scene["corner_attr"][..., 0:3], vpm), n_opq, w,
+        fh, config.cull_mode)
     setup_s = setup if is_full else restrict_rows(setup, y0, slice_h, fh)
     if backend != "pallas":
         ap = None
     elif tss:
         from ..shading.lightchart import tss_attribute_planes
-        ap = tss_attribute_planes(setup, vo, scene["tri_vidx"],
-                                  scene["chart_corner"])
+        ap = tss_attribute_planes(setup, corner_uv=scene["chart_corner"],
+                                  uv_corners=scene["corner_attr"][..., 6:8])
     else:
-        ap = attribute_planes(setup, vo, scene["tri_vidx"])
+        ap = attribute_planes(setup, corners=scene["corner_attr"])
     opq_budget = (config.raster.pair_budget
                   or _pair_budget(setup.coef.shape[0],
                                   config.raster.pairs_per_tri))
@@ -415,18 +450,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         else:
             frag = resolve_tss(scene, setup.coef, g, slice_h, w,
                                y0=y0, full_height=fh)
-        if config.chart_density <= 0.5:
-            # dense full-screen pass at <= half-pixel chart density: the
-            # light field varies at >= 2 px scale, so sample it on the
-            # half-res pixel grid (4x fewer gather indices — a 2M-index
-            # gather costs ~10 ms regardless of table size, PERF.md)
-            rgba = lightchart.tss_shade_halfres(
-                scene, frag["chart_uv"], frag["uv"], frag["mat_id"],
-                ld_blocks, ls_blocks, c_ah, c_aw, y0=y0,
-                slots_used=slots_used, max_aniso=config.max_anisotropy)
-        else:
-            rgba = tss_shade_px(frag["chart_uv"], frag["uv"],
-                                frag["mat_id"])
+        rgba = tss_shade_dense(frag["chart_uv"], frag["uv"],
+                               frag["mat_id"], need_alpha=False)
     elif attrs is not None:
         if g.mat_id is not None:
             mat_id = g.mat_id          # rode the pair-aux word: no gather
@@ -454,11 +479,13 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     # stacked discarded layers beyond config.mask_layers fall back to the
     # opaque surface. Shadows still treat MASK as opaque casters (parity).
     if config.alpha_mask and has_mask:
-        setup_m = triangle_setup(vo.clip, scene["mask_tri_vidx"],
-                                 scene["n_mask"], w, fh, config.cull_mode)
+        setup_m = triangle_setup_corners(
+            corner_clip(scene["corner_attr_mask"][..., 0:3], vpm),
+            scene["n_mask"], w, fh, config.cull_mode)
         setup_ms = (setup_m if is_full
                     else restrict_rows(setup_m, y0, slice_h, fh))
-        ap_m = (attribute_planes(setup_m, vo, scene["mask_tri_vidx"])
+        ap_m = (attribute_planes(setup_m,
+                                 corners=scene["corner_attr_mask"])
                 if backend == "pallas" else None)
         mask_budget = _pair_budget(setup_m.coef.shape[0],
                                    config.raster.pairs_per_tri)
@@ -516,18 +543,21 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     # (RenderScene.cpp:127-159, GraphicsPipelineCache.cpp:307).
     if config.translucency and has_translucent:
         # dedicated (small) blend draw list: the peels bin/raster only it
-        setup_t = triangle_setup(vo.clip, scene["blend_tri_vidx"],
-                                 scene["n_blend"], w, fh, CullMode.NONE)
+        setup_t = triangle_setup_corners(
+            corner_clip(scene["corner_attr_blend"][..., 0:3], vpm),
+            scene["n_blend"], w, fh, CullMode.NONE)
         setup_ts = (setup_t if is_full
                     else restrict_rows(setup_t, y0, slice_h, fh))
         if backend != "pallas":
             ap_t = None
         elif tss:
             from ..shading.lightchart import tss_attribute_planes
-            ap_t = tss_attribute_planes(setup_t, vo, scene["blend_tri_vidx"],
-                                        scene["chart_corner_blend"])
+            ap_t = tss_attribute_planes(
+                setup_t, corner_uv=scene["chart_corner_blend"],
+                uv_corners=scene["corner_attr_blend"][..., 6:8])
         else:
-            ap_t = attribute_planes(setup_t, vo, scene["blend_tri_vidx"])
+            ap_t = attribute_planes(setup_t,
+                                    corners=scene["corner_attr_blend"])
         blend_budget = (config.blend_pair_budget
                         or _pair_budget(setup_t.coef.shape[0],
                                         config.raster.pairs_per_tri))
@@ -551,16 +581,20 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         shared_budget = max(1, int(n_tiles * config.translucency_tile_fraction))
         layer_budgets = config.blend_layer_tile_budgets
 
-        def resolve_and_shade(fr):
-            # resolve + shade on the compacted pseudo-image (few tiles)
+        def resolve_and_shade(fr, dense=False):
+            # resolve + shade on the compacted pseudo-image (few tiles);
+            # ``dense``: fr holds full [slice_h, W] planes (a full-coverage
+            # peel layer), so the half-res light path applies
+            tss_sh = tss_shade_dense if (tss and dense) else (
+                tss_shade_px if tss else None)
             if "attrs" in fr:
                 if "mat_id" in fr:
                     mat_t = fr["mat_id"]
                 else:
                     mat_t = scene["blend_tri_material"][jnp.maximum(fr["tri_id"], 0)]
                 if tss:
-                    return tss_shade_px(fr["attrs"][..., 0:2],
-                                        fr["attrs"][..., 2:4], mat_t)
+                    return tss_sh(fr["attrs"][..., 0:2],
+                                  fr["attrs"][..., 2:4], mat_t)
                 fsub = {"pos": fr["attrs"][..., 0:3],
                         "normal": fr["attrs"][..., 3:6],
                         "uv": fr["attrs"][..., 6:8],
@@ -573,8 +607,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                                        *fr["tri_id"].shape,
                                        tri_table="blend_tri_packed",
                                        corner_table="chart_corner_blend")
-                    return tss_shade_px(fsub["chart_uv"], fsub["uv"],
-                                        fsub["mat_id"])
+                    return tss_sh(fsub["chart_uv"], fsub["uv"],
+                                  fsub["mat_id"])
                 fsub = resolve_attributes(scene, vo, setup_t.coef, gsub,
                                           *fr["tri_id"].shape,
                                           tri_table="blend_tri_packed")
@@ -613,7 +647,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             if budget >= n_tiles:
                 # full-coverage layer (e.g. a screen-filling banner):
                 # the sparse tilefy/top-k/gather/scatter is pure overhead
-                rgba_t = resolve_and_shade(sp_in)
+                rgba_t = resolve_and_shade(sp_in, dense=True)
             else:
                 rgba_t = shade_sparse(
                     resolve_and_shade, sp_in,
@@ -705,6 +739,10 @@ class FrameRenderer:
             assert not config.debug_views, \
                 "texture_space: set debug_views=False (no debug taps in " \
                 "the factored screen pass)"
+        else:
+            assert not config.tss_preshaded, \
+                "tss_preshaded requires texture_space=True"
+        if config.texture_space:
             vp0 = ViewProperties.from_camera(scene_host.camera)
             viewproj = np.asarray(vp0.proj) @ np.asarray(vp0.view)
             lay = lightchart.build_layout(
@@ -769,14 +807,33 @@ class FrameRenderer:
             nl = int(self.scene_dev["light_type"].shape[0])
             self.scene_dev["chart_vis"] = jnp.ones(
                 cm.shape[:2] + (nl,), jnp.float32)
-            # static diffuse table: baked, refreshed on shadow-dirty /
-            # exposure change (lightchart.chart_light_static)
-            self._ld_fn = jax.jit(lambda sc, e: lightchart.pack_rgbe_blocks(
-                lightchart.chart_light_static(
-                    sc, sc["chart_pos"], sc["chart_normal"],
-                    sc["chart_mat"], sc["chart_vis"], e)))
             self._baked_exposure = float(scene_host.camera.exposure)
-            self.scene_dev["chart_ld"] = self._ld_fn(
+            if config.tss_preshaded:
+                # pre-shaded mode: bake the base-color tap per texel too,
+                # and keep the static product albedo * diffuse-light as a
+                # RAW f32 atlas (re-packed with the per-frame specular)
+                alb, ta = jax.jit(partial(
+                    lightchart.bake_albedo, slots_used=slots_used,
+                    max_aniso=config.max_anisotropy))(self.scene_dev, geo)
+                self.scene_dev["chart_albedo"] = alb
+                self.scene_dev["chart_a"] = jax.jit(
+                    lightchart.pack_alpha_blocks)(ta)
+                self._ld_key = "chart_base"
+                self._ld_fn = jax.jit(
+                    lambda sc, e: sc["chart_albedo"]
+                    * lightchart.chart_light_static(
+                        sc, sc["chart_pos"], sc["chart_normal"],
+                        sc["chart_mat"], sc["chart_vis"], e))
+            else:
+                # factored mode: static diffuse table as rgb9e5 blocks,
+                # refreshed on shadow-dirty / exposure change
+                self._ld_key = "chart_ld"
+                self._ld_fn = jax.jit(
+                    lambda sc, e: lightchart.pack_rgbe_blocks(
+                        lightchart.chart_light_static(
+                            sc, sc["chart_pos"], sc["chart_normal"],
+                            sc["chart_mat"], sc["chart_vis"], e)))
+            self.scene_dev[self._ld_key] = self._ld_fn(
                 self.scene_dev, self._baked_exposure)
         self._shadow_lights = _static_shadow_lights(dev)
         # react-to-overflow: the frame fn also reports the binning
@@ -917,14 +974,16 @@ class FrameRenderer:
         total = int(total_pairs(self.scene_dev, jnp.asarray(vp.view),
                                 jnp.asarray(vp.proj)))
         t = int(self.scene_dev["tri_vidx"].shape[0])
-        # absolute budget with 1.8x headroom for the opaque pass (the
-        # sort/pack/row-gather all run over the whole STATIC budget, so
-        # every unused slot is a per-frame tax — but a re-jit hitch on a
-        # routine orbit is worse); the shadow pass keeps the per-tri
-        # multiplier (its spans differ from the camera view's). The
-        # overflow reaction covers camera moves past either.
+        # absolute budget with 1.35x headroom for the opaque pass (the
+        # sort/pack/row-gather all run over the whole STATIC budget —
+        # measured ~25 ms/frame of per-pair gathers at a 606k budget, so
+        # every unused slot is a real per-frame tax); growth on overflow
+        # ratchets, and the bench/viewer warm the full orbit so routine
+        # camera paths settle after at most a few one-time re-jits. The
+        # shadow pass keeps the per-tri multiplier (its spans differ from
+        # the camera view's).
         ppt = min(64, max(2, -(-2 * total // max(t, 1))))
-        abs_budget = min(self._MAX_PAIRS, int(1.8 * total) + 8192)
+        abs_budget = min(self._MAX_PAIRS, int(1.35 * total) + 8192)
         return ppt, abs_budget
 
     def _estimate_blend_budgets(self) -> tuple[float, int, int]:
@@ -962,7 +1021,7 @@ class FrameRenderer:
 
         shade_spans, pair_spans = spans_only(
             self.scene_dev, jnp.asarray(vp.view), jnp.asarray(vp.proj))
-        pair_budget = max(2 * int(pair_spans), 4096)
+        pair_budget = max(3 * int(pair_spans) // 2, 4096)
 
         # two-phase: spans sized the bin budget; now count EXACT covered
         # tiles at the kernel tile size (the sparse peel grid runs only
@@ -1281,7 +1340,7 @@ class FrameRenderer:
             if e != self._baked_exposure:
                 self._baked_exposure = e
                 if not (self.n_shadows > 0 and self._shadows_dirty):
-                    self.scene_dev["chart_ld"] = self._ld_fn(
+                    self.scene_dev[self._ld_key] = self._ld_fn(
                         self.scene_dev, e)
         if self.n_shadows > 0 and self._shadows_dirty:
             # cached pass: a blocking overflow check + regrow here is a
@@ -1318,7 +1377,7 @@ class FrameRenderer:
                     self._vis_fn = jax.jit(_bake_vis)
                 self.scene_dev["chart_vis"] = self._vis_fn(
                     self.scene_dev, maps, u)
-                self.scene_dev["chart_ld"] = self._ld_fn(
+                self.scene_dev[self._ld_key] = self._ld_fn(
                     self.scene_dev, self._baked_exposure)
         out = self._fn(self.scene_dev, u, self._shadow_maps)
         if self._react_overflow:

@@ -62,18 +62,18 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
     # search costing ~80ms/Mquery on TPU; a scatter of segment heads + a
     # cummax fill is a handful of fast passes instead.
     tri = _segment_ids_from_offsets(offsets, span, max_pairs)
-    # per-slot triangle data in ONE packed row gather when the fields fit
-    # (gather cost scales with gathered elements): c0 = offset<<8 | nx,
-    # c1 = rowbase<<8 | tx0; f32 division with an exact fixup instead of
-    # slow integer division
+    # per-slot triangle data: c0 = offset<<8 | nx is MONOTONIC across
+    # segment heads (offsets strictly increase by span >= 1, so the <<8
+    # jump dominates the |nx bits), so it forward-fills with the same
+    # scatter+cummax as ``tri`` — no gather at all; only the (arbitrary-
+    # valued) tile rowbase needs a per-slot gather, and gathers price per
+    # index, so ONE narrow channel instead of a packed pair.
     rowbase = ty0 * ntx + tx0
     if ntx <= 255 and max_pairs < (1 << 23) and n_tiles < (1 << 23):
-        packed_rows = jnp.stack([(offsets << 8) | nx,
-                                 (rowbase << 8) | tx0], axis=-1)  # [T,2]
-        row = packed_rows[tri]                                    # [P,2]
-        off_s = row[..., 0] >> 8
-        nxv = row[..., 0] & 255
-        base_s = row[..., 1] >> 8
+        c0 = _fill_from_heads((offsets << 8) | nx, offsets, span, max_pairs)
+        off_s = c0 >> 8
+        nxv = c0 & 255
+        base_s = rowbase[tri]                                     # [P]
     else:
         bin_rows = jnp.stack([offsets, nx, rowbase], axis=-1)
         row = bin_rows[tri]
@@ -127,3 +127,14 @@ def _segment_ids_from_offsets(offsets, span, n_out: int):
     seg = jnp.zeros(n_out + 1, jnp.int32).at[heads].max(
         jnp.arange(t, dtype=jnp.int32), mode="drop")[:n_out]
     return jax.lax.cummax(seg)
+
+
+def _fill_from_heads(values, offsets, span, n_out: int):
+    """Forward-fill per-segment ``values`` (which must be MONOTONIC
+    non-decreasing across non-empty segment heads) over the slot axis:
+    scatter at heads, cummax-fill — the gather-free sibling of
+    ``_segment_ids_from_offsets``."""
+    heads = jnp.where(span > 0, offsets, n_out)
+    v = jnp.zeros(n_out + 1, values.dtype).at[heads].max(
+        values, mode="drop")[:n_out]
+    return jax.lax.cummax(v)

@@ -61,6 +61,8 @@ CHUNK = 64                # pairs per DMA slab
 GROUP = 8                 # pair ROWS evaluated per step (across sublanes)
 TILE_H = 8                # subtile pixel rows
 TILE_W = 16               # subtile pixel cols (TILE_H * TILE_W = 128 lanes)
+TILES_PER_PROGRAM = 8     # tile slots per program (amortizes ~0.5 us/program
+#                           grid + block-DMA overhead; see _raster_kernel)
 N_ATTRS = 8               # pos3 | normal3 | uv2
 TRI_COL = 18              # triangle id as an exact integer-valued f32
 MAT_COL = 19              # material id as an exact integer-valued f32
@@ -89,11 +91,18 @@ def _cols_per_pair(n_attrs: int) -> int:
     raise ValueError(f"pair layout needs {need} > 128 columns")
 
 
-def attribute_planes(setup: TriSetup, vo, tri_vidx) -> jnp.ndarray:
+def attribute_planes(setup: TriSetup, vo=None, tri_vidx=None,
+                     corners=None) -> jnp.ndarray:
     """[T,24] f32 rational attribute planes: column triplet 3k..3k+2 is
-    arow_k = sum_i u_ik * e_i, so attr_k(p) = (arow_k . p) / sum(E_i)."""
-    vattr = jnp.concatenate([vo.world_pos, vo.world_normal, vo.uv], axis=-1)
-    corners = vattr[tri_vidx]                 # [T,3,8]
+    arow_k = sum_i u_ik * e_i, so attr_k(p) = (arow_k . p) / sum(E_i).
+
+    ``corners``: the STATIC [T,3,8] per-corner attr table from
+    ``scene.upload`` (zero per-frame gathers); else gathered from
+    ``vo``/``tri_vidx``."""
+    if corners is None:
+        vattr = jnp.concatenate([vo.world_pos, vo.world_normal, vo.uv],
+                                axis=-1)
+        corners = vattr[tri_vidx]             # [T,3,8]
     e = setup.coef[:, 0:3, :]                 # [T,3(edges),3(xyc)]
     planes = (corners[:, :, :, None] * e[:, :, None, :]).sum(1)  # [T,8,3]
     return planes.reshape(planes.shape[0], 3 * N_ATTRS)
@@ -105,171 +114,183 @@ def _raster_kernel(
     # inputs (HBM + optional VMEM bounds block)
     pair_data_hbm, *rest,
     tile_h: int, tile_w: int, width: int, full_height: int, ntx: int,
-    grid_n: int, chunk: int, peel: bool, n_attrs: int, cpp: int,
+    n_slots: int, chunk: int, peel: bool, n_attrs: int, cpp: int,
+    nt: int,
 ):
-    interp = n_attrs > 0
     ppr = 128 // cpp                          # pairs per 128-lane row
     rest = list(rest)
     bounds_ref = rest.pop(0) if peel else None
-    out_ref = rest.pop(0)   # [1, 5|13, npx]: depth | tri_f | mat_f | bary2 [| attrs8]
+    out_ref = rest.pop(0)   # [1, NT, 5|13, npx]: per tile slot j:
+    #                          depth | tri_f | mat_f | bary2 [| attrs8]
     data_buf, sems = rest
 
     pid = pl.program_id(0)
-    # sparse grids (translucent peels): program -> tile indirection so only
-    # covered tiles run; the identity map on dense grids
-    tile = tile_map_ref[pid]
-    start = starts_ref[tile]
-    count = counts_ref[tile]
-    base0 = (start // GROUP) * GROUP          # sublane-aligned DMA floor
-    span_end = start + count
-    n_steps = jnp.where(count > 0,
-                        (span_end - base0 + chunk - 1) // chunk, 0)
-    # cross-program software pipelining: program p's first chunk is DMA'd
-    # by program p-1 (most tiles are single-chunk, so the copy flies while
-    # p-1 computes — without this every program eats the full HBM latency).
-    # phase_ref[p] = parity of the global chunk counter at p's first chunk,
-    # precomputed host-side so both sides agree on the slot.
-    phase = phase_ref[pid]
-
-    org_x = (tile % ntx) * tile_w
-    org_y = (tile // ntx) * tile_h + y0_ref[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h * tile_w), 1)
     lx = (lane % tile_w).astype(jnp.float32)
     ly = (lane // tile_w).astype(jnp.float32)
-    px = org_x.astype(jnp.float32) + lx + (0.5 - width * 0.5)    # (1,128)
-    py = org_y.astype(jnp.float32) + ly + (0.5 - full_height * 0.5)
     sub = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)     # (8,1)
-
-    if peel:
-        prev_d = bounds_ref[0, 0, :].reshape(1, -1)   # nearest peeled layer
-        zmax = bounds_ref[0, 1, :].reshape(1, -1)     # opaque depth bound
-
-    def dma(slot, step):
-        off = (base0 + step * chunk) // ppr   # slab offset in ROWS
-        return pltpu.make_async_copy(
-            pair_data_hbm.at[pl.ds(off, chunk // ppr), :],
-            data_buf.at[slot], sems.at[slot])
-
-    nxt = jnp.minimum(pid + 1, grid_n - 1)
-    nxt_tile = tile_map_ref[nxt]
-    nxt_start = starts_ref[nxt_tile]
-    nxt_count = counts_ref[nxt_tile]
-    nxt_phase = phase_ref[nxt]
-    nxt_base0 = (nxt_start // GROUP) * GROUP
-
-    def prefetch_next():
-        @pl.when((pid + 1 < grid_n) & (nxt_count > 0))
-        def _():
-            pltpu.make_async_copy(
-                pair_data_hbm.at[pl.ds(nxt_base0 // ppr, chunk // ppr), :],
-                data_buf.at[nxt_phase], sems.at[nxt_phase]).start()
-
-    @pl.when((pid == 0) & (n_steps > 0))
-    def _():
-        dma(phase, 0).start()                 # bootstrap: no predecessor
-
-    # single-chunk (or empty) tiles: the other slot is free the whole
-    # program, so the successor's copy can launch before our own wait
-    @pl.when(n_steps <= 1)
-    def _():
-        prefetch_next()
-
-    n_attr_carry = n_attrs
     shape = (GROUP, tile_h * tile_w)
 
-    def chunk_body(step, carry):
-        slot = (phase + step) % 2
+    # each program owns ``nt`` consecutive tile SLOTS (grid-iteration and
+    # block-DMA overhead is ~0.5 us/program — measured 26 of 30 ms at a
+    # 16200-tile 1080p grid — so it is amortized over nt tiles). Slot s's
+    # tile comes from the scalar-prefetched map (identity+clamp on dense
+    # grids, top-k covered tiles on sparse peels).
+    def slot_first_dma(s):
+        """DMA of slot s's first chunk (cross-slot software pipelining:
+        slot s-1 starts it so most single-chunk tiles never stall; the
+        phase array, precomputed host-side, is the global chunk-counter
+        parity at s's first chunk so producer and consumer agree)."""
+        t_ = tile_map_ref[s]
+        st = starts_ref[t_]
+        b0 = (st // GROUP) * GROUP
+        return pltpu.make_async_copy(
+            pair_data_hbm.at[pl.ds(b0 // ppr, chunk // ppr), :],
+            data_buf.at[phase_ref[s]], sems.at[phase_ref[s]])
 
-        @pl.when(step + 1 < n_steps)
+    for j in range(nt):
+        s = pid * nt + j
+        tile = tile_map_ref[s]
+        start = starts_ref[tile]
+        count = counts_ref[tile]
+        base0 = (start // GROUP) * GROUP      # sublane-aligned DMA floor
+        span_end = start + count
+        n_steps = jnp.where(count > 0,
+                            (span_end - base0 + chunk - 1) // chunk, 0)
+        phase = phase_ref[s]
+
+        org_x = (tile % ntx) * tile_w
+        org_y = (tile // ntx) * tile_h + y0_ref[0]
+        px = org_x.astype(jnp.float32) + lx + (0.5 - width * 0.5)  # (1,128)
+        py = org_y.astype(jnp.float32) + ly + (0.5 - full_height * 0.5)
+
+        if peel:
+            prev_d = bounds_ref[0, j, 0, :].reshape(1, -1)  # nearest peel
+            zmax = bounds_ref[0, j, 1, :].reshape(1, -1)    # opaque bound
+
+        def dma(slot, step, base0=base0):
+            off = (base0 + step * chunk) // ppr   # slab offset in ROWS
+            return pltpu.make_async_copy(
+                pair_data_hbm.at[pl.ds(off, chunk // ppr), :],
+                data_buf.at[slot], sems.at[slot])
+
+        nxt = jnp.minimum(s + 1, n_slots - 1)
+        nxt_count = counts_ref[tile_map_ref[nxt]]
+
+        def prefetch_next(s=s, nxt=nxt, nxt_count=nxt_count):
+            @pl.when((s + 1 < n_slots) & (nxt_count > 0))
+            def _():
+                slot_first_dma(nxt).start()
+
+        if j == 0:
+            @pl.when((pid == 0) & (n_steps > 0))
+            def _(phase=phase, dma=dma):
+                dma(phase, 0).start()         # bootstrap: no predecessor
+
+        # single-chunk (or empty) tiles: the other slot is free the whole
+        # tile, so the successor's copy can launch before our own wait
+        @pl.when(n_steps <= 1)
         def _():
-            dma((phase + step + 1) % 2, step + 1).start()
+            prefetch_next()
 
-        dma(slot, step).wait()
+        def chunk_body(step, carry, phase=phase, dma=dma, base0=base0,
+                       n_steps=n_steps, span_end=span_end, start=start,
+                       px=px, py=py,
+                       prev_d=prev_d if peel else None,
+                       zmax=zmax if peel else None):
+            slot = (phase + step) % 2
 
-        cbase = base0 + step * chunk
-        # one group-step reads GROUP rows = GROUP * ppr pairs: sublane s of
-        # column block k evaluates pair cbase + (8g + s) * ppr + k
-        gsz = GROUP * ppr
-        n_groups = jnp.clip((span_end - cbase + gsz - 1) // gsz,
-                            0, chunk // gsz)
+            @pl.when(step + 1 < n_steps)
+            def _():
+                dma((phase + step + 1) % 2, step + 1).start()
 
-        def group_body(g, cr):
-            cg = data_buf[slot, pl.ds(GROUP * g, GROUP), :]   # (8, 128)
-            for k in range(ppr):
-                c0 = k * cpp
-                dmin, idmin, trif, matf, b0c, b1c = (cr[0], cr[1], cr[2],
-                                                     cr[3], cr[4], cr[5])
-                attrs_c = list(cr[6:])
-                idx = cbase + (GROUP * g + sub) * ppr + k   # (8,1) pair ids
+            dma(slot, step).wait()
 
-                e0 = cg[:, c0+0:c0+1] * px + cg[:, c0+1:c0+2] * py + cg[:, c0+2:c0+3]
-                e1 = cg[:, c0+3:c0+4] * px + cg[:, c0+4:c0+5] * py + cg[:, c0+5:c0+6]
-                e2 = cg[:, c0+6:c0+7] * px + cg[:, c0+7:c0+8] * py + cg[:, c0+8:c0+9]
-                zn = cg[:, c0+9:c0+10] * px + cg[:, c0+10:c0+11] * py + cg[:, c0+11:c0+12]
-                wn = cg[:, c0+12:c0+13] * px + cg[:, c0+13:c0+14] * py + cg[:, c0+14:c0+15]
-                inside = (((e0 + cg[:, c0+15:c0+16]) > 0)
-                          & ((e1 + cg[:, c0+16:c0+17]) > 0)
-                          & ((e2 + cg[:, c0+17:c0+18]) > 0))
-                wpos = wn > 0
-                d = zn / jnp.where(wpos, wn, 1.0)
-                cover = (inside & wpos & (d >= 0) & (d <= 1)
-                         & (idx >= start) & (idx < span_end))
-                if peel:
-                    cover = cover & (d > prev_d) & (d <= zmax)
-                take = cover & (d < dmin)
-                dmin = jnp.where(take, d, dmin)
-                # record the PAIR index; within a sublane's (g, k) sequence
-                # ids ascend (stable sort; k is the inner loop), so
-                # strict-less keeps the lowest on exact depth ties; the
-                # cross-sublane fold below ties by lowest index too.
-                idmin = jnp.where(take, jnp.broadcast_to(idx, shape), idmin)
-                # tri/mat ids ride as exact integer-valued floats (header)
-                trif = jnp.where(take, cg[:, c0+TRI_COL:c0+TRI_COL+1], trif)
-                matf = jnp.where(take, cg[:, c0+MAT_COL:c0+MAT_COL+1], matf)
-                esum = e0 + e1 + e2
-                inv = 1.0 / jnp.where(esum == 0, 1.0, esum)
-                # winner barycentrics (perspective-correct lambdas)
-                b0c = jnp.where(take, e0 * inv, b0c)
-                b1c = jnp.where(take, e1 * inv, b1c)
-                for a in range(n_attrs):
-                    a0 = c0 + ATTR0 + 3 * a
-                    num = (cg[:, a0:a0+1] * px + cg[:, a0+1:a0+2] * py
-                           + cg[:, a0+2:a0+3])
-                    attrs_c[a] = jnp.where(take, num * inv, attrs_c[a])
-                cr = (dmin, idmin, trif, matf, b0c, b1c, *attrs_c)
-            return cr
+            cbase = base0 + step * chunk
+            # one group-step reads GROUP rows = GROUP * ppr pairs: sublane
+            # su of column block k evaluates pair cbase + (8g + su)*ppr + k
+            gsz = GROUP * ppr
+            n_groups = jnp.clip((span_end - cbase + gsz - 1) // gsz,
+                                0, chunk // gsz)
 
-        return jax.lax.fori_loop(0, n_groups, group_body, carry)
+            def group_body(g, cr):
+                cg = data_buf[slot, pl.ds(GROUP * g, GROUP), :]   # (8, 128)
+                for k in range(ppr):
+                    c0 = k * cpp
+                    dmin, idmin, trif, matf, b0c, b1c = (cr[0], cr[1], cr[2],
+                                                         cr[3], cr[4], cr[5])
+                    attrs_c = list(cr[6:])
+                    idx = cbase + (GROUP * g + sub) * ppr + k  # (8,1) ids
 
-    dmin0 = jnp.ones(shape, jnp.float32)
-    idmin0 = jnp.full(shape, _BIG_ID, jnp.int32)
-    z0 = jnp.zeros(shape, jnp.float32)
-    init = ((dmin0, idmin0, jnp.full(shape, -1.0, jnp.float32), z0, z0, z0)
-            + tuple(z0 for _ in range(n_attr_carry)))
-    out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
+                    e0 = cg[:, c0+0:c0+1] * px + cg[:, c0+1:c0+2] * py + cg[:, c0+2:c0+3]
+                    e1 = cg[:, c0+3:c0+4] * px + cg[:, c0+4:c0+5] * py + cg[:, c0+5:c0+6]
+                    e2 = cg[:, c0+6:c0+7] * px + cg[:, c0+7:c0+8] * py + cg[:, c0+8:c0+9]
+                    zn = cg[:, c0+9:c0+10] * px + cg[:, c0+10:c0+11] * py + cg[:, c0+11:c0+12]
+                    wn = cg[:, c0+12:c0+13] * px + cg[:, c0+13:c0+14] * py + cg[:, c0+14:c0+15]
+                    inside = (((e0 + cg[:, c0+15:c0+16]) > 0)
+                              & ((e1 + cg[:, c0+16:c0+17]) > 0)
+                              & ((e2 + cg[:, c0+17:c0+18]) > 0))
+                    wpos = wn > 0
+                    d = zn / jnp.where(wpos, wn, 1.0)
+                    cover = (inside & wpos & (d >= 0) & (d <= 1)
+                             & (idx >= start) & (idx < span_end))
+                    if peel:
+                        cover = cover & (d > prev_d) & (d <= zmax)
+                    take = cover & (d < dmin)
+                    dmin = jnp.where(take, d, dmin)
+                    # record the PAIR index; within a sublane's (g, k)
+                    # sequence ids ascend (stable sort; k is the inner
+                    # loop), so strict-less keeps the lowest on exact depth
+                    # ties; the cross-sublane fold ties by lowest index too.
+                    idmin = jnp.where(take, jnp.broadcast_to(idx, shape),
+                                      idmin)
+                    # tri/mat ids ride as exact integer-valued floats
+                    trif = jnp.where(take, cg[:, c0+TRI_COL:c0+TRI_COL+1], trif)
+                    matf = jnp.where(take, cg[:, c0+MAT_COL:c0+MAT_COL+1], matf)
+                    esum = e0 + e1 + e2
+                    inv = 1.0 / jnp.where(esum == 0, 1.0, esum)
+                    # winner barycentrics (perspective-correct lambdas)
+                    b0c = jnp.where(take, e0 * inv, b0c)
+                    b1c = jnp.where(take, e1 * inv, b1c)
+                    for a in range(n_attrs):
+                        a0 = c0 + ATTR0 + 3 * a
+                        num = (cg[:, a0:a0+1] * px + cg[:, a0+1:a0+2] * py
+                               + cg[:, a0+2:a0+3])
+                        attrs_c[a] = jnp.where(take, num * inv, attrs_c[a])
+                    cr = (dmin, idmin, trif, matf, b0c, b1c, *attrs_c)
+                return cr
 
-    @pl.when(n_steps > 1)
-    def _():
-        prefetch_next()                       # both slots idle again
+            return jax.lax.fori_loop(0, n_groups, group_body, carry)
 
-    # fold the 8 per-sublane candidates: min depth, then lowest pair index
-    # among equal depths (exact f32 equality — same rounded values)
-    dc, idc = out[0], out[1]
-    dwin = jnp.min(dc, axis=0, keepdims=True)                 # (1,128)
-    meq = dc == dwin
-    idwin = jnp.min(jnp.where(meq, idc, _BIG_ID), axis=0, keepdims=True)
-    m2 = (meq & (idc == idwin)).astype(jnp.float32)  # true on <= 1 sublane
-    # one combined output block => ONE window DMA per program. The m2 sums
-    # are exact: at most one nonzero term.
-    out_ref[0, 0, :] = dwin[0]
-    # no winner (idwin == _BIG_ID) must read tri -1, not the zero sum
-    out_ref[0, 1, :] = jnp.where(idwin[0] == _BIG_ID, -1.0,
-                                 jnp.sum(out[2] * m2, axis=0))
-    out_ref[0, 2, :] = jnp.sum(out[3] * m2, axis=0)
-    out_ref[0, 3, :] = jnp.sum(out[4] * m2, axis=0)
-    out_ref[0, 4, :] = jnp.sum(out[5] * m2, axis=0)
-    for a in range(n_attrs):
-        out_ref[0, 5 + a, :] = jnp.sum(out[6 + a] * m2, axis=0)
+        dmin0 = jnp.ones(shape, jnp.float32)
+        idmin0 = jnp.full(shape, _BIG_ID, jnp.int32)
+        z0 = jnp.zeros(shape, jnp.float32)
+        init = ((dmin0, idmin0, jnp.full(shape, -1.0, jnp.float32),
+                 z0, z0, z0) + tuple(z0 for _ in range(n_attrs)))
+        out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
+
+        @pl.when(n_steps > 1)
+        def _():
+            prefetch_next()                   # both slots idle again
+
+        # fold the 8 per-sublane candidates: min depth, then lowest pair
+        # index among equal depths (exact f32 equality — same rounded)
+        dc, idc = out[0], out[1]
+        dwin = jnp.min(dc, axis=0, keepdims=True)                 # (1,128)
+        meq = dc == dwin
+        idwin = jnp.min(jnp.where(meq, idc, _BIG_ID), axis=0, keepdims=True)
+        m2 = (meq & (idc == idwin)).astype(jnp.float32)  # <= 1 sublane set
+        # one combined output block per PROGRAM. The m2 sums are exact:
+        # at most one nonzero term.
+        out_ref[0, j, 0, :] = dwin[0]
+        # no winner (idwin == _BIG_ID) must read tri -1, not the zero sum
+        out_ref[0, j, 1, :] = jnp.where(idwin[0] == _BIG_ID, -1.0,
+                                        jnp.sum(out[2] * m2, axis=0))
+        out_ref[0, j, 2, :] = jnp.sum(out[3] * m2, axis=0)
+        out_ref[0, j, 3, :] = jnp.sum(out[4] * m2, axis=0)
+        out_ref[0, j, 4, :] = jnp.sum(out[5] * m2, axis=0)
+        for a in range(n_attrs):
+            out_ref[0, j, 5 + a, :] = jnp.sum(out[6 + a] * m2, axis=0)
 
 
 def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
@@ -437,12 +458,19 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
 
     peel = peel_bounds is not None
     sparse = active_tiles is not None and active_tiles < n_tiles
-    grid_n = active_tiles if sparse else n_tiles
+    n_sel = active_tiles if sparse else n_tiles
+    # NT tile slots per program (grid-iteration + block-DMA overhead is
+    # ~0.5 us/program — 26 of 30 ms at a 16200-tile 1080p grid before
+    # batching); slots beyond n_sel re-process the last tile (harmless
+    # duplicates, sliced/overwritten below)
+    nt = TILES_PER_PROGRAM
+    grid_n = -(-n_sel // nt)
+    n_slots = grid_n * nt
     kernel = functools.partial(
         _raster_kernel,
         tile_h=tile_h, tile_w=tile_w,
-        width=width, full_height=fh, ntx=ntx, grid_n=grid_n, chunk=chunk,
-        peel=peel, n_attrs=n_attrs, cpp=cpp,
+        width=width, full_height=fh, ntx=ntx, n_slots=n_slots, chunk=chunk,
+        peel=peel, n_attrs=n_attrs, cpp=cpp, nt=nt,
     )
     if sparse:
         # sparse grid: run only the top-K covered tiles (translucent peels
@@ -450,11 +478,14 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         # ~1 us each on a dense grid). Ascending order keeps the pair DMAs
         # sequential. Correctness guard: the caller compares K against the
         # covered-tile count (tile_overflow below).
-        _, sel = jax.lax.top_k(bins.counts, grid_n)
+        _, sel = jax.lax.top_k(bins.counts, n_sel)
         tile_map = jnp.sort(sel).astype(jnp.int32)
     else:
         tile_map = jnp.arange(n_tiles, dtype=jnp.int32)
-    # per-PROGRAM DMA slot parity for the cross-program pipeline
+    if n_slots > n_sel:   # pad slots repeat the last selected tile
+        tile_map = jnp.concatenate(
+            [tile_map, jnp.broadcast_to(tile_map[-1:], (n_slots - n_sel,))])
+    # per-SLOT DMA buffer parity for the cross-slot pipeline
     starts_m = bins.starts[tile_map]
     counts_m = bins.counts[tile_map]
     base0 = (starts_m // GROUP) * GROUP
@@ -464,17 +495,18 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     phase = ((jnp.cumsum(steps) - steps) % 2).astype(jnp.int32)
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if peel:
+        # per-slot peel bounds, pre-arranged in slot order ([G, NT, 2, npx])
+        # so each program's block is contiguous
         in_specs.append(pl.BlockSpec(
-            (1, 2, npx),
-            lambda i, tile_map, *_: (tile_map[i], 0, 0),
+            (1, nt, 2, npx), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM))
     n_planes = 5 + n_attrs
     out_specs = [
-        pl.BlockSpec((1, n_planes, npx), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((1, nt, n_planes, npx), lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((grid_n, n_planes, npx), jnp.float32),
+        jax.ShapeDtypeStruct((grid_n, nt, n_planes, npx), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -489,23 +521,29 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     y0_arr = jnp.asarray(y0, jnp.int32).reshape(1)
     args = [tile_map, bins.starts, bins.counts, phase, y0_arr, pair_data]
     if peel:
-        args.append(_tile_bounds(peel_bounds, height, width, tile_h, tile_w,
-                                 nty, ntx))
+        tb = _tile_bounds(peel_bounds, height, width, tile_h, tile_w,
+                          nty, ntx)
+        if sparse or n_slots > n_tiles:
+            tb = tb[tile_map]                      # slot order
+        args.append(tb.reshape(grid_n, nt, 2, npx))
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
-    blk = outs[0]
+    blk = outs[0].reshape(n_slots, n_planes, npx)
     if sparse:
-        # scatter program blocks back to the full tile layout; untouched
-        # tiles read as empty (depth clear 1.0, no winner = tri -1)
+        # scatter slot blocks back to the full tile layout; untouched
+        # tiles read as empty (depth clear 1.0, no winner = tri -1);
+        # duplicate pad slots rewrite the same tile with the same values
         fill = jnp.zeros((n_planes, 1), jnp.float32)
         fill = fill.at[0, 0].set(1.0)
         fill = fill.at[1, 0].set(-1.0)
         full = jnp.broadcast_to(fill[None], (n_tiles, n_planes, npx))
         blk = full.at[tile_map].set(blk)
+    else:
+        blk = blk[:n_tiles]
     depth = blk[:, 0]
     tri_fp = blk[:, 1]
     mat_fp = blk[:, 2]

@@ -81,6 +81,16 @@ def vertex_transform(scene: dict, view: jnp.ndarray, proj: jnp.ndarray) -> Verte
     return VertexOutputs(world, wn, scene["uvs"], clip)
 
 
+def corner_clip(corner_pos: jnp.ndarray, viewproj: jnp.ndarray) -> jnp.ndarray:
+    """[T,3,4] corner clip coords from STATIC world-space corner positions
+    (``scene.upload``'s ``corner_attr[..., 0:3]``): a dense FMA replaces
+    the per-frame ``clip[tri_vidx]`` gather (TPU gathers price per index;
+    this is pure VPU work)."""
+    vp = jnp.asarray(viewproj, jnp.float32)
+    return ((vp[None, None, :, :3] * corner_pos[:, :, None, :]).sum(-1)
+            + vp[None, None, :, 3])
+
+
 def triangle_setup(
     clip: jnp.ndarray,
     tri_vidx: jnp.ndarray,
@@ -96,6 +106,20 @@ def triangle_setup(
     triangles come first, translucent after (``RenderScene.cpp:105-159``).
     """
     c = clip[tri_vidx]                     # [T,3,4] corner clip coords
+    return triangle_setup_corners(c, n_tris, width, height, cull_mode,
+                                  first_tri)
+
+
+def triangle_setup_corners(
+    c: jnp.ndarray,
+    n_tris: jnp.ndarray,
+    width: int,
+    height: int,
+    cull_mode: CullMode = CullMode.BACK,
+    first_tri=0,
+) -> TriSetup:
+    """``triangle_setup`` from pre-gathered corner clip coords [T,3,4]
+    (see ``corner_clip`` — the zero-gather per-frame path)."""
     x, y, z, w = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
 
     # screen-homogeneous coords centered on the viewport middle
@@ -154,7 +178,7 @@ def triangle_setup(
     y1 = jnp.clip(y1, 0, height - 1).astype(jnp.int32)
     bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
 
-    tri_ids = jnp.arange(tri_vidx.shape[0], dtype=jnp.int32)
+    tri_ids = jnp.arange(c.shape[0], dtype=jnp.int32)
     in_range = (tri_ids < n_tris) & (tri_ids >= first_tri)
     valid = orient_ok & ~out & in_range & (x1 >= x0) & (y1 >= y0)
     coef = coef.astype(jnp.float32)

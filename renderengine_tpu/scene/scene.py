@@ -212,6 +212,18 @@ def _pack_rows(device: dict) -> dict:
     # descriptor ints <= 2048; color quantization ~5e-4 is below the 8-bit
     # output step). One gather instead of two 64/96-byte ones.
     mat_all = np.concatenate([mat_core, mat_tex], axis=-1).astype(np.float16)
+
+    # static per-CORNER attribute tables (pos3 | normal3 | uv2): world
+    # transforms are baked at upload, so gathering vertex attrs per corner
+    # is a one-time cost here — per-frame triangle setup and attribute
+    # planes then run as dense FMAs with ZERO gathers (a per-frame
+    # clip[tri_vidx] gather over T*3 corners cost ~11 ms at the 1080p
+    # headline; see raster.setup.corner_clip)
+    va = np.concatenate([device["world_pos"], device["world_normal"],
+                         device["uvs"]], axis=-1).astype(np.float32)
     return {"tri_packed": tri_packed, "blend_tri_packed": blend_tri_packed,
             "mask_tri_packed": mask_tri_packed,
+            "corner_attr": va[device["tri_vidx"]],
+            "corner_attr_blend": va[device["blend_tri_vidx"]],
+            "corner_attr_mask": va[device["mask_tri_vidx"]],
             "mat_core": mat_core, "mat_tex": mat_tex, "mat_all": mat_all}

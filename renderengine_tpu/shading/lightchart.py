@@ -605,16 +605,98 @@ def tss_shade_halfres(scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
     return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
 
-def tss_attribute_planes(setup, vo, tri_vidx, corner_uv) -> jnp.ndarray:
+def bake_albedo(scene, geo, slots_used=(True, True, True, True),
+                max_aniso: int = 1):
+    """Per-chart-texel base-color texture tap for the PRE-SHADED mode
+    (``RenderConfig.tss_preshaded``): linear rgb + alpha (texture alpha x
+    the material base-color-factor alpha). Baked once per upload — the
+    screen pass then never touches the texture atlas. Mip selection uses
+    chart-grid uv derivatives, which match screen derivatives at the
+    layout camera when chart_density ~= 1."""
+    from . import pbr, sampling
+    from .srgb import srgb_to_linear
+
+    uv = geo["uv"]
+    row = sampling.table_lookup(scene["mat_all"], geo["mat_id"])
+    factor_a = row[..., 3].astype(jnp.float32)
+    if slots_used[0]:
+        tb = pbr._slot(row[..., 16:].astype(jnp.float32), 0)
+        duv_dx = sampling.quad_dfdx(uv)
+        duv_dy = sampling.quad_dfdy(uv)
+        tap = pbr._sample_slot(scene, tb, uv, duv_dx, duv_dy,
+                               jnp.ones(4), max_aniso)
+        alb = jnp.where(tb["valid"][..., None],
+                        srgb_to_linear(tap[..., :3]), 1.0)
+        ta = jnp.where(tb["valid"], tap[..., 3], 1.0)
+    else:
+        alb = jnp.ones(uv.shape[:2] + (3,), jnp.float32)
+        ta = jnp.ones(uv.shape[:2], jnp.float32)
+    live = geo["live"][..., None].astype(jnp.float32)
+    return alb * live, ta * factor_a * live[..., 0]
+
+
+def pack_alpha_blocks(a: jnp.ndarray) -> jnp.ndarray:
+    """[Ah,Aw] f32 alpha -> [Ah*Aw] u32 2x2 clamp-to-edge u8 blocks
+    (a00 | a10<<8 | a01<<16 | a11<<24): one 4-byte gather per bilinear
+    alpha sample in translucent pre-shaded passes."""
+    q = jnp.clip(jnp.round(a * 255.0), 0, 255).astype(jnp.uint32)
+    qx = jnp.concatenate([q[:, 1:], q[:, -1:]], axis=1)
+    qy = jnp.concatenate([q[1:], q[-1:]], axis=0)
+    qxy = jnp.concatenate([qx[1:], qx[-1:]], axis=0)
+    return (q | (qx << 8) | (qy << 16) | (qxy << 24)).reshape(-1)
+
+
+def tss_shade_pre(rgb_blocks, a_blocks, chart_uv, ah: int, aw: int,
+                  need_alpha: bool = False):
+    """The PRE-SHADED screen pass: ONE 16-byte rgb9e5-block gather per
+    pixel (+ one 4-byte alpha-block gather when the pass blends).
+    Everything else — albedo, diffuse, specular, emissive, ambient — was
+    composed in chart space."""
+    x = jnp.clip(chart_uv[..., 0], 0.0, aw - 1.001)
+    y = jnp.clip(chart_uv[..., 1], 0.0, ah - 1.001)
+    ix = jnp.floor(x).astype(jnp.int32)
+    iy = jnp.floor(y).astype(jnp.int32)
+    fx = (x - ix.astype(jnp.float32))[..., None]
+    fy = (y - iy.astype(jnp.float32))[..., None]
+    flat = iy * aw + ix
+    raw = rgb_blocks[flat]                                  # [...,4] u32
+    c00 = rgb9e5_decode(raw[..., 0])
+    c10 = rgb9e5_decode(raw[..., 1])
+    c01 = rgb9e5_decode(raw[..., 2])
+    c11 = rgb9e5_decode(raw[..., 3])
+    rgb = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+           + (c01 * (1 - fx) + c11 * fx) * fy)
+    if need_alpha:
+        ar = a_blocks[flat]                                 # [...] u32
+        a00 = (ar & 255).astype(jnp.float32)
+        a10 = ((ar >> 8) & 255).astype(jnp.float32)
+        a01 = ((ar >> 16) & 255).astype(jnp.float32)
+        a11 = ((ar >> 24) & 255).astype(jnp.float32)
+        gx, gy = fx[..., 0], fy[..., 0]
+        a = ((a00 * (1 - gx) + a10 * gx) * (1 - gy)
+             + (a01 * (1 - gx) + a11 * gx) * gy) / 255.0
+    else:
+        a = jnp.ones_like(rgb[..., 0])
+    return jnp.concatenate([rgb, a[..., None]], axis=-1)
+
+
+def tss_attribute_planes(setup, vo=None, tri_vidx=None, corner_uv=None,
+                         uv_corners=None) -> jnp.ndarray:
     """TSS variant of ``raster.pallas_raster.attribute_planes``: the
     kernel carries only 4 attributes (chart_u, chart_v, uv_u, uv_v) — the
     screen pass needs nothing else, and a 4-attr pair fits a 32-column
     block, so FOUR pairs share each 128-lane row (4x less raster DMA than
-    the full 8-attr layout; see pallas_raster module header)."""
-    t = tri_vidx.shape[0]
+    the full 8-attr layout; see pallas_raster module header).
+
+    ``uv_corners``: the STATIC [T,3,2] per-corner uv slice of the
+    ``corner_attr`` table (zero per-frame gathers); else gathered from
+    ``vo``/``tri_vidx``."""
+    if uv_corners is None:
+        uv_corners = vo.uv[tri_vidx]
+    t = uv_corners.shape[0]
     corners = jnp.concatenate([
         jnp.asarray(corner_uv, jnp.float32),
-        vo.uv[tri_vidx],
+        uv_corners,
     ], axis=-1)                                   # [T,3,4]
     e = setup.coef[:, 0:3, :]
     planes = (corners[:, :, :, None] * e[:, :, None, :]).sum(1)

@@ -174,6 +174,17 @@ class TestParity:
         assert d.mean() < 4.0, d.mean()
         assert (d <= 16).mean() > 0.97, (d <= 16).mean()
 
+    def test_preshaded_parity(self):
+        """Pre-shaded charts (albedo baked at chart res, rgb composed in
+        chart space, ONE block gather per pixel) at density 1.0 must stay
+        close to the per-pixel path: texture detail is chart-resolution
+        by design, so the tolerance matches the factored-TSS one."""
+        a, b = self._pair({"tss_preshaded": True, "translucency": True,
+                           "skybox": True})
+        d = np.abs(a - b).max(-1)
+        assert d.mean() < 5.0, d.mean()
+        assert (d <= 16).mean() > 0.95, (d <= 16).mean()
+
     def test_backend_parity_tss(self):
         """tiled and reference backends agree bit-for-bit (same light
         atlas, same taps) — the raster backend doesn't change TSS."""

@@ -23,6 +23,9 @@ sys.path.insert(0, ".")
 
 
 def aggregate(trace_dir: str) -> dict:
+    """Aggregate the device's "XLA Ops" lane (the leaf per-op events —
+    module-level lanes would double count) by op name AND by the op's
+    source attribution (args.source = file:line of the jnp call)."""
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -30,30 +33,35 @@ def aggregate(trace_dir: str) -> dict:
     with gzip.open(sorted(paths)[-1], "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
-    # device lanes: pid whose process_name mentions TPU/device; XLA ops are
-    # "X" phase events with dur in us
-    pid_name = {}
+    pid_name, tid_name = {}, {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_name[e.get("pid")] = e.get("args", {}).get("name", "")
-    dev_pids = {p for p, n in pid_name.items()
-                if "TPU" in n or "/device" in n.lower() or "Chip" in n}
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_name[(e.get("pid"), e.get("tid"))] = \
+                e.get("args", {}).get("name", "")
+    dev = {(p, t) for (p, t), n in tid_name.items()
+           if n == "XLA Ops" and ("TPU" in pid_name.get(p, "")
+                                  or "device" in pid_name.get(p, "").lower())}
     agg = defaultdict(float)
+    src = defaultdict(float)
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in dev:
             continue
-        name = e.get("name", "?")
         dur = float(e.get("dur", 0.0)) / 1e3   # us -> ms
-        agg[name] += dur
+        agg[e.get("name", "?")] += dur
+        src[e.get("args", {}).get("source", "(no-src)")] += dur
         total += dur
-    return {"per_op": dict(agg), "total_ms": total}
+    return {"per_op": dict(agg), "per_source": dict(src), "total_ms": total}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--texture-space", action="store_true")
+    ap.add_argument("--preshaded", action="store_true")
     ap.add_argument("--density", type=float, default=0.5)
+    ap.add_argument("--chart-budget", type=int, default=2_000_000)
     ap.add_argument("--frames", type=int, default=3)
     ap.add_argument("--warm-frames", type=int, default=40)
     ap.add_argument("--top", type=int, default=40)
@@ -72,8 +80,11 @@ def main():
     scene = procedural.sponza_scene(width=w, height=h, n_textures=200,
                                     target_tris=260_000)
     cfg = RenderConfig(width=w, height=h, shadow_extent=args.shadow_extent,
-                       debug_views=False, texture_space=args.texture_space,
-                       chart_density=args.density)
+                       debug_views=False,
+                       texture_space=args.texture_space or args.preshaded,
+                       tss_preshaded=args.preshaded,
+                       chart_density=args.density,
+                       chart_budget=args.chart_budget)
     r = FrameRenderer(scene, cfg, backend="pallas")
 
     cam = scene.camera
@@ -111,6 +122,11 @@ def main():
     per_frame = res["total_ms"] / args.frames
     print(f"# device total {res['total_ms']:.1f} ms over {args.frames} "
           f"frames = {per_frame:.1f} ms/frame", file=sys.stderr)
+    print("# --- by source line ---", file=sys.stderr)
+    rows = sorted(res["per_source"].items(), key=lambda kv: -kv[1])
+    for name, ms in rows[:args.top]:
+        print(f"{ms/args.frames:9.2f} ms  {name[:110]}", file=sys.stderr)
+    print("# --- by op ---", file=sys.stderr)
     rows = sorted(res["per_op"].items(), key=lambda kv: -kv[1])
     for name, ms in rows[:args.top]:
         print(f"{ms/args.frames:9.2f} ms  {name[:110]}", file=sys.stderr)
