@@ -87,6 +87,13 @@ def main():
                     help="fully pre-shaded charts (rgb composes in chart "
                     "space; one block gather per pixel per pass); implies "
                     "--texture-space")
+    ap.add_argument("--preshaded-blend", action="store_true",
+                    help="pre-shade only the translucent peel passes "
+                    "(opaque keeps full-res albedo); implies "
+                    "--texture-space")
+    ap.add_argument("--dither", action="store_true",
+                    help="dithered trilinear: one gather per texture tap "
+                    "(4x4 Bayer mip rounding)")
     ap.add_argument("--chart-density", type=float, default=0.5)
     ap.add_argument("--chart-budget", type=int, default=2_000_000)
     ap.add_argument("--goldens", action="store_true",
@@ -126,8 +133,11 @@ def main():
                        shadow_extent=args.shadow_extent,
                        translucency=not args.no_translucency,
                        debug_views=False,
-                       texture_space=args.texture_space or args.preshaded,
+                       texture_space=(args.texture_space or args.preshaded
+                                      or args.preshaded_blend),
                        tss_preshaded=args.preshaded,
+                       tss_preshaded_blend=args.preshaded_blend,
+                       dither_trilinear=args.dither,
                        chart_density=args.chart_density,
                        chart_budget=args.chart_budget,
                        raster=RasterConfig(pairs_per_tri=args.pairs_per_tri))

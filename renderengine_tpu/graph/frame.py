@@ -340,6 +340,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     shade = _partial(base_shade, slots_used=slots_used,
                      shadow_lights=shadow_lights,
                      max_aniso=config.max_anisotropy,
+                     dither=config.dither_trilinear,
                      debug_views=config.debug_views,
                      penumbra_tiles=config.penumbra_tile_budget,
                      shadow_stats=shadow_stats,
@@ -358,21 +359,23 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             scene, scene["chart_pos"], scene["chart_normal"],
             scene["chart_mat"], scene["chart_vis"], view_args)
         c_ah, c_aw = ls_atlas.shape[:2]
-        if config.tss_preshaded:
+        pre_any = config.tss_preshaded or config.tss_preshaded_blend
+        if pre_any:
             # PRE-SHADED charts: compose rgb = albedo*ld + ls in CHART
-            # space per frame (dense VPU + one rgb9e5 re-pack); every
-            # screen pass below is ONE 16-byte block gather per pixel
+            # space per frame (dense VPU + one rgb9e5 re-pack); a
+            # pre-shaded screen pass is ONE 16-byte block gather per pixel
             # (+ a 4-byte alpha block when the pass blends)
             rgb_blocks = lightchart.pack_rgbe_blocks(
                 scene["chart_base"] + ls_atlas)
             a_blocks = scene["chart_a"]
 
-            def tss_shade_px(chart_uv, uv, mat_id, need_alpha=True):
+            def tss_shade_pre_px(chart_uv, uv, mat_id, need_alpha=True):
                 return lightchart.tss_shade_pre(
                     rgb_blocks, a_blocks, chart_uv, c_ah, c_aw,
                     need_alpha=need_alpha)
 
-            tss_shade_dense = tss_shade_px
+        if config.tss_preshaded:
+            tss_shade_px = tss_shade_dense = tss_shade_pre_px
         else:
             ls_blocks = lightchart.pack_rgbe_blocks(ls_atlas)
             ld_blocks = scene["chart_ld"]
@@ -381,7 +384,12 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 return lightchart.tss_shade(
                     scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
                     c_ah, c_aw,
-                    slots_used=slots_used, max_aniso=config.max_anisotropy)
+                    slots_used=slots_used, max_aniso=config.max_anisotropy,
+                    dither=config.dither_trilinear)
+
+            use_halfres = (config.chart_density <= 0.5
+                           if config.tss_halfres_light < 0
+                           else bool(config.tss_halfres_light))
 
             def tss_shade_dense(chart_uv, uv, mat_id, need_alpha=True):
                 # any DENSE [slice_h, W] pass at <= half-pixel chart
@@ -390,13 +398,23 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 # full-res) — this covers the opaque base pass AND
                 # full-coverage peel layers (a screen-filling banner costs
                 # two dense shades otherwise)
-                if config.chart_density <= 0.5:
+                if use_halfres:
                     return lightchart.tss_shade_halfres(
                         scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
                         c_ah, c_aw, y0=y0,
                         slots_used=slots_used,
-                        max_aniso=config.max_anisotropy)
+                        max_aniso=config.max_anisotropy,
+                        dither=config.dither_trilinear)
                 return tss_shade_px(chart_uv, uv, mat_id)
+
+        # blend-peel shade fns: pre-shaded when any preshaded flag is on
+        # (chart-res albedo behind alpha blending is visually mild — the
+        # cheap 80% of tss_preshaded), else the factored fns above
+        if tss and pre_any:
+            tss_shade_blend_px = tss_shade_blend_dense = tss_shade_pre_px
+        elif tss:
+            tss_shade_blend_px = tss_shade_px
+            tss_shade_blend_dense = tss_shade_dense
 
     # opaque base pass
     from ..raster.pallas_raster import attribute_planes
@@ -585,8 +603,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             # resolve + shade on the compacted pseudo-image (few tiles);
             # ``dense``: fr holds full [slice_h, W] planes (a full-coverage
             # peel layer), so the half-res light path applies
-            tss_sh = tss_shade_dense if (tss and dense) else (
-                tss_shade_px if tss else None)
+            tss_sh = tss_shade_blend_dense if (tss and dense) else (
+                tss_shade_blend_px if tss else None)
             if "attrs" in fr:
                 if "mat_id" in fr:
                     mat_t = fr["mat_id"]
@@ -728,7 +746,18 @@ class FrameRenderer:
         self.scene_host = scene_host
         self.config = config
         self.n_shadows = scene_host.n_shadow_maps if config.shadows else 0
-        dev = scene_host.upload()
+        if config.texture_space:
+            # subdivide huge-footprint triangles at upload so every chart
+            # fits MAX_R texels at the requested density (a 40 m floor
+            # otherwise caps at one MAX_R^2 square and blurs near the
+            # camera — scene._chart_subdivide)
+            _vp0 = ViewProperties.from_camera(scene_host.camera)
+            dev = scene_host.upload(chart_subdiv=dict(
+                viewproj=np.asarray(_vp0.proj) @ np.asarray(_vp0.view),
+                width=config.width, height=config.height,
+                density=config.chart_density))
+        else:
+            dev = scene_host.upload()
         if config.texture_space:
             # light-chart layout (host, once) — charts sized from the
             # INITIAL camera footprint (shading/lightchart.py)
@@ -740,8 +769,8 @@ class FrameRenderer:
                 "texture_space: set debug_views=False (no debug taps in " \
                 "the factored screen pass)"
         else:
-            assert not config.tss_preshaded, \
-                "tss_preshaded requires texture_space=True"
+            assert not (config.tss_preshaded or config.tss_preshaded_blend), \
+                "tss_preshaded(_blend) requires texture_space=True"
         if config.texture_space:
             vp0 = ViewProperties.from_camera(scene_host.camera)
             viewproj = np.asarray(vp0.proj) @ np.asarray(vp0.view)
@@ -808,8 +837,9 @@ class FrameRenderer:
             self.scene_dev["chart_vis"] = jnp.ones(
                 cm.shape[:2] + (nl,), jnp.float32)
             self._baked_exposure = float(scene_host.camera.exposure)
-            if config.tss_preshaded:
-                # pre-shaded mode: bake the base-color tap per texel too,
+            pre_any = config.tss_preshaded or config.tss_preshaded_blend
+            if pre_any:
+                # pre-shaded modes: bake the base-color tap per texel too,
                 # and keep the static product albedo * diffuse-light as a
                 # RAW f32 atlas (re-packed with the per-frame specular)
                 alb, ta = jax.jit(partial(
@@ -818,23 +848,27 @@ class FrameRenderer:
                 self.scene_dev["chart_albedo"] = alb
                 self.scene_dev["chart_a"] = jax.jit(
                     lightchart.pack_alpha_blocks)(ta)
-                self._ld_key = "chart_base"
-                self._ld_fn = jax.jit(
-                    lambda sc, e: sc["chart_albedo"]
-                    * lightchart.chart_light_static(
-                        sc, sc["chart_pos"], sc["chart_normal"],
-                        sc["chart_mat"], sc["chart_vis"], e))
-            else:
-                # factored mode: static diffuse table as rgb9e5 blocks,
-                # refreshed on shadow-dirty / exposure change
-                self._ld_key = "chart_ld"
-                self._ld_fn = jax.jit(
-                    lambda sc, e: lightchart.pack_rgbe_blocks(
-                        lightchart.chart_light_static(
-                            sc, sc["chart_pos"], sc["chart_normal"],
-                            sc["chart_mat"], sc["chart_vis"], e)))
-            self.scene_dev[self._ld_key] = self._ld_fn(
-                self.scene_dev, self._baked_exposure)
+
+            # static light tables, refreshed on shadow-dirty / exposure
+            # change: the factored screen pass reads chart_ld (rgb9e5
+            # blocks); pre-shaded passes read chart_base (raw f32,
+            # re-packed per frame with the specular term). Mixed mode
+            # (tss_preshaded_blend) needs both.
+            def _ld_all(sc, e, full=config.tss_preshaded,
+                        pre_any=pre_any):
+                static = lightchart.chart_light_static(
+                    sc, sc["chart_pos"], sc["chart_normal"],
+                    sc["chart_mat"], sc["chart_vis"], e)
+                out = {}
+                if not full:
+                    out["chart_ld"] = lightchart.pack_rgbe_blocks(static)
+                if pre_any:
+                    out["chart_base"] = sc["chart_albedo"] * static
+                return out
+
+            self._ld_fn = jax.jit(_ld_all)
+            self.scene_dev.update(self._ld_fn(
+                self.scene_dev, self._baked_exposure))
         self._shadow_lights = _static_shadow_lights(dev)
         # react-to-overflow: the frame fn also reports the binning
         # overflow counter; render() polls it (without stalling the
@@ -1340,8 +1374,7 @@ class FrameRenderer:
             if e != self._baked_exposure:
                 self._baked_exposure = e
                 if not (self.n_shadows > 0 and self._shadows_dirty):
-                    self.scene_dev[self._ld_key] = self._ld_fn(
-                        self.scene_dev, e)
+                    self.scene_dev.update(self._ld_fn(self.scene_dev, e))
         if self.n_shadows > 0 and self._shadows_dirty:
             # cached pass: a blocking overflow check + regrow here is a
             # one-off, not a per-frame stall
@@ -1377,8 +1410,8 @@ class FrameRenderer:
                     self._vis_fn = jax.jit(_bake_vis)
                 self.scene_dev["chart_vis"] = self._vis_fn(
                     self.scene_dev, maps, u)
-                self.scene_dev[self._ld_key] = self._ld_fn(
-                    self.scene_dev, self._baked_exposure)
+                self.scene_dev.update(self._ld_fn(
+                    self.scene_dev, self._baked_exposure))
         out = self._fn(self.scene_dev, u, self._shadow_maps)
         if self._react_overflow:
             img, stats = out

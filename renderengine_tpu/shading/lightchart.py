@@ -88,27 +88,61 @@ def _quad_mates(tri_vidx: np.ndarray, tri_mat: np.ndarray) -> np.ndarray:
 def _footprint_px(world_tri: np.ndarray, viewproj: np.ndarray,
                   width: int, height: int) -> np.ndarray:
     """Approximate screen-space area (px^2) of each world triangle under
-    the layout camera. [T,3,3] -> [T]. Tris behind the camera get a
-    mid-size default (the camera moves after layout)."""
+    the layout camera. [T,3,3] -> [T].
+
+    Partially-behind triangles are NEAR-CLIPPED (Sutherland-Hodgman
+    against w=eps, up to a 4-gon) and measured from the clipped polygon:
+    a floor plane passing under the camera always has a behind corner,
+    and a constant fallback here starves exactly the triangles that fill
+    the near field (they'd get a handful of texels for 40 m of floor).
+    Fully-behind triangles get a small default (the camera moves after
+    layout; overflow re-layout handles it)."""
     h = np.concatenate([world_tri, np.ones_like(world_tri[..., :1])], -1)
     clip = h @ viewproj.T                       # [T,3,4]
-    w = np.maximum(np.abs(clip[..., 3]), 1e-4)
-    # clamp projected corners to a box around the viewport: off-screen /
-    # near-plane geometry must not dominate the texel budget (its true
-    # on-screen footprint is at most the viewport)
-    x = np.clip(clip[..., 0] / w * (width * 0.5), -width, width)
-    y = np.clip(clip[..., 1] / w * (height * 0.5), -height, height)
-    ax, ay = x[:, 1] - x[:, 0], y[:, 1] - y[:, 0]
-    bx, by = x[:, 2] - x[:, 0], y[:, 2] - y[:, 0]
-    behind = (clip[..., 3] <= 1e-4).any(-1)
-    area = np.minimum(0.5 * np.abs(ax * by - ay * bx),
-                      float(width * height))
+    eps = 1e-4
+    behind = clip[..., 3] <= eps                # [T,3]
+    nb = behind.sum(-1)
+    t = len(clip)
+    idx = np.arange(t)
+
+    def corner(base, off):
+        return clip[idx, (base + off) % 3]      # [T,4]
+
+    def isect(a, b):                            # near-plane hit on edge a->b
+        wa, wb = a[:, 3:4], b[:, 3:4]
+        d = np.where(np.abs(wb - wa) < 1e-20, 1e-20, wb - wa)
+        return a + (eps - wa) / d * (b - a)
+
+    # 4-vert polygon per case (duplicated verts add zero shoelace area):
+    # nb=0 the tri itself; nb=1 (behind corner first) [I01, c1, c2, I20];
+    # nb=2 (front corner first) [c0, I01, I20, I20]; nb=3 degenerate
+    b1 = behind.argmax(-1)
+    f1 = (~behind).argmax(-1)
+    c0b, c1b, c2b = corner(b1, 0), corner(b1, 1), corner(b1, 2)
+    c0f, c1f, c2f = corner(f1, 0), corner(f1, 1), corner(f1, 2)
+    poly = np.stack([clip[:, 0], clip[:, 1], clip[:, 2], clip[:, 2]], 1)
+    p1 = np.stack([isect(c0b, c1b), c1b, c2b, isect(c2b, c0b)], 1)
+    i20f = isect(c2f, c0f)
+    p2 = np.stack([c0f, isect(c0f, c1f), i20f, i20f], 1)
+    poly = np.where((nb == 1)[:, None, None], p1, poly)
+    poly = np.where((nb == 2)[:, None, None], p2, poly)
+
+    w = np.maximum(poly[..., 3], eps)
+    # clamp projected corners to a box around the viewport: off-screen
+    # geometry must not dominate the texel budget (its true on-screen
+    # footprint is at most the viewport)
+    x = np.clip(poly[..., 0] / w * (width * 0.5), -width, width)
+    y = np.clip(poly[..., 1] / w * (height * 0.5), -height, height)
+    xr = np.roll(x, -1, axis=1)
+    yr = np.roll(y, -1, axis=1)
+    area = 0.5 * np.abs((x * yr - xr * y).sum(-1))
+    area = np.minimum(area, float(width * height))
     # fully outside the viewport on one side => tiny chart (the camera
     # may orbit onto it later; footprint then re-lays-out offline)
-    out = ((x <= -width * 0.5).all(-1) | (x >= width * 1.5 - width).all(-1)
+    out = ((x <= -width * 0.5).all(-1) | (x >= width * 0.5).all(-1)
            | (y <= -height * 0.5).all(-1) | (y >= height * 0.5).all(-1))
     area = np.where(out, np.minimum(area, 64.0), area)
-    return np.where(behind, 256.0, area)
+    return np.where(nb == 3, 64.0, area)
 
 
 # corner-role encoding: 0 = unique (not on the shared diagonal),
@@ -508,7 +542,8 @@ def sample_rgbe_blocks(blocks: jnp.ndarray, uv: jnp.ndarray,
 
 
 def sample_light_halfres(ld_blocks, ls_blocks, chart_uv, ah: int, aw: int,
-                         y0: int = 0, sim_radius: float = 3.0):
+                         y0: int = 0, sim_radius: float = 3.0,
+                         uv=None, mat_id=None):
     """Light-table sampling on the HALF-resolution pixel grid + a
     chart-uv-guided upsample back to full res — the gather-count killer.
 
@@ -528,7 +563,15 @@ def sample_light_halfres(ld_blocks, ls_blocks, chart_uv, ah: int, aw: int,
     the GLOBAL even-row grid; a TRACED y0 — shard_map offsets — assumes
     even slice starts, the sharded path's row split for even heights,
     else the half grid is locally anchored: a 1-row phase shift, not an
-    error). Returns ([...,3] ld, [...,3] ls)."""
+    error).
+
+    Chart subdivision packs one floor into many cells (own atlas squares),
+    so a cross-cell corner is far in chart uv and gets rejected even on
+    the same surface — measured, that rejection-renormalize behavior
+    BEATS accepting far corners by material-uv continuity (the nearer
+    same-cell samples smear a crisp light hotspot less), so the chart-uv
+    test stays the only criterion. Returns ([...,3] ld, [...,3] ls)."""
+    del uv, mat_id                                    # see docstring
     h, w = chart_uv.shape[:2]
     r0 = (y0 % 2) if isinstance(y0, int) else 0   # static slicing only
     hu = chart_uv[r0::2, 0::2]                        # [Hh,Wh,2]
@@ -577,7 +620,7 @@ def sample_light_halfres(ld_blocks, ls_blocks, chart_uv, ah: int, aw: int,
 def tss_shade_halfres(scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
                       ah: int, aw: int, y0: int = 0,
                       slots_used=(True, True, True, True),
-                      max_aniso: int = 1):
+                      max_aniso: int = 1, dither: bool = False):
     """``tss_shade`` with the half-res light path (dense [H,W] passes
     only — packed sparse tiles keep per-pixel gathers, their index
     counts are already small)."""
@@ -585,7 +628,7 @@ def tss_shade_halfres(scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
     from .srgb import srgb_to_linear
 
     light_d, light_s = sample_light_halfres(ld_blocks, ls_blocks, chart_uv,
-                                            ah, aw, y0)
+                                            ah, aw, y0, uv=uv, mat_id=mat_id)
     row = sampling.table_lookup(scene["mat_all"], mat_id)
     factor_a = row[..., 3].astype(jnp.float32)
     if slots_used[0]:
@@ -593,7 +636,7 @@ def tss_shade_halfres(scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
         duv_dx = sampling.quad_dfdx(uv)
         duv_dy = sampling.quad_dfdy(uv)
         tap = pbr._sample_slot(scene, tb, uv, duv_dx, duv_dy,
-                               jnp.ones(4), max_aniso)
+                               jnp.ones(4), max_aniso, dither)
         alb = jnp.where(tb["valid"][..., None],
                         srgb_to_linear(tap[..., :3]), 1.0)
         ta = jnp.where(tb["valid"], tap[..., 3], 1.0)
@@ -732,7 +775,8 @@ def resolve_tss(scene, coef, g, height, width, y0=0, full_height=None,
 
 def tss_shade(scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
               ah: int, aw: int,
-              slots_used=(True, True, True, True), max_aniso: int = 1):
+              slots_used=(True, True, True, True), max_aniso: int = 1,
+              dither: bool = False):
     """The TSS screen pass: one albedo tap (full-res texture detail) +
     two 16-byte light-table gathers (static diffuse ld; per-frame
     specular ls). rgb = albedo * ld + ls; alpha = texture alpha x the
@@ -750,7 +794,7 @@ def tss_shade(scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
         duv_dx = sampling.quad_dfdx(uv)
         duv_dy = sampling.quad_dfdy(uv)
         tap = pbr._sample_slot(scene, tb, uv, duv_dx, duv_dy,
-                               jnp.ones(4), max_aniso)
+                               jnp.ones(4), max_aniso, dither)
         alb = jnp.where(tb["valid"][..., None],
                         srgb_to_linear(tap[..., :3]), 1.0)
         ta = jnp.where(tb["valid"], tap[..., 3], 1.0)

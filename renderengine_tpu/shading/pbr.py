@@ -60,7 +60,8 @@ def _slot(mat_tex_row, si):
     }
 
 
-def _sample_slot(scene, tex, uv, duv_dx, duv_dy, default, max_aniso=1):
+def _sample_slot(scene, tex, uv, duv_dx, duv_dy, default, max_aniso=1,
+                 dither=False):
     """texture-if-present (reference tests handle < MAX_DESCRIPTOR_COUNT,
     ``pbr.glsl:102``) with per-slot implicit LOD (texture() semantics:
     texel-space derivative magnitude from this slot's mip-0 size).
@@ -68,7 +69,8 @@ def _sample_slot(scene, tex, uv, duv_dx, duv_dy, default, max_aniso=1):
     if max_aniso > 1:
         s = sampling.sample_texture_aniso(scene["atlas"], scene["mip_y"],
                                           scene["mip_x"], tex, tex["n_mips"],
-                                          uv, duv_dx, duv_dy, max_aniso)
+                                          uv, duv_dx, duv_dy, max_aniso,
+                                          dither=dither)
         return jnp.where(tex["valid"][..., None], s, default)
     size = jnp.stack([tex["w"].astype(jnp.float32), tex["h"].astype(jnp.float32)], -1)
     dx = duv_dx * size
@@ -77,12 +79,13 @@ def _sample_slot(scene, tex, uv, duv_dx, duv_dy, default, max_aniso=1):
     lod = jnp.log2(jnp.maximum(rho, 1e-20))
     s = sampling.sample_texture_rows(scene["atlas"], scene["mip_y"],
                                      scene["mip_x"], tex,
-                                     tex["n_mips"], uv, lod)
+                                     tex["n_mips"], uv, lod, dither=dither)
     return jnp.where(tex["valid"][..., None], s, default)
 
 
 def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
-                   slots_used=(True, True, True, True), max_aniso=1):
+                   slots_used=(True, True, True, True), max_aniso=1,
+                   dither=False):
     """GetBaseColor/GetEmissive/GetNormal/GetOcclusionRoughnessMetallic +
     RemapMaterial (``pbr.glsl:100-233``). Material state arrives as two
     packed row gathers (mat_core, mat_tex — see scene._pack_rows).
@@ -109,7 +112,7 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
     if slots_used[0]:
         tb = _slot(mtex, 0)
         base_tex = _sample_slot(scene, tb, uv, duv_dx, duv_dy, jnp.ones(4),
-                                max_aniso)
+                                max_aniso, dither)
         base_color = m["mat_base_color"] * jnp.concatenate(
             [srgb_to_linear(base_tex[..., :3]), base_tex[..., 3:4]], axis=-1)
         base_color = jnp.where(tb["valid"][..., None], base_color, m["mat_base_color"])
@@ -119,7 +122,7 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
     if slots_used[1]:
         te = _slot(mtex, 1)
         em_tex = _sample_slot(scene, te, uv, duv_dx, duv_dy, jnp.ones(4),
-                                max_aniso)
+                                max_aniso, dither)
         emissive = m["mat_emissive"] * jnp.concatenate(
             [srgb_to_linear(em_tex[..., :3]), em_tex[..., 3:4]], axis=-1)
         emissive = jnp.where(te["valid"][..., None], emissive, m["mat_emissive"])
@@ -129,7 +132,7 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
     if slots_used[2]:
         to = _slot(mtex, 2)
         orm_tex = _sample_slot(scene, to, uv, duv_dx, duv_dy, jnp.ones(4),
-                                max_aniso)
+                                max_aniso, dither)
         ho = to["valid"]
         occ = jnp.where(ho, m["mat_ao"] * orm_tex[..., 0], m["mat_ao"])
         prough = jnp.where(ho, m["mat_roughness"] * orm_tex[..., 1], m["mat_roughness"])
@@ -142,7 +145,7 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
         tn_slot = _slot(mtex, 3)
         hn = tn_slot["valid"]
         tn = _sample_slot(scene, tn_slot, uv, duv_dx, duv_dy, jnp.full(4, 0.5),
-                          max_aniso)[..., :3] * 2.0 - 1.0
+                          max_aniso, dither)[..., :3] * 2.0 - 1.0
     else:
         hn = jnp.zeros(mat_id.shape, bool)
         tn = jnp.zeros(mat_id.shape + (3,), jnp.float32)
@@ -213,7 +216,8 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                   shadow_maps=None, shadow_transforms=None,
                   slots_used=(True, True, True, True),
                   shadow_lights=None, max_aniso=1, debug_views=True,
-                  penumbra_tiles=0, shadow_stats=None, ibl_diffuse=False):
+                  penumbra_tiles=0, shadow_stats=None, ibl_diffuse=False,
+                  dither=False):
     """Port of ``BRDF_Lighting``. Returns rgba (linear, pre-sRGB-encode).
 
     view_args: dict with view_pos [3], exposure, debug_input, debug_equation.
@@ -227,7 +231,7 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
     cost real bandwidth here; RenderConfig.debug_views re-jits on toggle).
     """
     mat = remap_material(scene, mat_id, frag_pos, uv, frag_normal, slots_used,
-                         max_aniso)
+                         max_aniso, dither)
 
     n = mat["normal"]
     v = view_args["view_pos"] - frag_pos

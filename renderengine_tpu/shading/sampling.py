@@ -131,15 +131,48 @@ def compute_lod(uv: jnp.ndarray, tex_w, tex_h) -> jnp.ndarray:
     return jnp.log2(jnp.maximum(rho, 1e-20))
 
 
-def sample_texture_rows(atlas, mip_y, mip_x, tex, n_mips, uv, lod=None) -> jnp.ndarray:
+# 4x4 Bayer index matrix (ordered-dither thresholds): used to round the
+# mip fraction to an integer level with a screen-stable spatial pattern
+_BAYER4 = jnp.asarray([[0, 8, 2, 10], [12, 4, 14, 6],
+                       [3, 11, 1, 9], [15, 7, 13, 5]], jnp.float32)
+
+
+def _dither_level(lod, n_mips):
+    """Integer mip level from fractional lod by 4x4 ordered dithering:
+    the lod fraction becomes the DUTY CYCLE of picking the next level
+    across each 4x4 pixel block, so mip transitions stay spatially smooth
+    while every tap costs ONE block gather instead of two (the classic
+    'dithered trilinear' of shipping rasterizers). Deterministic in pixel
+    position — renders are reproducible and golden-testable."""
+    import jax
+
+    shape = lod.shape
+    ax = len(shape) - 1
+    iy = (jax.lax.broadcasted_iota(jnp.int32, shape, max(ax - 1, 0))
+          if len(shape) >= 2 else jnp.zeros(shape, jnp.int32))
+    ix = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+    thr = (_BAYER4[iy & 3, ix & 3] + 0.5) * (1.0 / 16.0)
+    lodc = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
+    l0 = jnp.floor(lodc).astype(jnp.int32)
+    f = lodc - l0.astype(jnp.float32)
+    return jnp.minimum(l0 + (f > thr).astype(jnp.int32), n_mips - 1)
+
+
+def sample_texture_rows(atlas, mip_y, mip_x, tex, n_mips, uv, lod=None,
+                        dither: bool = False) -> jnp.ndarray:
     """Core sampler on pre-fetched table rows.
 
     tex: dict of per-pixel int arrays page/x/y/w/h; n_mips per-pixel int;
-    uv [...,2]; lod [...] or None (bilinear at mip 0). Returns f32 [...,4].
+    uv [...,2]; lod [...] or None (bilinear at mip 0). ``dither``: one
+    gather per tap via ordered-dither mip rounding (``_dither_level``)
+    instead of the two-level trilinear blend. Returns f32 [...,4].
     """
     if lod is None:
         return _bilinear_at_level(atlas, tex, mip_y, mip_x, uv,
                                   jnp.zeros_like(n_mips))
+    if dither:
+        return _bilinear_at_level(atlas, tex, mip_y, mip_x, uv,
+                                  _dither_level(lod, n_mips))
     lodc = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
     l0 = jnp.floor(lodc).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, n_mips - 1)
@@ -150,7 +183,8 @@ def sample_texture_rows(atlas, mip_y, mip_x, tex, n_mips, uv, lod=None) -> jnp.n
 
 
 def sample_texture_aniso(atlas, mip_y, mip_x, tex, n_mips, uv,
-                         duv_dx, duv_dy, max_aniso: int) -> jnp.ndarray:
+                         duv_dx, duv_dy, max_aniso: int,
+                         dither: bool = False) -> jnp.ndarray:
     """Anisotropic filtering, the reference's 16x sampler request
     (``TextureCache.cpp:185-186``): N trilinear taps spread along the
     major-axis footprint, LOD chosen from the minor axis (footprint /= N),
@@ -180,12 +214,17 @@ def sample_texture_aniso(atlas, mip_y, mip_x, tex, n_mips, uv,
         w = (i < n).astype(jnp.float32)[..., None]
         acc = acc + w * _bilinear_at_level_lod(atlas, tex, mip_y, mip_x,
                                                uv + major * t[..., None],
-                                               n_mips, lod)
+                                               n_mips, lod, dither)
     return acc / n[..., None]
 
 
-def _bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv, n_mips, lod):
-    """Trilinear helper: two _bilinear_at_level taps mixed by lod fract."""
+def _bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv, n_mips, lod,
+                           dither: bool = False):
+    """Trilinear helper: two _bilinear_at_level taps mixed by lod fract
+    (or ONE dither-rounded tap, see ``_dither_level``)."""
+    if dither:
+        return _bilinear_at_level(atlas, tex, mip_y, mip_x, uv,
+                                  _dither_level(lod, n_mips))
     lodc = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
     l0 = jnp.floor(lodc).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, n_mips - 1)
