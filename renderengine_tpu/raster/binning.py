@@ -29,6 +29,11 @@ import jax
 from .setup import TriSetup
 
 
+# test hook: force the (key, payload) variadic sort path even when the
+# combined u32 key would fit (tests assert both paths agree bit-for-bit)
+_FORCE_VARIADIC_SORT = False
+
+
 class TileBins(NamedTuple):
     pair_tri: jnp.ndarray    # [MAX_PAIRS] i32 triangle id (sorted by tile)
     pair_valid: jnp.ndarray  # [MAX_PAIRS] bool
@@ -89,15 +94,32 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
     slot_valid = slots < jnp.minimum(total, max_pairs)
     key = jnp.where(slot_valid, tile, n_tiles).astype(jnp.int32)  # invalid sorts last
 
-    sorted_key, sorted_tri = jax.lax.sort((key, tri), dimension=0, num_keys=1,
-                                          is_stable=True)
-    # per-tile segments via binary search over the sorted keys: n_tiles+1
-    # queries x log2(P) gather steps — an order of magnitude cheaper than
-    # scattering min/add over every pair (measured 14 ms of scatters at a
-    # 789k budget vs ~1 ms here)
-    edges = jnp.searchsorted(sorted_key,
-                             jnp.arange(n_tiles + 1, dtype=jnp.int32),
-                             side="left").astype(jnp.int32)
+    # combined-key sort when (tile | tri) fits u32: ONE array through the
+    # sort network instead of a key+payload pair (~half the sorted bytes;
+    # the tri id rides the low bits, so ascending-id-within-tile comes
+    # from key order instead of sort stability). 1080p: 16201 tiles << 18
+    # id bits = 4.25e9 < 2^32 — the u32 gate matters.
+    t_tris = offsets.shape[0]
+    tbits = max(1, int(t_tris - 1).bit_length())
+    if ((n_tiles + 1) << tbits <= (1 << 32)) and not _FORCE_VARIADIC_SORT:
+        ck = ((key.astype(jnp.uint32) << tbits)
+              | tri.astype(jnp.uint32))
+        sck = jax.lax.sort(ck, dimension=0, is_stable=False)  # keys unique
+        sorted_tri = (sck & ((1 << tbits) - 1)).astype(jnp.int32)
+        sorted_key = (sck >> tbits).astype(jnp.int32)
+        edges = jnp.searchsorted(
+            sck, (jnp.arange(n_tiles + 1, dtype=jnp.uint32) << tbits),
+            side="left").astype(jnp.int32)
+    else:
+        sorted_key, sorted_tri = jax.lax.sort((key, tri), dimension=0,
+                                              num_keys=1, is_stable=True)
+        # per-tile segments via binary search over the sorted keys:
+        # n_tiles+1 queries x log2(P) gather steps — an order of magnitude
+        # cheaper than scattering min/add over every pair (measured 14 ms
+        # of scatters at a 789k budget vs ~1 ms here)
+        edges = jnp.searchsorted(sorted_key,
+                                 jnp.arange(n_tiles + 1, dtype=jnp.int32),
+                                 side="left").astype(jnp.int32)
     starts = edges[:-1]
     counts = edges[1:] - starts
     # empty tiles: make starts well-defined (their count is 0 anyway)

@@ -69,3 +69,47 @@ class TestTiledMatchesReference:
         ref = rasterize_reference(s, h, w)
         til = rasterize_tiled(s, h, w, tile_h=16, tile_w=16, chunk=16, max_pairs=8192)
         np.testing.assert_array_equal(np.asarray(ref.tri_id), np.asarray(til.tri_id))
+
+
+class TestCombinedKeySort:
+    def test_combined_matches_variadic(self, rng):
+        """The u32 combined-key sort path must produce identical TileBins
+        to the (key, payload) variadic path."""
+        import numpy as np
+        import renderengine_tpu.raster.binning as binning
+        w = h = 96
+        s = random_setup(rng, n=200, w=w, h=h)
+        a = bin_triangles(s, h, w, 8, 16, max_pairs=4096)
+        binning._FORCE_VARIADIC_SORT = True
+        try:
+            b = bin_triangles(s, h, w, 8, 16, max_pairs=4096)
+        finally:
+            binning._FORCE_VARIADIC_SORT = False
+        np.testing.assert_array_equal(np.asarray(a.pair_valid),
+                                      np.asarray(b.pair_valid))
+        pv = np.asarray(a.pair_valid)
+        np.testing.assert_array_equal(np.asarray(a.pair_tri)[pv],
+                                      np.asarray(b.pair_tri)[pv])
+        np.testing.assert_array_equal(np.asarray(a.starts),
+                                      np.asarray(b.starts))
+        np.testing.assert_array_equal(np.asarray(a.counts),
+                                      np.asarray(b.counts))
+        assert int(a.n_overflow) == int(b.n_overflow)
+
+    def test_combined_with_overflow(self, rng):
+        import numpy as np
+        import renderengine_tpu.raster.binning as binning
+        s = random_setup(rng, n=80, w=64, h=64)
+        a = bin_triangles(s, 64, 64, 8, 16, max_pairs=64)
+        binning._FORCE_VARIADIC_SORT = True
+        try:
+            b = bin_triangles(s, 64, 64, 8, 16, max_pairs=64)
+        finally:
+            binning._FORCE_VARIADIC_SORT = False
+        pv = np.asarray(a.pair_valid)
+        np.testing.assert_array_equal(pv, np.asarray(b.pair_valid))
+        np.testing.assert_array_equal(np.asarray(a.pair_tri)[pv],
+                                      np.asarray(b.pair_tri)[pv])
+        np.testing.assert_array_equal(np.asarray(a.counts),
+                                      np.asarray(b.counts))
+        assert int(a.n_overflow) == int(b.n_overflow) > 0
