@@ -80,9 +80,15 @@ def main():
     ap.add_argument("--textures", type=int, default=200)
     ap.add_argument("--pairs-per-tri", type=int, default=4)
     ap.add_argument("--no-translucency", action="store_true")
-    ap.add_argument("--texture-space", action="store_true",
+    ap.add_argument("--texture-space", action="store_true", default=None,
                     help="light-chart (texture-space) shading: lighting at "
-                    "chart resolution, full-res albedo (lightchart.py)")
+                    "chart resolution, full-res albedo (lightchart.py). "
+                    "DEFAULT for the headline run (the engine's fast path; "
+                    "parity bounds in tests/test_lightchart.py); "
+                    "--per-pixel for the reference-exact path")
+    ap.add_argument("--per-pixel", action="store_true",
+                    help="reference-exact per-pixel shading (disables the "
+                    "texture-space default)")
     ap.add_argument("--preshaded", action="store_true",
                     help="fully pre-shaded charts (rgb composes in chart "
                     "space; one block gather per pixel per pass); implies "
@@ -126,6 +132,17 @@ def main():
                                     target_tris=args.tris)
     import dataclasses
     from renderengine_tpu.core.config import RasterConfig
+    # headline default = texture-space shading with pre-shaded peels: the
+    # engine's fast path (parity bounds: tests/test_lightchart.py).
+    # --per-pixel benches the reference-exact shading path instead.
+    if args.per_pixel:
+        tss = False
+        args.preshaded = args.preshaded_blend = False
+    elif (args.texture_space is None and not args.preshaded
+          and not args.preshaded_blend):
+        tss = args.preshaded_blend = True     # the headline default
+    else:
+        tss = bool(args.texture_space)
     # debug_views=False == the reference's runtime default (debug NONE);
     # on TPU the zero-cost-when-off form of that uniform branch is
     # trace-time specialization (toggling re-jits, like a pipeline rebuild)
@@ -133,7 +150,7 @@ def main():
                        shadow_extent=args.shadow_extent,
                        translucency=not args.no_translucency,
                        debug_views=False,
-                       texture_space=(args.texture_space or args.preshaded
+                       texture_space=(tss or args.preshaded
                                       or args.preshaded_blend),
                        tss_preshaded=args.preshaded,
                        tss_preshaded_blend=args.preshaded_blend,
@@ -217,11 +234,15 @@ def main():
 
     print(f"# median frame {median*1000:.2f} ms; {fps:.2f} FPS; "
           f"{mtris:.1f} Mtris/s", file=sys.stderr)
+    mode = ("per-pixel" if not cfg.texture_space else
+            "tss-preshaded" if cfg.tss_preshaded else
+            "tss-preshaded-blend" if cfg.tss_preshaded_blend else "tss")
     rec = {
         "metric": "fps_1080p_sponza_shadows" if not args.quick else "fps_quick",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 60.0, 4),
+        "shading_mode": mode + ("+dither" if cfg.dither_trilinear else ""),
     }
     if not args.quick and args.shadow_extent != 4096:
         # reference constant: 4096^2 shadow maps (RenderScene.cpp:26)

@@ -21,7 +21,8 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                    shadow_maps=None, shadow_transforms=None,
                    slots_used=(True, True, True, True),
                    shadow_lights=None, max_aniso=1, debug_views=True,
-                   penumbra_tiles=0, shadow_stats=None, ibl_diffuse=False):
+                   penumbra_tiles=0, shadow_stats=None, ibl_diffuse=False,
+                   dither=False):
     """Port of ``PhongLighting`` (phong.glsl:38-81), summed over lights.
     Light colors map: ambient = 0.03*color, diffuse = specular =
     intensity*color. Returns rgba (linear)."""
@@ -33,7 +34,7 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
     if slots_used[0]:
         tb = _slot(mtex, 0)
         base_tex = _sample_slot(scene, tb, uv, duv_dx, duv_dy, jnp.ones(4),
-                                max_aniso)
+                                max_aniso, dither)
         diffuse_p = core[..., 0:4] * jnp.concatenate(
             [srgb_to_linear(base_tex[..., :3]), base_tex[..., 3:4]], axis=-1)
         diffuse_p = jnp.where(tb["valid"][..., None], diffuse_p, core[..., 0:4])
