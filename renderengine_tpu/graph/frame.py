@@ -284,7 +284,8 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
                  has_translucent: bool = False,
                  slots_used=(True, True, True, True),
                  return_stats: bool = False,
-                 shadow_lights=None, has_mask: bool = False):
+                 shadow_lights=None, has_mask: bool = False,
+                 alpha_is_factor: bool = False):
     """The per-frame pass chain (minus the cached shadow depth).
     scene: device dict; uniform: packed per-frame float32 vector
     (``graph.uniforms``); shadow_maps: packed blocks or None.
@@ -296,7 +297,8 @@ def render_frame(scene, uniform, shadow_maps, config: RenderConfig,
     vo = cached_vertex_outputs(scene, params["view"], params["proj"])
     out = _frame_core(scene, params, vo, shadow_maps, config, n_shadows,
                       backend, has_translucent, slots_used, return_stats,
-                      shadow_lights=shadow_lights, has_mask=has_mask)
+                      shadow_lights=shadow_lights, has_mask=has_mask,
+                      alpha_is_factor=alpha_is_factor)
     return out if return_stats else out[0]
 
 
@@ -305,7 +307,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 has_translucent: bool, slots_used,
                 return_stats: bool = False,
                 y0=0, slice_h: int | None = None,
-                shadow_lights=None, has_mask: bool = False):
+                shadow_lights=None, has_mask: bool = False,
+                alpha_is_factor: bool = False):
     """Slice-aware frame body shared by the single-chip path (y0=0,
     slice_h=H) and the multi-chip image-row-sharded path
     (``parallel.sharded``: y0 = device row offset, traced under
@@ -370,9 +373,21 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             a_blocks = scene["chart_a"]
 
             def tss_shade_pre_px(chart_uv, uv, mat_id, need_alpha=True):
-                return lightchart.tss_shade_pre(
+                # alpha_is_factor (bake-time check): no base texture
+                # modulates alpha, so the peel alpha is the material
+                # factor — a small-table MXU lookup beats a per-pixel
+                # alpha-block gather (gathers price per index)
+                out = lightchart.tss_shade_pre(
                     rgb_blocks, a_blocks, chart_uv, c_ah, c_aw,
-                    need_alpha=need_alpha)
+                    need_alpha=need_alpha and not alpha_is_factor)
+                if need_alpha and alpha_is_factor:
+                    from ..shading import sampling
+                    fa = sampling.table_lookup(
+                        scene["mat_all"], mat_id)[..., 3]
+                    out = jnp.concatenate(
+                        [out[..., :3],
+                         fa[..., None].astype(jnp.float32)], axis=-1)
+                return out
 
         if config.tss_preshaded:
             tss_shade_px = tss_shade_dense = tss_shade_pre_px
@@ -848,6 +863,17 @@ class FrameRenderer:
                 self.scene_dev["chart_albedo"] = alb
                 self.scene_dev["chart_a"] = jax.jit(
                     lightchart.pack_alpha_blocks)(ta)
+                # if no base texture modulates alpha (all-opaque alpha
+                # channels: the common case), per-texel alpha == the
+                # material base-color-factor alpha — the peel screen pass
+                # then reads it from the small material table (MXU
+                # one-hot) instead of a per-pixel alpha-block gather
+                mid = np.asarray(geo["mat_id"])
+                fa = np.asarray(self.scene_dev["mat_all"],
+                                np.float32)[mid, 3]
+                live = np.asarray(geo["live"], np.float32)
+                self._alpha_is_factor = bool(
+                    np.abs(np.asarray(ta) - fa * live).max() < 0.5 / 255.0)
 
             # static light tables, refreshed on shadow-dirty / exposure
             # change: the factored screen pass reads chart_ld (rgb9e5
@@ -923,7 +949,9 @@ class FrameRenderer:
                                    has_mask=self._has_mask,
                                    slots_used=self._slots_used,
                                    shadow_lights=self._shadow_lights,
-                                   return_stats=self._react_overflow))
+                                   return_stats=self._react_overflow,
+                                   alpha_is_factor=getattr(
+                                       self, "_alpha_is_factor", False)))
         # keep the shadow fn in lockstep with config re-tunes so a later
         # mark_shadows_dirty() never renders with a stale budget
         self._rebuild_shadow_fn()
