@@ -79,9 +79,9 @@ class TestDitherTrilinear:
         from renderengine_tpu.graph.frame import FrameRenderer
         from renderengine_tpu.scene import procedural
 
-        sc = procedural.sponza_scene(width=160, height=96, n_textures=8,
-                                     target_tris=1500)
-        cfg = RenderConfig(width=160, height=96, shadow_extent=128,
+        sc = procedural.sponza_scene(width=128, height=80, n_textures=6,
+                                     target_tris=900)
+        cfg = RenderConfig(width=128, height=80, shadow_extent=128,
                            translucency=True, debug_views=False)
         a = np.asarray(FrameRenderer(sc, cfg, backend="tiled")
                        .render()).astype(int)

@@ -122,6 +122,20 @@ class TestRgb9e5:
         assert np.abs(out - ref).max() < 0.01 * max(1.0, ref.max())
 
 
+_RENDER_MEMO: dict = {}
+
+
+def _memo_render(factory, cfg):
+    """Cache renders by config across TestParity cases: several tests
+    share the same non-TSS base render, and each FrameRenderer build +
+    CPU render costs ~10-20 s on the 1-core suite box."""
+    key = repr(cfg)
+    if key not in _RENDER_MEMO:
+        _RENDER_MEMO[key] = np.asarray(
+            FrameRenderer(factory(), cfg, backend="tiled").render())
+    return _RENDER_MEMO[key]
+
+
 class TestParity:
     def _pair(self, cfg_extra=None, density=1.0, base_density=None,
               base_tss=False, base_extra=None):
@@ -135,12 +149,9 @@ class TestParity:
             base = cfg.replace(texture_space=True,
                                chart_density=base_density or density,
                                **(base_extra or {}))
-        a = np.asarray(FrameRenderer(factory(), base,
-                                     backend="tiled").render())
-        b = np.asarray(FrameRenderer(
-            factory(), cfg.replace(texture_space=True,
-                                   chart_density=density),
-            backend="tiled").render())
+        a = _memo_render(factory, base)
+        b = _memo_render(factory, cfg.replace(texture_space=True,
+                                              chart_density=density))
         return a.astype(np.int32), b.astype(np.int32)
 
     def test_matches_per_pixel_path(self):
