@@ -308,7 +308,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 return_stats: bool = False,
                 y0=0, slice_h: int | None = None,
                 shadow_lights=None, has_mask: bool = False,
-                alpha_is_factor: bool = False):
+                alpha_is_factor: bool = False, ls_atlas=None):
     """Slice-aware frame body shared by the single-chip path (y0=0,
     slice_h=H) and the multi-chip image-row-sharded path
     (``parallel.sharded``: y0 = device row offset, traced under
@@ -358,9 +358,13 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     tss = config.texture_space
     if tss:
         from ..shading import lightchart
-        ls_atlas = lightchart.chart_light_spec(
-            scene, scene["chart_pos"], scene["chart_normal"],
-            scene["chart_mat"], scene["chart_vis"], view_args)
+        if ls_atlas is None:
+            # (the sharded path computes this pass row-sharded over the
+            # atlas and passes the gathered result in — see
+            # parallel.sharded.render_frame_sharded)
+            ls_atlas = lightchart.chart_light_spec(
+                scene, scene["chart_pos"], scene["chart_normal"],
+                scene["chart_mat"], scene["chart_vis"], view_args)
         c_ah, c_aw = ls_atlas.shape[:2]
         pre_any = config.tss_preshaded or config.tss_preshaded_blend
         if pre_any:
@@ -789,19 +793,7 @@ class FrameRenderer:
         if config.texture_space:
             vp0 = ViewProperties.from_camera(scene_host.camera)
             viewproj = np.asarray(vp0.proj) @ np.asarray(vp0.view)
-            lay = lightchart.build_layout(
-                np.asarray(dev["tri_vidx"]), np.asarray(dev["tri_material"]),
-                np.asarray(dev["world_pos"]), viewproj,
-                config.width, config.height, config.chart_density,
-                config.chart_budget,
-                valid=np.arange(len(dev["tri_vidx"])) < int(dev["n_tris"]))
-            dev["chart_tri"] = lay.texel_tri
-            dev["chart_bary"] = lay.texel_bary
-            dev["chart_corner"] = lay.corner_uv
-            cb = np.zeros((len(dev["blend_tri_vidx"]), 3, 2), np.float32)
-            no, nbl = int(dev["n_opaque"]), int(dev["n_blend"])
-            cb[:nbl] = lay.corner_uv[no:no + nbl]
-            dev["chart_corner_blend"] = cb
+            lightchart.attach_chart_layout(dev, viewproj, config)
         self.scene_dev = jax.device_put(dev, device)
         if backend is None:
             # Pallas on real TPUs; dense-jnp tiled loop elsewhere. Tiny
@@ -836,65 +828,16 @@ class FrameRenderer:
         self._has_mask = int(dev.get("n_mask", 0)) > 0
         self._slots_used = slots_used
         if config.texture_space:
-            # device bakes (once per upload): per-texel geometry, then the
-            # full material remap (texture taps, ORM, normal map) — the
-            # per-frame pass reads only these dense planes
+            # device bakes (once per upload): per-texel geometry, full
+            # material remap, optional pre-shaded albedo, static light
+            # tables — shared with ShardedRenderer (lightchart.py)
             from ..shading import lightchart
-            geo = jax.jit(lightchart.bake_geometry)(self.scene_dev)
-            cm, nrm = jax.jit(partial(
-                lightchart.bake_material, slots_used=slots_used,
-                max_aniso=config.max_anisotropy,
-                ibl_diffuse=config.ibl_diffuse))(self.scene_dev, geo)
-            self.scene_dev["chart_pos"] = geo["pos"]
-            self.scene_dev["chart_normal"] = nrm
-            self.scene_dev["chart_mat"] = cm
-            nl = int(self.scene_dev["light_type"].shape[0])
-            self.scene_dev["chart_vis"] = jnp.ones(
-                cm.shape[:2] + (nl,), jnp.float32)
             self._baked_exposure = float(scene_host.camera.exposure)
-            pre_any = config.tss_preshaded or config.tss_preshaded_blend
-            if pre_any:
-                # pre-shaded modes: bake the base-color tap per texel too,
-                # and keep the static product albedo * diffuse-light as a
-                # RAW f32 atlas (re-packed with the per-frame specular)
-                alb, ta = jax.jit(partial(
-                    lightchart.bake_albedo, slots_used=slots_used,
-                    max_aniso=config.max_anisotropy))(self.scene_dev, geo)
-                self.scene_dev["chart_albedo"] = alb
-                self.scene_dev["chart_a"] = jax.jit(
-                    lightchart.pack_alpha_blocks)(ta)
-                # if no base texture modulates alpha (all-opaque alpha
-                # channels: the common case), per-texel alpha == the
-                # material base-color-factor alpha — the peel screen pass
-                # then reads it from the small material table (MXU
-                # one-hot) instead of a per-pixel alpha-block gather
-                mid = np.asarray(geo["mat_id"])
-                fa = np.asarray(self.scene_dev["mat_all"],
-                                np.float32)[mid, 3]
-                live = np.asarray(geo["live"], np.float32)
-                self._alpha_is_factor = bool(
-                    np.abs(np.asarray(ta) - fa * live).max() < 0.5 / 255.0)
-
-            # static light tables, refreshed on shadow-dirty / exposure
-            # change: the factored screen pass reads chart_ld (rgb9e5
-            # blocks); pre-shaded passes read chart_base (raw f32,
-            # re-packed per frame with the specular term). Mixed mode
-            # (tss_preshaded_blend) needs both.
-            def _ld_all(sc, e, full=config.tss_preshaded,
-                        pre_any=pre_any):
-                static = lightchart.chart_light_static(
-                    sc, sc["chart_pos"], sc["chart_normal"],
-                    sc["chart_mat"], sc["chart_vis"], e)
-                out = {}
-                if not full:
-                    out["chart_ld"] = lightchart.pack_rgbe_blocks(static)
-                if pre_any:
-                    out["chart_base"] = sc["chart_albedo"] * static
-                return out
-
-            self._ld_fn = jax.jit(_ld_all)
-            self.scene_dev.update(self._ld_fn(
-                self.scene_dev, self._baked_exposure))
+            up, self._ld_fn, self._alpha_is_factor = \
+                lightchart.setup_scene_tss(self.scene_dev, config,
+                                           slots_used,
+                                           self._baked_exposure)
+            self.scene_dev.update(up)
         self._shadow_lights = _static_shadow_lights(dev)
         # react-to-overflow: the frame fn also reports the binning
         # overflow counter; render() polls it (without stalling the

@@ -82,9 +82,17 @@ def pad_scene_for_mesh(scene_dev: dict, n_devices: int) -> dict:
     return scene_dev
 
 
-def _scene_specs(scene) -> dict:
+def _scene_specs(scene, n_devices: int | None = None) -> dict:
     vert = {k: P(AXIS) for k in ("positions", "normals", "uvs", "vert_node",
                                  "world_pos", "world_normal")}
+    # texture-space chart planes shard over atlas ROWS (the per-frame
+    # specular pass is elementwise over texels, so row slices are exact);
+    # the gather TABLES (chart_ld/base/a, corner uvs) stay replicated —
+    # every device's screen pass gathers from the full atlas
+    if n_devices:
+        for k in ("chart_pos", "chart_normal", "chart_mat", "chart_vis"):
+            if k in scene and scene[k].shape[0] % n_devices == 0:
+                vert[k] = P(AXIS)
     return {k: vert.get(k, P()) for k in scene}
 
 
@@ -151,27 +159,49 @@ def render_frame_sharded(scene, params, shadow_maps, config: RenderConfig,
                          has_translucent: bool = False,
                          slots_used=(True, True, True, True),
                          shadow_lights=None,
-                         has_mask: bool = False) -> jnp.ndarray:
+                         has_mask: bool = False,
+                         alpha_is_factor: bool = False) -> jnp.ndarray:
     """Full multi-chip frame (minus the cached shadow pass — pass its
     packed blocks, or None). Returns [H,W,4] uint8 row-sharded over the
-    mesh. Runs the SAME ``_frame_core`` as single-chip."""
+    mesh. Runs the SAME ``_frame_core`` as single-chip.
+
+    Texture-space mode: the per-frame chart SPECULAR pass (dense VPU over
+    atlas texels) runs sharded over atlas rows — each chip lights its row
+    band of the chart atlas, then ``all_gather`` (tiled) hands every chip
+    the full table its screen pass gathers from. Elementwise over texels,
+    so the sharded result is bit-identical to single-chip."""
     h, w = config.render_extent()
     d = mesh.shape[AXIS]
     assert h % d == 0, f"render height {h} must divide over {d} devices"
     hs = h // d
+    # _scene_specs only row-shards the chart planes when Ah divides the
+    # mesh; otherwise each device holds (and lights) the full atlas
+    charts_sharded = (config.texture_space
+                      and scene["chart_pos"].shape[0] % d == 0)
 
     def per_device(scene_l, params_l, shadow_l):
         idx = jax.lax.axis_index(AXIS)
         vo, scene_full = _gathered_vo(scene_l, params_l)
+        ls = None
+        if config.texture_space:
+            from ..shading import lightchart
+            view_args = {"view_pos": params_l["view_pos"],
+                         "exposure": params_l["exposure"]}
+            ls_l = lightchart.chart_light_spec(
+                scene_l, scene_l["chart_pos"], scene_l["chart_normal"],
+                scene_l["chart_mat"], scene_l["chart_vis"], view_args)
+            ls = (jax.lax.all_gather(ls_l, AXIS, tiled=True)
+                  if charts_sharded else ls_l)
         img, _ = fgraph._frame_core(
             scene_full, params_l, vo, shadow_l, config, n_shadows, backend,
             has_translucent, slots_used, y0=idx * hs, slice_h=hs,
-            shadow_lights=shadow_lights, has_mask=has_mask)
+            shadow_lights=shadow_lights, has_mask=has_mask,
+            alpha_is_factor=alpha_is_factor, ls_atlas=ls)
         return img
 
     shadow_specs = P() if shadow_maps is not None else None
     fn = shard_map(per_device, mesh=mesh,
-                   in_specs=(_scene_specs(scene),
+                   in_specs=(_scene_specs(scene, d),
                              jax.tree.map(lambda _: P(), params),
                              shadow_specs),
                    out_specs=P(AXIS))
@@ -185,6 +215,7 @@ class ShardedRenderer:
 
     def __init__(self, scene_host, config: RenderConfig, mesh: Mesh,
                  backend: str = "tiled"):
+        from ..scene.camera import ViewProperties
         from ..shading import fitting
 
         self._fitting = fitting
@@ -193,19 +224,46 @@ class ShardedRenderer:
         self.mesh = mesh
         self.backend = backend
         d = mesh.shape[AXIS]
-        dev = pad_scene_for_mesh(scene_host.upload(pad_tris_to=max(256, d)), d)
-        self.scene_dev = dev
+        if config.texture_space:
+            # identical chart pipeline to the single-chip FrameRenderer:
+            # subdivision at upload, host layout, device bakes
+            vp0 = ViewProperties.from_camera(scene_host.camera)
+            viewproj = np.asarray(vp0.proj) @ np.asarray(vp0.view)
+            dev = scene_host.upload(
+                pad_tris_to=max(256, d),
+                chart_subdiv=dict(viewproj=viewproj, width=config.width,
+                                  height=config.height,
+                                  density=config.chart_density))
+        else:
+            dev = scene_host.upload(pad_tris_to=max(256, d))
+        dev = pad_scene_for_mesh(dev, d)
         self.n_shadows = scene_host.n_shadow_maps if config.shadows else 0
         has_translucent = int(np.asarray(dev["n_blend"])) > 0
         slots_used = tuple(bool((np.asarray(dev[k]) >= 0).any()) for k in
                            ("mat_tex_base", "mat_tex_emissive",
                             "mat_tex_orm", "mat_tex_normal"))
+        alpha_is_factor = False
+        self._ld_fn = None
+        if config.texture_space:
+            from ..core.config import ShadingModel as _SM
+            from ..shading import lightchart
+            assert config.shading == _SM.PBR and not config.alpha_mask \
+                and not config.debug_views, \
+                "texture_space: PBR, no MASK pass, no debug views"
+            lightchart.attach_chart_layout(dev, viewproj, config)
+            self._baked_exposure = float(scene_host.camera.exposure)
+            up, self._ld_fn, alpha_is_factor = lightchart.setup_scene_tss(
+                dev, config, slots_used, self._baked_exposure)
+            dev.update(up)
+        self.scene_dev = dev
+        self._shadow_lights = fgraph._static_shadow_lights(dev)
         self._fn = jax.jit(partial(
             render_frame_sharded, config=config, n_shadows=self.n_shadows,
             mesh=mesh, backend=backend, has_translucent=has_translucent,
             has_mask=int(np.asarray(dev.get("n_mask", 0))) > 0,
             slots_used=slots_used,
-            shadow_lights=fgraph._static_shadow_lights(dev)))
+            shadow_lights=self._shadow_lights,
+            alpha_is_factor=alpha_is_factor))
         self._shadow_fn = jax.jit(partial(
             render_shadow_pass_sharded, config=config,
             n_shadows=self.n_shadows, mesh=mesh, backend=backend))
@@ -234,6 +292,24 @@ class ShardedRenderer:
             if self._shadows_dirty:
                 self._shadow_maps = self._shadow_fn(self.scene_dev, params)
                 self._shadows_dirty = False
+                if self.config.texture_space:
+                    # bake per-texel PCF visibility on the dirty flag and
+                    # refresh the static light tables — same policy as
+                    # FrameRenderer (shadows consumed when rendered)
+                    from ..shading import lightchart
+
+                    def _bake_vis(scene, maps_, svp):
+                        geo = {"pos": scene["chart_pos"],
+                               "normal": scene["chart_normal"],
+                               "mat_id": scene["chart_mat"][..., 15]}
+                        return lightchart.bake_visibility(
+                            scene, geo, maps_, svp, self._shadow_lights)
+
+                    self.scene_dev["chart_vis"] = jax.jit(_bake_vis)(
+                        self.scene_dev, self._shadow_maps,
+                        params["shadow_viewproj"])
+                    self.scene_dev.update(self._ld_fn(
+                        self.scene_dev, self._baked_exposure))
         return self._fn(self.scene_dev, params, self._shadow_maps)
 
 

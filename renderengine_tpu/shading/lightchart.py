@@ -723,6 +723,93 @@ def tss_shade_pre(rgb_blocks, a_blocks, chart_uv, ah: int, aw: int,
     return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
 
+def attach_chart_layout(dev: dict, viewproj: np.ndarray, config) -> None:
+    """Host-side chart layout (once per upload): adds the texel->tri maps
+    and per-corner chart uvs to the device dict. Shared by the single-chip
+    ``FrameRenderer`` and the multi-chip ``ShardedRenderer``."""
+    lay = build_layout(
+        np.asarray(dev["tri_vidx"]), np.asarray(dev["tri_material"]),
+        np.asarray(dev["world_pos"]), viewproj,
+        config.width, config.height, config.chart_density,
+        config.chart_budget,
+        valid=np.arange(len(dev["tri_vidx"])) < int(dev["n_tris"]))
+    dev["chart_tri"] = lay.texel_tri
+    dev["chart_bary"] = lay.texel_bary
+    dev["chart_corner"] = lay.corner_uv
+    cb = np.zeros((len(dev["blend_tri_vidx"]), 3, 2), np.float32)
+    no, nbl = int(dev["n_opaque"]), int(dev["n_blend"])
+    cb[:nbl] = lay.corner_uv[no:no + nbl]
+    dev["chart_corner_blend"] = cb
+
+
+def setup_scene_tss(scene_dev: dict, config, slots_used, exposure: float):
+    """Device bakes for texture-space shading (once per upload): per-texel
+    geometry, the full material remap, optional pre-shaded albedo, and the
+    static light tables. Returns ``(updates, ld_fn, alpha_is_factor)``:
+
+    - ``updates``: dict of new scene keys (chart_pos/normal/mat/vis,
+      chart_albedo/chart_a when pre-shading, plus the initial
+      ``ld_fn`` tables);
+    - ``ld_fn(scene, exposure) -> dict``: the jitted static-table refresh
+      (call on shadow-dirty / exposure change and ``update`` the scene);
+    - ``alpha_is_factor``: bake-time check that no base texture modulates
+      alpha, so pre-shaded peels can read it from the material table.
+
+    Shared by ``FrameRenderer`` and ``ShardedRenderer`` so multi-chip has
+    the identical chart pipeline by construction."""
+    import jax
+    from functools import partial
+
+    geo = jax.jit(bake_geometry)(scene_dev)
+    cm, nrm = jax.jit(partial(
+        bake_material, slots_used=slots_used,
+        max_aniso=config.max_anisotropy,
+        ibl_diffuse=config.ibl_diffuse))(scene_dev, geo)
+    nl = int(scene_dev["light_type"].shape[0])
+    up = {"chart_pos": geo["pos"], "chart_normal": nrm, "chart_mat": cm,
+          "chart_vis": jnp.ones(cm.shape[:2] + (nl,), jnp.float32)}
+    alpha_is_factor = False
+    pre_any = config.tss_preshaded or config.tss_preshaded_blend
+    if pre_any:
+        # pre-shaded modes: bake the base-color tap per texel too, and
+        # keep the static product albedo * diffuse-light as a RAW f32
+        # atlas (re-packed with the per-frame specular)
+        alb, ta = jax.jit(partial(
+            bake_albedo, slots_used=slots_used,
+            max_aniso=config.max_anisotropy))(scene_dev, geo)
+        up["chart_albedo"] = alb
+        up["chart_a"] = jax.jit(pack_alpha_blocks)(ta)
+        # if no base texture modulates alpha (all-opaque alpha channels:
+        # the common case), per-texel alpha == the material base-color
+        # factor — the peel screen pass then reads it from the small
+        # material table (MXU one-hot) instead of a per-pixel gather
+        mid = np.asarray(geo["mat_id"])
+        fa = np.asarray(scene_dev["mat_all"], np.float32)[mid, 3]
+        live = np.asarray(geo["live"], np.float32)
+        alpha_is_factor = bool(
+            np.abs(np.asarray(ta) - fa * live).max() < 0.5 / 255.0)
+
+    # static light tables, refreshed on shadow-dirty / exposure change:
+    # the factored screen pass reads chart_ld (rgb9e5 blocks); pre-shaded
+    # passes read chart_base (raw f32, re-packed per frame with the
+    # specular term). Mixed mode (tss_preshaded_blend) needs both.
+    def _ld_all(sc, e, full=config.tss_preshaded, pre_any=pre_any):
+        static = chart_light_static(sc, sc["chart_pos"], sc["chart_normal"],
+                                    sc["chart_mat"], sc["chart_vis"], e)
+        out = {}
+        if not full:
+            out["chart_ld"] = pack_rgbe_blocks(static)
+        if pre_any:
+            out["chart_base"] = sc["chart_albedo"] * static
+        return out
+
+    ld_fn = jax.jit(_ld_all)
+    sc2 = dict(scene_dev)
+    sc2.update(up)
+    up.update(ld_fn(sc2, exposure))
+    return up, ld_fn, alpha_is_factor
+
+
 def tss_attribute_planes(setup, vo=None, tri_vidx=None, corner_uv=None,
                          uv_corners=None) -> jnp.ndarray:
     """TSS variant of ``raster.pallas_raster.attribute_planes``: the

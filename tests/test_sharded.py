@@ -68,3 +68,26 @@ class TestShardedEquivalence:
         assert multi.shape == single.shape
         mismatch = (multi != single).mean()
         assert mismatch == 0.0, f"sharded differs on {mismatch:.2%} of bytes"
+
+    def test_texture_space_matches_single(self):
+        """Texture-space shading under the mesh: the chart SPECULAR pass
+        runs row-sharded over the atlas + all_gather (elementwise over
+        texels -> exact), the bakes/layout are the shared
+        lightchart.setup_scene_tss — bit-exact vs single-chip TSS with
+        pre-shaded peels and translucency on."""
+        w, h = 64, 32
+        sc = procedural.sponza_scene(width=w, height=h, n_textures=4,
+                                     target_tris=400)
+        cfg = RenderConfig(width=w, height=h, shadow_extent=32,
+                           translucency=True, debug_views=False,
+                           texture_space=True, tss_preshaded_blend=True,
+                           chart_density=1.0)
+        single = np.asarray(FrameRenderer(sc, cfg, backend="tiled").render())
+
+        mesh = sharded.make_mesh(2)
+        fn, scene_dev, params_builder = sharded.build_sharded_renderer(
+            sc, cfg, mesh, backend="tiled")
+        multi = np.asarray(fn(jax.device_put(scene_dev), params_builder()))
+        assert multi.shape == single.shape
+        mismatch = (multi != single).mean()
+        assert mismatch == 0.0, f"sharded TSS differs on {mismatch:.2%} of bytes"
