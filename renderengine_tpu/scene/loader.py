@@ -12,8 +12,8 @@ from .scene import Scene
 
 
 def load_scene(path, scene: Scene | None = None) -> Scene:
-    """Load a scene file (.obj, .gltf, .glb) or a builtin procedural name
-    ('cube', 'sponza'). Returns the populated Scene."""
+    """Load a scene file (.obj, .gltf, .glb, .dae, .fbx) or a builtin
+    procedural name ('cube', 'sponza'). Returns the populated Scene."""
     from . import procedural
 
     name = str(path)
@@ -32,6 +32,14 @@ def load_scene(path, scene: Scene | None = None) -> Scene:
         from .loader_gltf import load_gltf
 
         scene = load_gltf(disk, scene)
+    elif suffix == ".dae":
+        from .loader_dae import load_dae
+
+        scene = load_dae(disk, scene)
+    elif suffix == ".fbx":
+        from .loader_fbx import load_fbx
+
+        scene = load_fbx(disk, scene)
     else:
         raise ValueError(f"unsupported scene format: {disk}")
     reset_camera(scene)
