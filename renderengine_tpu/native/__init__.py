@@ -75,9 +75,9 @@ def unfilter_png(raw: bytes, h: int, stride: int, bpp: int):
 
 
 def decode_jpeg(data: bytes):
-    """Native baseline-JPEG decode; returns uint8 [h, w, 4] RGBA or None
-    if the library is unavailable or the stream is unsupported (e.g.
-    progressive SOF2 — the loader reports those)."""
+    """Native JPEG decode (baseline SOF0/1 + progressive SOF2); returns
+    uint8 [h, w, 4] RGBA or None if the library is unavailable or the
+    stream is malformed/unsupported (e.g. arithmetic coding, 12-bit)."""
     lib = load_library()
     if lib is None:
         return None

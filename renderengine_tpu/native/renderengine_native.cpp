@@ -219,17 +219,27 @@ extern "C" void obj_free(void* h) { delete (ObjData*)h; }
 
 }  // extern "C"
 
-// --- baseline JPEG decoder ---------------------------------------------------
-// Sequential-DCT baseline JFIF (SOF0/SOF1), 8-bit, 1 or 3 components, any
-// sampling factors up to 4x4, DRI/RSTn restarts. Plays the role of
-// stb_image's JPEG path (reference TextureCache.cpp:67 loads the skybox
-// .jpgs and any Sponza asset set via stb). Progressive (SOF2) is rejected;
-// the loader reports it so assets can be transcoded.
+// --- JPEG decoder ------------------------------------------------------------
+// Sequential-DCT baseline (SOF0/SOF1) AND progressive (SOF2) JFIF, 8-bit,
+// 1 or 3 components, any sampling factors up to 4x4, DRI/RSTn restarts.
+// Plays the role of stb_image's JPEG path (reference TextureCache.cpp:67
+// loads the skybox .jpgs and any Sponza asset set via stb, which decodes
+// both modes). Progressive scans follow ITU T.81 G.1.2: spectral selection
+// (Ss..Se) x successive approximation (Ah/Al), DC interleaved or not, AC
+// single-component with EOB runs and refinement-bit passes; coefficients
+// accumulate across scans and are dequantized + IDCT'd at EOI.
 //
-// Chroma upsampling is nearest-neighbor; IDCT is exact float separable.
-// Both are within the codec's allowed decoder variance (ITU T.81 annex A).
+// IDCT is exact float separable. Chroma upsampling is a centered triangle
+// filter. Both are within the codec's allowed decoder variance
+// (ITU T.81 annex A).
 
 namespace jpegdec {
+
+static const uint8_t kZig[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
 struct Huff {
   uint8_t lens[17] = {0};   // codes per bit length
@@ -254,10 +264,13 @@ struct Comp {
   int dc_pred = 0;
   int bw = 0, bh = 0;             // plane size in blocks
   std::vector<uint8_t> plane;     // bw*8 x bh*8 samples
+  std::vector<int16_t> coef;      // progressive: 64 per block, zigzag order
 };
 
 struct Jpeg {
   int w = 0, h = 0, ncomp = 0;
+  bool progressive = false;
+  int eobrun = 0;                 // progressive AC end-of-band run
   int hmax = 1, vmax = 1, restart_interval = 0;
   uint16_t qt[4][64] = {{0}};
   Huff hdc[4], hac[4];
@@ -331,13 +344,92 @@ struct Jpeg {
       if (k > 63) return false;
       zz[k++] = extend(getbits(sz), sz);
     }
-    static const uint8_t zig[64] = {
-        0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
-        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
-        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
     const uint16_t* q = qt[c.tq];
-    for (int k = 0; k < 64; ++k) out[zig[k]] = (float)(zz[k] * q[k]);
+    for (int k = 0; k < 64; ++k) out[kZig[k]] = (float)(zz[k] * q[k]);
+    return true;
+  }
+
+  // --- progressive scan passes (ITU T.81 G.1.2) --------------------------
+
+  bool dc_block(Comp& c, int16_t* cf, int Ah, int Al) {
+    if (Ah == 0) {                 // first DC pass at this precision
+      int s = decode_huff(hdc[c.td]);
+      if (s < 0 || s > 11) return false;
+      c.dc_pred += extend(getbits(s), s);
+      cf[0] = (int16_t)(c.dc_pred << Al);
+    } else {                       // refinement: one bit per block
+      if (getbits(1)) cf[0] = (int16_t)(cf[0] | (1 << Al));
+    }
+    return true;
+  }
+
+  bool ac_first(Comp& c, int16_t* cf, int Ss, int Se, int Al) {
+    if (eobrun > 0) { --eobrun; return true; }
+    for (int k = Ss; k <= Se;) {
+      int rs = decode_huff(hac[c.ta]);
+      if (rs < 0) return false;
+      int r = rs >> 4, s = rs & 15;
+      if (s == 0) {
+        if (r < 15) {              // EOBn: run of (1<<r)-1 + bits blocks
+          eobrun = (1 << r) - 1;
+          if (r) eobrun += getbits(r);
+          break;
+        }
+        k += 16;                   // ZRL
+      } else {
+        k += r;
+        if (k > 63) return false;
+        cf[k++] = (int16_t)(extend(getbits(s), s) << Al);
+      }
+    }
+    return true;
+  }
+
+  bool ac_refine(Comp& c, int16_t* cf, int Ss, int Se, int Al) {
+    const int bit = 1 << Al;
+    int k = Ss;
+    if (eobrun == 0) {
+      while (k <= Se) {
+        int rs = decode_huff(hac[c.ta]);
+        if (rs < 0) return false;
+        int r = rs >> 4, s = rs & 15;
+        int newval = 0;
+        if (s == 0) {
+          if (r < 15) {            // EOBn includes THIS block's tail
+            eobrun = (1 << r);
+            if (r) eobrun += getbits(r);
+            break;
+          }
+          // ZRL: skip 16 zero-history coefficients (r == 15)
+        } else {                   // s must be 1: a new +-(1<<Al) coef
+          newval = getbits(1) ? bit : -bit;
+        }
+        while (k <= Se) {          // advance: correct nonzeros, count zeros
+          int16_t& cc = cf[k];
+          if (cc != 0) {
+            if (getbits(1) && !(cc & bit))
+              cc = (int16_t)(cc + (cc > 0 ? bit : -bit));
+            ++k;
+          } else {
+            if (r == 0) {
+              if (newval) cc = (int16_t)newval;
+              ++k;
+              break;
+            }
+            --r;
+            ++k;
+          }
+        }
+      }
+    }
+    if (eobrun > 0) {              // correction bits through Se, then count
+      for (; k <= Se; ++k) {
+        int16_t& cc = cf[k];
+        if (cc != 0 && getbits(1) && !(cc & bit))
+          cc = (int16_t)(cc + (cc > 0 ? bit : -bit));
+      }
+      --eobrun;
+    }
     return true;
   }
 };
@@ -367,6 +459,77 @@ static void idct8x8(const float* in, uint8_t* out, int stride) {
       int p = (int)lrintf(s) + 128;
       out[y * stride + x] = (uint8_t)(p < 0 ? 0 : p > 255 ? 255 : p);
     }
+}
+
+// one progressive scan: DC interleaved over MCUs (ns > 1) or a single
+// component over its effective block grid (DC or AC, first or refine)
+static bool decode_prog_scan(Jpeg& J, int ns, const int* scomp, int Ss,
+                             int Se, int Ah, int Al, int mcux, int mcuy) {
+  J.bitbuf = 0; J.bitcnt = 0; J.marker_pending = false; J.eobrun = 0;
+  for (int i = 0; i < J.ncomp; ++i) J.comp[i].dc_pred = 0;
+  if (Ss == 0 && Se != 0) return false;   // DC scan is exactly [0,0]
+  if (Ss != 0 && ns != 1) return false;   // AC scans are single-component
+  int todo = J.restart_interval ? J.restart_interval : 0x7fffffff;
+  auto restart = [&J, &todo]() {
+    J.bitbuf = 0; J.bitcnt = 0; J.marker_pending = false; J.eobrun = 0;
+    while (J.pos + 1 < J.len &&
+           !(J.data[J.pos] == 0xFF && J.data[J.pos + 1] >= 0xD0 &&
+             J.data[J.pos + 1] <= 0xD7))
+      ++J.pos;
+    if (J.pos + 1 < J.len) J.pos += 2;
+    for (int i = 0; i < J.ncomp; ++i) J.comp[i].dc_pred = 0;
+    todo = J.restart_interval;
+  };
+  if (Ss == 0 && ns > 1) {
+    for (int my = 0; my < mcuy; ++my)
+      for (int mx = 0; mx < mcux; ++mx) {
+        if (todo == 0) restart();
+        for (int i = 0; i < ns; ++i) {
+          Comp& c = J.comp[scomp[i]];
+          for (int by = 0; by < c.v; ++by)
+            for (int bx = 0; bx < c.h; ++bx) {
+              size_t bi = (size_t)(my * c.v + by) * c.bw + (mx * c.h + bx);
+              if (!J.dc_block(c, &c.coef[bi * 64], Ah, Al)) return false;
+            }
+        }
+        --todo;
+      }
+  } else {
+    Comp& c = J.comp[scomp[0]];
+    int bw_eff = (J.w * c.h + 8 * J.hmax - 1) / (8 * J.hmax);
+    int bh_eff = (J.h * c.v + 8 * J.vmax - 1) / (8 * J.vmax);
+    for (int by = 0; by < bh_eff; ++by)
+      for (int bx = 0; bx < bw_eff; ++bx) {
+        if (todo == 0) restart();
+        int16_t* cf = &c.coef[((size_t)by * c.bw + bx) * 64];
+        bool okb = (Ss == 0) ? J.dc_block(c, cf, Ah, Al)
+                 : (Ah == 0) ? J.ac_first(c, cf, Ss, Se, Al)
+                             : J.ac_refine(c, cf, Ss, Se, Al);
+        if (!okb) return false;
+        --todo;
+      }
+  }
+  return true;
+}
+
+// all scans seen: dequantize the accumulated coefficients and IDCT
+static bool finish_progressive(Jpeg& J) {
+  float blk[64];
+  for (int i = 0; i < J.ncomp; ++i) {
+    Comp& c = J.comp[i];
+    const uint16_t* q = J.qt[c.tq];
+    for (int by = 0; by < c.bh; ++by)
+      for (int bx = 0; bx < c.bw; ++bx) {
+        const int16_t* cf = &c.coef[((size_t)by * c.bw + bx) * 64];
+        for (int k = 0; k < 64; ++k) blk[kZig[k]] = (float)(cf[k] * q[k]);
+        idct8x8(blk, c.plane.data() + (size_t)by * 8 * c.bw * 8 + bx * 8,
+                c.bw * 8);
+      }
+    c.coef.clear();
+    c.coef.shrink_to_fit();
+  }
+  J.ok = true;
+  return true;
 }
 
 static bool parse(Jpeg& J) {
@@ -401,7 +564,8 @@ static bool parse(Jpeg& J) {
         for (int k = 0; k < total; ++k) t.vals[k] = (uint8_t)J.byte();
         t.build();
       }
-    } else if (m == 0xC0 || m == 0xC1) {       // SOF0/1 baseline
+    } else if (m == 0xC0 || m == 0xC1 || m == 0xC2) {  // SOF0/1/2
+      J.progressive = (m == 0xC2);
       J.byte();  // precision (8)
       J.h = (J.byte() << 8) | J.byte();
       J.w = (J.byte() << 8) | J.byte();
@@ -418,31 +582,47 @@ static bool parse(Jpeg& J) {
         if (c.v > J.vmax) J.vmax = c.v;
       }
       have_sof = true;
-    } else if (m == 0xC2) {                    // progressive: unsupported
-      return false;
     } else if (m == 0xDD) {                    // DRI
       J.restart_interval = (J.data[J.pos] << 8) | J.data[J.pos + 1];
     } else if (m == 0xDA) {                    // SOS -> entropy data
       if (!have_sof) return false;
       int ns = J.byte();
-      if (ns != J.ncomp) return false;
+      if (ns < 1 || ns > J.ncomp) return false;
+      if (!J.progressive && ns != J.ncomp) return false;
+      int scomp[3] = {0, 0, 0};
       for (int i = 0; i < ns; ++i) {
         int id = J.byte(), tt = J.byte();
         for (int k = 0; k < J.ncomp; ++k)
           if (J.comp[k].id == id) {
+            scomp[i] = k;
             J.comp[k].td = tt >> 4;
             J.comp[k].ta = tt & 15;
           }
       }
-      J.byte(); J.byte(); J.byte();  // Ss/Se/Ah-Al (baseline: 0,63,0)
+      int Ss = J.byte(), Se = J.byte(), AhAl = J.byte();
 
       int mcux = (J.w + 8 * J.hmax - 1) / (8 * J.hmax);
       int mcuy = (J.h + 8 * J.vmax - 1) / (8 * J.vmax);
-      for (int i = 0; i < J.ncomp; ++i) {
-        Comp& c = J.comp[i];
-        c.bw = mcux * c.h;
-        c.bh = mcuy * c.v;
-        c.plane.assign((size_t)c.bw * 8 * c.bh * 8, 0);
+      if (J.comp[0].plane.empty()) {   // first scan: allocate planes
+        for (int i = 0; i < J.ncomp; ++i) {
+          Comp& c = J.comp[i];
+          c.bw = mcux * c.h;
+          c.bh = mcuy * c.v;
+          c.plane.assign((size_t)c.bw * 8 * c.bh * 8, 0);
+          if (J.progressive) c.coef.assign((size_t)c.bw * c.bh * 64, 0);
+        }
+      }
+      if (J.progressive) {
+        if (!decode_prog_scan(J, ns, scomp, Ss, Se, AhAl >> 4, AhAl & 15,
+                              mcux, mcuy))
+          return false;
+        // resync: skip entropy remainder + RSTs to the next real marker
+        J.bitbuf = 0; J.bitcnt = 0; J.marker_pending = false;
+        while (J.pos + 1 < J.len &&
+               !(J.data[J.pos] == 0xFF && J.data[J.pos + 1] != 0x00 &&
+                 !(J.data[J.pos + 1] >= 0xD0 && J.data[J.pos + 1] <= 0xD7)))
+          ++J.pos;
+        continue;
       }
       int todo = J.restart_interval ? J.restart_interval : 0x7fffffff;
       float blk[64];
@@ -475,6 +655,9 @@ static bool parse(Jpeg& J) {
     }
     J.pos = next;
   }
+  // progressive streams land here at EOI (or truncated input) with the
+  // coefficients accumulated across every scan seen
+  if (J.progressive && !J.comp[0].coef.empty()) return finish_progressive(J);
   return false;
 }
 

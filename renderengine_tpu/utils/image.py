@@ -29,8 +29,8 @@ def read_image(path: str) -> np.ndarray:
         if img is None:
             raise ValueError(
                 f"cannot decode JPEG {path!r}: native decoder unavailable "
-                "or unsupported stream (progressive JPEGs must be "
-                "transcoded to baseline)")
+                "or unsupported stream (arithmetic-coded / 12-bit JPEGs "
+                "must be transcoded)")
         return img
     if lower.endswith(".png"):
         return png.read_png(path)

@@ -1,7 +1,8 @@
-"""Native baseline-JPEG decoder vs Pillow (the stb_image parity seam:
-reference TextureCache.cpp:67 reads .jpg via stb; Skybox.cpp:71-79 ships
-six .jpg faces). 4:4:4 and grayscale must be bit-exact; subsampled chroma
-within a small tolerance (upsample filters legitimately differ)."""
+"""Native JPEG decoder (baseline + progressive) vs Pillow (the stb_image
+parity seam: reference TextureCache.cpp:67 reads .jpg via stb, which
+decodes both modes; Skybox.cpp:71-79 ships six .jpg faces). 4:4:4 and
+grayscale must be bit-exact; subsampled chroma within a small tolerance
+(upsample filters legitimately differ)."""
 
 import io
 
@@ -63,9 +64,42 @@ class TestJpegDecode:
         d = np.abs(mine[..., :3].astype(int) - pil.astype(int))
         assert d.max() <= 4
 
-    def test_progressive_rejected(self, rng):
-        data = _encode(_img(64, 48, rng), quality=80, progressive=True)
-        assert decode_jpeg(data) is None
+    @pytest.mark.parametrize("w,h,sub,q,tol_max", [
+        (64, 64, 0, 95, 3),           # 4:4:4 (AC refine rounding differs
+        #                               from libjpeg by <= a few LSB)
+        (97, 61, 2, 75, 4),           # 4:2:0, odd extents
+        (130, 40, 1, 85, 4),          # 4:2:2
+    ])
+    def test_progressive(self, rng, w, h, sub, q, tol_max):
+        """SOF2: spectral-selection + successive-approximation scans
+        accumulate; decoded image matches libjpeg within a few LSB."""
+        img = _img(w, h, rng)
+        data = _encode(img, quality=q, subsampling=sub, progressive=True)
+        assert b"\xff\xc2" in data[:4096]   # really SOF2
+        mine = decode_jpeg(data)
+        assert mine is not None and mine.shape == (h, w, 4)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        d = np.abs(mine[..., :3].astype(int) - pil.astype(int))
+        assert d.max() <= tol_max
+
+    def test_progressive_grayscale(self, rng):
+        g = np.kron(rng.uniform(0, 255, (8, 8)),
+                    np.ones((8, 8)))[:50, :50].astype(np.uint8)
+        data = _encode(g, quality=90, progressive=True)
+        mine = decode_jpeg(data)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("L"))
+        assert np.abs(mine[..., 0].astype(int) - pil.astype(int)).max() <= 1
+
+    def test_progressive_restart_markers(self, rng):
+        import re
+
+        img = _img(97, 61, rng)
+        data = _encode(img, quality=80, subsampling=2, progressive=True,
+                       restart_marker_rows=1)
+        assert len(re.findall(rb"\xff[\xd0-\xd7]", data)) > 4
+        mine = decode_jpeg(data)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert np.abs(mine[..., :3].astype(int) - pil.astype(int)).max() <= 4
 
     def test_texture_cache_loads_jpeg(self, rng, tmp_path):
         from renderengine_tpu.scene.textures import TextureCache
