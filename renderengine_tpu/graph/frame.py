@@ -38,14 +38,22 @@ from .uniforms import unpack_params
 
 
 def _static_shadow_lights(dev) -> tuple:
-    """Static per-light "pays the shadow lookup" flags (directional AND
-    has a shadow map AND within n_lights) — traced light-type tests can't
-    skip the PCF window gather, so the gate must be trace-time."""
+    """Static per-light "pays the shadow lookup" flags — traced
+    light-type tests can't skip the PCF window gather, so the gate must
+    be trace-time. 0 = no lookup; 1 = planar map (directional or spot);
+    6 = point-light cube (six consecutive face maps). Spot and point
+    shadow maps exceed the reference, whose live path renders only the
+    directional map (shadow.glsl:27)."""
     lt = np.asarray(dev["light_type"])
     si = np.asarray(dev["light_shadow_index"])
     nl = int(np.asarray(dev["n_lights"]))
-    return tuple(bool(i < nl and lt[i] == 1 and si[i] >= 0)
-                 for i in range(lt.shape[0]))
+
+    def flag(i: int) -> int:
+        if not (i < nl and si[i] >= 0):
+            return 0
+        return {1: 1, 2: 6, 3: 1}.get(int(lt[i]), 0)
+
+    return tuple(flag(i) for i in range(lt.shape[0]))
 
 
 def _pair_budget(n_tris: int, pairs_per_tri: int = 4) -> int:

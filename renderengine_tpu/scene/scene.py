@@ -40,9 +40,14 @@ class Scene:
 
     def create_shadow_map(self, light_id: int) -> int:
         """Reference ``ShadowSystem::CreateShadowMap`` (``ShadowSystem.cpp:229-238``):
-        one depth map per directional light."""
+        one depth map per directional light. Beyond the reference, spot
+        lights get one perspective map and point lights six cube-face
+        maps (consecutive indices, +X -X +Y -Y +Z -Z)."""
+        from .lights import LightType
+
         shadow_id = self.n_shadow_maps
-        self.n_shadow_maps += 1
+        is_point = self.lights.lights[light_id].type == LightType.POINT
+        self.n_shadow_maps += 6 if is_point else 1
         self.lights.set_light_shadow_id(light_id, shadow_id)
         return shadow_id
 

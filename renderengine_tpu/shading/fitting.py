@@ -51,9 +51,79 @@ def compute_shadow_transform(light_direction, camera, scene_box: AABB,
     return shadow_view, proj
 
 
+def compute_spot_shadow_transform(light, scene_box: AABB):
+    """Perspective fit for a spot light's shadow map — BEYOND the
+    reference, whose pipeline only renders the directional map
+    (``shadow.glsl:27``): fov = the outer cone with a small guard band
+    (so the 3x3 PCF apron stays on-map at the cone edge), far = the
+    light's reach into the scene."""
+    pos = np.asarray(light.position, np.float32)
+    if not scene_box.is_empty():
+        reach = float(np.linalg.norm(scene_box.corners() - pos,
+                                     axis=1).max())
+        nearest = float(np.linalg.norm(
+            np.clip(pos, scene_box.min, scene_box.max) - pos))
+    else:
+        reach = max(float(light.falloff_radius), 1.0)
+        nearest = 0.0
+    far = max(reach, 1e-2)
+    # scene-fitted near plane: perspective depth compresses toward 1, and
+    # the shader's fixed minimum bias (shadow.glsl:35, 0.005) would swamp
+    # a near->far range that starts at a tiny near. Pushing near to just
+    # inside the closest geometry spends the u16 depth range on the span
+    # that actually contains casters.
+    near = max(far * 0.02, nearest * 0.8, 1e-3)
+    cos_o = float(np.clip(light.cos_outer, -0.998, 0.998))
+    fov = min(2.0 * np.arccos(cos_o) * 1.1, np.radians(170.0))
+    d = math3d.normalize(np.asarray(light.direction, np.float32))
+    up = np.array([0, 1, 0], np.float32)
+    if abs(float(d @ up)) > 0.99:
+        up = np.array([1, 0, 0], np.float32)
+    view = math3d.look_at(pos, pos + d, up)
+    proj = math3d.perspective_vk(float(fov), 1.0, near, far)
+    return view, proj
+
+
+# cube-face axes and ups, order +X -X +Y -Y +Z -Z (the face a fragment
+# selects by its dominant |d| component and sign)
+_CUBE_FACES = [
+    (np.array([1, 0, 0], np.float32), np.array([0, 1, 0], np.float32)),
+    (np.array([-1, 0, 0], np.float32), np.array([0, 1, 0], np.float32)),
+    (np.array([0, 1, 0], np.float32), np.array([0, 0, 1], np.float32)),
+    (np.array([0, -1, 0], np.float32), np.array([0, 0, 1], np.float32)),
+    (np.array([0, 0, 1], np.float32), np.array([0, 1, 0], np.float32)),
+    (np.array([0, 0, -1], np.float32), np.array([0, 1, 0], np.float32)),
+]
+
+
+def compute_point_shadow_transforms(light, scene_box: AABB):
+    """Six perspective face fits for a point light's cube shadow —
+    BEYOND the reference (directional-only live path). Face fov is a
+    hair over 90 deg so the 3x3 PCF apron at a face edge stays on-map
+    (neighboring faces overlap the seam)."""
+    pos = np.asarray(light.position, np.float32)
+    if not scene_box.is_empty():
+        reach = float(np.linalg.norm(scene_box.corners() - pos,
+                                     axis=1).max())
+        nearest = float(np.linalg.norm(
+            np.clip(pos, scene_box.min, scene_box.max) - pos))
+    else:
+        reach = max(float(light.falloff_radius), 1.0)
+        nearest = 0.0
+    far = max(reach, 1e-2)
+    near = max(far * 0.02, nearest * 0.8, 1e-3)
+    fov = 2.0 * np.arctan(1.06)          # ~93.3 deg: PCF guard band
+    proj = math3d.perspective_vk(float(fov), 1.0, near, far)
+    return [(proj @ math3d.look_at(pos, pos + ax, up)).astype(np.float32)
+            for ax, up in _CUBE_FACES]
+
+
 def shadow_transforms_for_scene(scene, extent_unused: int = 0) -> np.ndarray:
     """[NS,4,4] proj@view per shadow map (NS >= 1; identity rows for unused
-    slots so shapes stay static)."""
+    slots so shapes stay static). Point lights own six consecutive rows
+    (cube faces)."""
+    from ..scene.lights import LightType
+
     ns = max(1, scene.n_shadow_maps)
     out = np.tile(np.eye(4, dtype=np.float32), (ns, 1, 1))
     boxes, transforms = scene.node_world_aabbs()
@@ -61,7 +131,16 @@ def shadow_transforms_for_scene(scene, extent_unused: int = 0) -> np.ndarray:
     for light in scene.lights.lights:
         if light.shadow_index is None or light.shadow_index < 0:
             continue
-        view, proj = compute_shadow_transform(light.direction, scene.camera, sbox,
-                                              boxes, transforms)
+        if light.type == LightType.POINT:
+            for f, m in enumerate(
+                    compute_point_shadow_transforms(light, sbox)):
+                out[light.shadow_index + f] = m
+            continue
+        if light.type == LightType.SPOT:
+            view, proj = compute_spot_shadow_transform(light, sbox)
+        else:
+            view, proj = compute_shadow_transform(light.direction,
+                                                  scene.camera, sbox,
+                                                  boxes, transforms)
         out[light.shadow_index] = (proj @ view).astype(np.float32)
     return out

@@ -381,7 +381,7 @@ def bake_visibility(scene, geo, shadow_maps, shadow_transforms,
         s = compute_shadow_directional(
             shadow_maps, shadow_transforms, scene["light_shadow_index"][li],
             scene["light_pos"][li], geo["pos"], geo["normal"],
-            penumbra_tiles=0)
+            penumbra_tiles=0, cube=shadow_lights[li] == 6)
         vis.append(1.0 - s)
     return jnp.stack(vis, axis=-1)
 

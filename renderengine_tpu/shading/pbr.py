@@ -277,14 +277,23 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
         shadow = jnp.zeros_like(nol)
         if shadow_maps is not None and (shadow_lights is None
                                         or shadow_lights[li]):
-            is_dir = light["light_type"] == 1
+            # directional / spot planar maps, or a point-light cube
+            # (shadow_lights[li] == 6) — both exceed the reference's
+            # directional-only live path (shadow.glsl:27). The lookup
+            # handles ortho (w == 1) and perspective (divide + cull
+            # behind the light plane) alike.
+            cube = shadow_lights is not None and shadow_lights[li] == 6
+            casts = ((light["light_type"] == 1)
+                     | (light["light_type"] == 2)
+                     | (light["light_type"] == 3)) \
+                & (light["light_shadow_index"] >= 0)
             shadow = jnp.where(
-                is_dir,
+                casts,
                 compute_shadow_directional(
                     shadow_maps, shadow_transforms,
                     light["light_shadow_index"], light["light_pos"],
                     frag_pos, n, penumbra_tiles=penumbra_tiles,
-                    stats_out=shadow_stats),
+                    stats_out=shadow_stats, cube=cube),
                 0.0,
             )
 

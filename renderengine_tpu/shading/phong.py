@@ -77,13 +77,16 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
         shadow = jnp.zeros_like(k_d)
         if shadow_maps is not None and (shadow_lights is None
                                         or shadow_lights[li]):
+            cube = shadow_lights is not None and shadow_lights[li] == 6
+            casts = scene["light_shadow_index"][li] >= 0
             shadow = jnp.where(
-                is_dir,
+                casts,
                 compute_shadow_directional(shadow_maps, shadow_transforms,
                                            scene["light_shadow_index"][li],
                                            scene["light_pos"][li], frag_pos, n,
                                            penumbra_tiles=penumbra_tiles,
-                                           stats_out=shadow_stats),
+                                           stats_out=shadow_stats,
+                                           cube=cube),
                 0.0)
 
         in_range = li < scene["n_lights"]

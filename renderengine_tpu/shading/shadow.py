@@ -139,11 +139,19 @@ def compute_shadow_directional(shadow_pack, shadow_transforms, shadow_index,
                                light_pos, frag_pos, normal,
                                penumbra_tiles: int = 0,
                                tile_h: int = 8, tile_w: int = 128,
-                               stats_out: list | None = None):
+                               stats_out: list | None = None,
+                               cube: bool = False):
     """shadow_pack: ShadowPack (see ``pack_shadow_blocks``);
     shadow_transforms [NS,4,4] (= lightProj @ lightView, the
     MaterialShadowData.transform, ``shadow.glsl:31``); shadow_index scalar;
     frag_pos/normal [H,W,3]. Returns shadow factor [H,W] (1 = shadowed).
+
+    ``cube``: point-light cube lookup (BEYOND the reference's
+    directional-only path): shadow_index is the base of six consecutive
+    face maps (+X -X +Y -Y +Z -Z); each fragment selects the face of its
+    dominant light-to-fragment axis. The face transform is applied by a
+    6-way select (dense VPU FMAs) rather than a per-pixel [4,4] matrix
+    gather; the window/coarse gathers already take per-pixel indices.
 
     ``penumbra_tiles`` > 0 enables the two-stage path: the 32-byte window
     gather runs only on the K most-penumbra-populated (tile_h, tile_w)
@@ -156,10 +164,31 @@ def compute_shadow_directional(shadow_pack, shadow_transforms, shadow_index,
     blocks = shadow_pack.blocks
     ns, na, _, _ = blocks.shape
     e = (na - 1) * 2
-    idx = jnp.clip(shadow_index, 0, ns - 1)
-    m = shadow_transforms[idx]  # [4,4]
-
-    flp = (m[None, None, :, :3] * frag_pos[:, :, None, :]).sum(-1) + m[None, None, :, 3]
+    if cube:
+        d = frag_pos - light_pos
+        dx, dy_, dz = d[..., 0], d[..., 1], d[..., 2]
+        ax, ay, az = jnp.abs(dx), jnp.abs(dy_), jnp.abs(dz)
+        face = jnp.where(
+            (ax >= ay) & (ax >= az),
+            jnp.where(dx >= 0, 0, 1),
+            jnp.where(ay >= az,
+                      jnp.where(dy_ >= 0, 2, 3),
+                      jnp.where(dz >= 0, 4, 5))).astype(jnp.int32)
+        base = jnp.clip(shadow_index, 0, jnp.maximum(ns - 6, 0))
+        m6 = jax.lax.dynamic_slice_in_dim(shadow_transforms, base, 6, 0)
+        idx = base + face                              # [H,W]
+        flp = jnp.zeros(frag_pos.shape[:-1] + (4,), frag_pos.dtype)
+        for f in range(6):
+            mf = m6[f]
+            flp_f = (mf[None, None, :, :3]
+                     * frag_pos[:, :, None, :]).sum(-1) \
+                + mf[None, None, :, 3]
+            flp = jnp.where((face == f)[..., None], flp_f, flp)
+    else:
+        idx = jnp.clip(shadow_index, 0, ns - 1)
+        m = shadow_transforms[idx]  # [4,4]
+        flp = (m[None, None, :, :3] * frag_pos[:, :, None, :]).sum(-1) \
+            + m[None, None, :, 3]
     w = flp[..., 3]
     safe_w = jnp.where(w == 0, 1.0, w)
     current = flp[..., 2] / safe_w
@@ -184,13 +213,18 @@ def compute_shadow_directional(shadow_pack, shadow_transforms, shadow_index,
     py = cy - 2 * a2y + 1                # window-local row of tap dy=-1: {0,1}
     px_ = cx - 2 * a2x + 1
 
+    # perspective (spot) maps: fragments behind the light plane (w <= 0)
+    # project nonsensically — they are never shadowed. Ortho maps have
+    # w == 1, so the guard is free for directional lights.
+    invalid = (current > 1.0) | (w <= 0.0)
+
     def dense():
         blk32 = blocks.reshape(-1, 8)[(idx * na + a2y) * na + a2x]
         return _window_pcf(blk32, threshold, u, v, py, px_, e)
 
     if not penumbra_tiles:
         shadow = dense()
-        return jnp.where(current > 1.0, 0.0, shadow)
+        return jnp.where(invalid, 0.0, shadow)
 
     # --- two-stage path ---------------------------------------------------
     c = shadow_pack.coarse.shape[1]
@@ -201,7 +235,7 @@ def compute_shadow_directional(shadow_pack, shadow_transforms, shadow_index,
     mx = (crow >> 16).astype(jnp.float32) * (1.0 / 65535.0)
 
     n_in = _n_in_range(u, v, e)
-    lit = (threshold <= mn) | (n_in == 0) | (current > 1.0)
+    lit = (threshold <= mn) | (n_in == 0) | invalid
     full_sh = threshold > mx             # every in-range tap passes
     easy_val = jnp.where(lit, 0.0, n_in * (1.0 / 9.0))
     penumbra = ~(lit | full_sh)
@@ -231,13 +265,14 @@ def compute_shadow_directional(shadow_pack, shadow_transforms, shadow_index,
     us = gather_img(u)
     vs = gather_img(v, fill=-10.0)       # padded px: off-map => factor 0
     ts = gather_img(threshold)
+    idxs = gather_img(idx) if cube else idx   # per-pixel faces compact too
     ixs = jnp.floor(us).astype(jnp.int32)
     iys = jnp.floor(vs).astype(jnp.int32)
     cys = jnp.clip(iys, -1, e)
     cxs = jnp.clip(ixs, -1, e)
     a2ys = (cys + 1) >> 1
     a2xs = (cxs + 1) >> 1
-    blk32 = blocks.reshape(-1, 8)[(idx * na + a2ys) * na + a2xs]
+    blk32 = blocks.reshape(-1, 8)[(idxs * na + a2ys) * na + a2xs]
     full_sub = _window_pcf(blk32, ts, us, vs,
                            cys - 2 * a2ys + 1, cxs - 2 * a2xs + 1, e)
 
