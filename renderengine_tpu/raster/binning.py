@@ -66,20 +66,33 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
     # jnp.searchsorted — its default 'scan' method is a sequential binary
     # search costing ~80ms/Mquery on TPU; a scatter of segment heads + a
     # cummax fill is a handful of fast passes instead.
-    tri = _segment_ids_from_offsets(offsets, span, max_pairs)
-    # per-slot triangle data: c0 = offset<<8 | nx is MONOTONIC across
-    # segment heads (offsets strictly increase by span >= 1, so the <<8
-    # jump dominates the |nx bits), so it forward-fills with the same
-    # scatter+cummax as ``tri`` — no gather at all; only the (arbitrary-
-    # valued) tile rowbase needs a per-slot gather, and gathers price per
-    # index, so ONE narrow channel instead of a packed pair.
+    t_tris = offsets.shape[0]
+    tri_bits = max(1, int(t_tris - 1).bit_length())
     rowbase = ty0 * ntx + tx0
+    # per-slot triangle data rides head-fills (scatter at segment heads +
+    # cummax — per-pair gathers price ~10 ns/index, so every channel that
+    # can forward-fill instead of gather saves real ms at 600k budgets):
+    #  - tri ids fill directly (strictly increasing across heads);
+    #  - c0 = offset<<8 | nx is monotonic (the <<8 jump dominates);
+    #  - (tri << ceil(log2 n_tiles)) | rowbase is monotonic because tri
+    #    strictly increases across non-empty heads — recovering rowbase
+    #    WITHOUT the [P] gather whenever the bit budget fits u32.
+    tile_bits = max(1, int(n_tiles - 1).bit_length())
     if ntx <= 255 and max_pairs < (1 << 23) and n_tiles < (1 << 23):
         c0 = _fill_from_heads((offsets << 8) | nx, offsets, span, max_pairs)
         off_s = c0 >> 8
         nxv = c0 & 255
-        base_s = rowbase[tri]                                     # [P]
+        if tri_bits + tile_bits <= 32:
+            tb = _fill_from_heads(
+                (jnp.arange(t_tris, dtype=jnp.uint32) << tile_bits)
+                | rowbase.astype(jnp.uint32), offsets, span, max_pairs)
+            tri = (tb >> tile_bits).astype(jnp.int32)
+            base_s = (tb & ((1 << tile_bits) - 1)).astype(jnp.int32)
+        else:
+            tri = _segment_ids_from_offsets(offsets, span, max_pairs)
+            base_s = rowbase[tri]                                 # [P]
     else:
+        tri = _segment_ids_from_offsets(offsets, span, max_pairs)
         bin_rows = jnp.stack([offsets, nx, rowbase], axis=-1)
         row = bin_rows[tri]
         off_s = row[..., 0]
@@ -98,18 +111,18 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
     # sort network instead of a key+payload pair (~half the sorted bytes;
     # the tri id rides the low bits, so ascending-id-within-tile comes
     # from key order instead of sort stability). 1080p: 16201 tiles << 18
-    # id bits = 4.25e9 < 2^32 — the u32 gate matters.
-    t_tris = offsets.shape[0]
-    tbits = max(1, int(t_tris - 1).bit_length())
-    if ((n_tiles + 1) << tbits <= (1 << 32)) and not _FORCE_VARIADIC_SORT:
-        ck = ((key.astype(jnp.uint32) << tbits)
+    # id bits = 4.25e9 < 2^32 — the u32 gate matters. Edges use the
+    # 'scan_unrolled' binary search — measured 2x the default 'scan'
+    # (3.7 vs 7.4 ms at a 582k table / 16k queries).
+    if ((n_tiles + 1) << tri_bits <= (1 << 32)) and not _FORCE_VARIADIC_SORT:
+        ck = ((key.astype(jnp.uint32) << tri_bits)
               | tri.astype(jnp.uint32))
         sck = jax.lax.sort(ck, dimension=0, is_stable=False)  # keys unique
-        sorted_tri = (sck & ((1 << tbits) - 1)).astype(jnp.int32)
-        sorted_key = (sck >> tbits).astype(jnp.int32)
+        sorted_tri = (sck & ((1 << tri_bits) - 1)).astype(jnp.int32)
+        sorted_key = (sck >> tri_bits).astype(jnp.int32)
         edges = jnp.searchsorted(
-            sck, (jnp.arange(n_tiles + 1, dtype=jnp.uint32) << tbits),
-            side="left").astype(jnp.int32)
+            sck, (jnp.arange(n_tiles + 1, dtype=jnp.uint32) << tri_bits),
+            side="left", method="scan_unrolled").astype(jnp.int32)
     else:
         sorted_key, sorted_tri = jax.lax.sort((key, tri), dimension=0,
                                               num_keys=1, is_stable=True)
@@ -119,7 +132,8 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
         # of scatters at a 789k budget vs ~1 ms here)
         edges = jnp.searchsorted(sorted_key,
                                  jnp.arange(n_tiles + 1, dtype=jnp.int32),
-                                 side="left").astype(jnp.int32)
+                                 side="left",
+                                 method="scan_unrolled").astype(jnp.int32)
     starts = edges[:-1]
     counts = edges[1:] - starts
     # empty tiles: make starts well-defined (their count is 0 anyway)

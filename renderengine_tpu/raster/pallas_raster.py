@@ -108,9 +108,13 @@ def attribute_planes(setup: TriSetup, vo=None, tri_vidx=None,
     return planes.reshape(planes.shape[0], 3 * N_ATTRS)
 
 
+_NFB = 8                  # first-chunk DMA ring depth (per-tile lookahead)
+_NCB = 2                  # continuation-chunk double buffer (within a tile)
+
+
 def _raster_kernel(
     # scalar prefetch
-    tile_map_ref, starts_ref, counts_ref, phase_ref, y0_ref,
+    tile_map_ref, starts_ref, counts_ref, y0_ref,
     # inputs (HBM + optional VMEM bounds block)
     pair_data_hbm, *rest,
     tile_h: int, tile_w: int, width: int, full_height: int, ntx: int,
@@ -131,22 +135,34 @@ def _raster_kernel(
     sub = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)     # (8,1)
     shape = (GROUP, tile_h * tile_w)
 
-    # each program owns ``nt`` consecutive tile SLOTS (grid-iteration and
-    # block-DMA overhead is ~0.5 us/program — measured 26 of 30 ms at a
-    # 16200-tile 1080p grid — so it is amortized over nt tiles). Slot s's
-    # tile comes from the scalar-prefetched map (identity+clamp on dense
-    # grids, top-k covered tiles on sparse peels).
+    # Each program owns ``nt`` consecutive tile SLOTS (grid-iteration and
+    # block-DMA overhead is ~0.5 us/program; amortized over nt tiles).
+    # Slot s's tile comes from the scalar-prefetched map (identity+clamp
+    # on dense grids, top-k covered tiles on sparse peels).
+    #
+    # DMA pipelining: slot s's FIRST chunk lands in ring buffer s % _NFB,
+    # issued _NFB tiles ahead (tile s-_NFB issues it at its end, so ~8
+    # copies are always in flight — a 1-deep lookahead left ~0.5 us/tile
+    # of DMA-latency stall at typical 35-pair bins). Continuation chunks
+    # (step >= 1, rare) double-buffer in slots _NFB + (step-1) % _NCB,
+    # issued one step ahead within the tile; buffer lifetimes never cross
+    # a tile boundary, so the two rings are independent and no phase
+    # bookkeeping is needed.
     def slot_first_dma(s):
-        """DMA of slot s's first chunk (cross-slot software pipelining:
-        slot s-1 starts it so most single-chunk tiles never stall; the
-        phase array, precomputed host-side, is the global chunk-counter
-        parity at s's first chunk so producer and consumer agree)."""
+        """DMA of slot s's first chunk into ring slot s % _NFB."""
         t_ = tile_map_ref[s]
         st = starts_ref[t_]
         b0 = (st // GROUP) * GROUP
         return pltpu.make_async_copy(
             pair_data_hbm.at[pl.ds(b0 // ppr, chunk // ppr), :],
-            data_buf.at[phase_ref[s]], sems.at[phase_ref[s]])
+            data_buf.at[s % _NFB], sems.at[s % _NFB])
+
+    def issue_first(s):
+        """Guarded issue of slot s's first chunk (skip empty tiles)."""
+        @pl.when((s < n_slots) & (counts_ref[tile_map_ref[
+            jnp.minimum(s, n_slots - 1)]] > 0))
+        def _():
+            slot_first_dma(jnp.minimum(s, n_slots - 1)).start()
 
     for j in range(nt):
         s = pid * nt + j
@@ -157,7 +173,6 @@ def _raster_kernel(
         span_end = start + count
         n_steps = jnp.where(count > 0,
                             (span_end - base0 + chunk - 1) // chunk, 0)
-        phase = phase_ref[s]
 
         org_x = (tile % ntx) * tile_w
         org_y = (tile // ntx) * tile_h + y0_ref[0]
@@ -168,43 +183,39 @@ def _raster_kernel(
             prev_d = bounds_ref[0, j, 0, :].reshape(1, -1)  # nearest peel
             zmax = bounds_ref[0, j, 1, :].reshape(1, -1)    # opaque bound
 
-        def dma(slot, step, base0=base0):
+        def buf_of(step, s=s):
+            # step 0 -> first-chunk ring; steps >= 1 -> continuation pair
+            return jnp.where(step == 0, s % _NFB,
+                             _NFB + (step - 1) % _NCB)
+
+        def dma(step, base0=base0, buf_of=buf_of):
             off = (base0 + step * chunk) // ppr   # slab offset in ROWS
+            b = buf_of(step)
             return pltpu.make_async_copy(
                 pair_data_hbm.at[pl.ds(off, chunk // ppr), :],
-                data_buf.at[slot], sems.at[slot])
-
-        nxt = jnp.minimum(s + 1, n_slots - 1)
-        nxt_count = counts_ref[tile_map_ref[nxt]]
-
-        def prefetch_next(s=s, nxt=nxt, nxt_count=nxt_count):
-            @pl.when((s + 1 < n_slots) & (nxt_count > 0))
-            def _():
-                slot_first_dma(nxt).start()
+                data_buf.at[b], sems.at[b])
 
         if j == 0:
-            @pl.when((pid == 0) & (n_steps > 0))
-            def _(phase=phase, dma=dma):
-                dma(phase, 0).start()         # bootstrap: no predecessor
+            # bootstrap the ring: the first program fills the whole
+            # lookahead window (later programs inherit it from their
+            # predecessors — grid iterations run in order on one core)
+            @pl.when(pid == 0)
+            def _():
+                for i in range(_NFB):
+                    issue_first(jnp.int32(i))
 
-        # single-chunk (or empty) tiles: the other slot is free the whole
-        # tile, so the successor's copy can launch before our own wait
-        @pl.when(n_steps <= 1)
-        def _():
-            prefetch_next()
-
-        def chunk_body(step, carry, phase=phase, dma=dma, base0=base0,
+        def chunk_body(step, carry, dma=dma, buf_of=buf_of, base0=base0,
                        n_steps=n_steps, span_end=span_end, start=start,
                        px=px, py=py,
                        prev_d=prev_d if peel else None,
                        zmax=zmax if peel else None):
-            slot = (phase + step) % 2
+            slot = buf_of(step)
 
             @pl.when(step + 1 < n_steps)
             def _():
-                dma((phase + step + 1) % 2, step + 1).start()
+                dma(step + 1).start()
 
-            dma(slot, step).wait()
+            dma(step).wait()
 
             cbase = base0 + step * chunk
             # one group-step reads GROUP rows = GROUP * ppr pairs: sublane
@@ -269,9 +280,9 @@ def _raster_kernel(
                  z0, z0, z0) + tuple(z0 for _ in range(n_attrs)))
         out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
 
-        @pl.when(n_steps > 1)
-        def _():
-            prefetch_next()                   # both slots idle again
+        # our first-chunk ring buffer (s % _NFB) is free again: hand it to
+        # slot s + _NFB (keeps ~_NFB first-chunk copies in flight)
+        issue_first(s + _NFB)
 
         # fold the 8 per-sublane candidates: min depth, then lowest pair
         # index among equal depths (exact f32 equality — same rounded)
@@ -280,17 +291,17 @@ def _raster_kernel(
         meq = dc == dwin
         idwin = jnp.min(jnp.where(meq, idc, _BIG_ID), axis=0, keepdims=True)
         m2 = (meq & (idc == idwin)).astype(jnp.float32)  # <= 1 sublane set
-        # one combined output block per PROGRAM. The m2 sums are exact:
-        # at most one nonzero term.
-        out_ref[0, j, 0, :] = dwin[0]
-        # no winner (idwin == _BIG_ID) must read tri -1, not the zero sum
-        out_ref[0, j, 1, :] = jnp.where(idwin[0] == _BIG_ID, -1.0,
-                                        jnp.sum(out[2] * m2, axis=0))
-        out_ref[0, j, 2, :] = jnp.sum(out[3] * m2, axis=0)
-        out_ref[0, j, 3, :] = jnp.sum(out[4] * m2, axis=0)
-        out_ref[0, j, 4, :] = jnp.sum(out[5] * m2, axis=0)
-        for a in range(n_attrs):
-            out_ref[0, j, 5 + a, :] = jnp.sum(out[6 + a] * m2, axis=0)
+        # ONE (n_planes, 128) store per tile instead of n_planes separate
+        # (1,128) stores (per-store overhead was a measurable slice of the
+        # ~0.5 us/tile serial cost). The m2 sums are exact: at most one
+        # nonzero term.
+        planes = [dwin,
+                  # no winner (idwin == _BIG_ID) reads tri -1, not zero
+                  jnp.where(idwin == _BIG_ID, -1.0,
+                            jnp.sum(out[2] * m2, axis=0, keepdims=True))]
+        for src in out[3:]:
+            planes.append(jnp.sum(src * m2, axis=0, keepdims=True))
+        out_ref[0, j] = jnp.concatenate(planes, axis=0)
 
 
 def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
@@ -485,14 +496,6 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     if n_slots > n_sel:   # pad slots repeat the last selected tile
         tile_map = jnp.concatenate(
             [tile_map, jnp.broadcast_to(tile_map[-1:], (n_slots - n_sel,))])
-    # per-SLOT DMA buffer parity for the cross-slot pipeline
-    starts_m = bins.starts[tile_map]
-    counts_m = bins.counts[tile_map]
-    base0 = (starts_m // GROUP) * GROUP
-    steps = jnp.where(counts_m > 0,
-                      (starts_m + counts_m - base0 + chunk - 1) // chunk,
-                      0)
-    phase = ((jnp.cumsum(steps) - steps) % 2).astype(jnp.int32)
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if peel:
         # per-slot peel bounds, pre-arranged in slot order ([G, NT, 2, npx])
@@ -509,17 +512,18 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         jax.ShapeDtypeStruct((grid_n, nt, n_planes, npx), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(grid_n,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, chunk // (128 // cpp), 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_NFB + _NCB, chunk // (128 // cpp), 128),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((_NFB + _NCB,)),
         ],
     )
     y0_arr = jnp.asarray(y0, jnp.int32).reshape(1)
-    args = [tile_map, bins.starts, bins.counts, phase, y0_arr, pair_data]
+    args = [tile_map, bins.starts, bins.counts, y0_arr, pair_data]
     if peel:
         tb = _tile_bounds(peel_bounds, height, width, tile_h, tile_w,
                           nty, ntx)

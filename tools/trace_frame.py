@@ -60,6 +60,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--texture-space", action="store_true")
     ap.add_argument("--preshaded", action="store_true")
+    ap.add_argument("--preshaded-blend", action="store_true",
+                    help="the headline default: pre-shaded translucent "
+                    "peels, full-res opaque albedo")
     ap.add_argument("--density", type=float, default=0.5)
     ap.add_argument("--chart-budget", type=int, default=2_000_000)
     ap.add_argument("--frames", type=int, default=3)
@@ -81,8 +84,10 @@ def main():
                                     target_tris=260_000)
     cfg = RenderConfig(width=w, height=h, shadow_extent=args.shadow_extent,
                        debug_views=False,
-                       texture_space=args.texture_space or args.preshaded,
+                       texture_space=(args.texture_space or args.preshaded
+                                      or args.preshaded_blend),
                        tss_preshaded=args.preshaded,
+                       tss_preshaded_blend=args.preshaded_blend,
                        chart_density=args.density,
                        chart_budget=args.chart_budget)
     r = FrameRenderer(scene, cfg, backend="pallas")
