@@ -228,9 +228,9 @@ def _raster_kernel(
                 cg = data_buf[slot, pl.ds(GROUP * g, GROUP), :]   # (8, 128)
                 for k in range(ppr):
                     c0 = k * cpp
-                    dmin, idmin, trif, matf, b0c, b1c = (cr[0], cr[1], cr[2],
-                                                         cr[3], cr[4], cr[5])
-                    attrs_c = list(cr[6:])
+                    dmin, idmin, trif, matf, esum_c = (cr[0], cr[1], cr[2],
+                                                       cr[3], cr[4])
+                    num_c = list(cr[5:])      # bary/attr NUMERATORS
                     idx = cbase + (GROUP * g + sub) * ppr + k  # (8,1) ids
 
                     e0 = cg[:, c0+0:c0+1] * px + cg[:, c0+1:c0+2] * py + cg[:, c0+2:c0+3]
@@ -258,26 +258,35 @@ def _raster_kernel(
                     # tri/mat ids ride as exact integer-valued floats
                     trif = jnp.where(take, cg[:, c0+TRI_COL:c0+TRI_COL+1], trif)
                     matf = jnp.where(take, cg[:, c0+MAT_COL:c0+MAT_COL+1], matf)
-                    esum = e0 + e1 + e2
-                    inv = 1.0 / jnp.where(esum == 0, 1.0, esum)
-                    # winner barycentrics (perspective-correct lambdas)
-                    b0c = jnp.where(take, e0 * inv, b0c)
-                    b1c = jnp.where(take, e1 * inv, b1c)
+                    # rational attributes: carry the winner's NUMERATORS
+                    # and edge sum; the single 1/esum divide happens at
+                    # tile end (same product = bit-identical results,
+                    # ~10 fewer instructions per 8-pair group step)
+                    esum_c = jnp.where(take, e0 + e1 + e2, esum_c)
+                    ni = 0
+                    if not interp:
+                        # bary numerators (only consumed when the resolve
+                        # stage runs, i.e. no in-kernel attrs)
+                        num_c[0] = jnp.where(take, e0, num_c[0])
+                        num_c[1] = jnp.where(take, e1, num_c[1])
+                        ni = 2
                     for a in range(n_attrs):
                         a0 = c0 + ATTR0 + 3 * a
                         num = (cg[:, a0:a0+1] * px + cg[:, a0+1:a0+2] * py
                                + cg[:, a0+2:a0+3])
-                        attrs_c[a] = jnp.where(take, num * inv, attrs_c[a])
-                    cr = (dmin, idmin, trif, matf, b0c, b1c, *attrs_c)
+                        num_c[ni + a] = jnp.where(take, num, num_c[ni + a])
+                    cr = (dmin, idmin, trif, matf, esum_c, *num_c)
                 return cr
 
             return jax.lax.fori_loop(0, n_groups, group_body, carry)
 
+        interp = n_attrs > 0
+        n_num = n_attrs if interp else 2
         dmin0 = jnp.ones(shape, jnp.float32)
         idmin0 = jnp.full(shape, _BIG_ID, jnp.int32)
         z0 = jnp.zeros(shape, jnp.float32)
         init = ((dmin0, idmin0, jnp.full(shape, -1.0, jnp.float32),
-                 z0, z0, z0) + tuple(z0 for _ in range(n_attrs)))
+                 z0, z0) + tuple(z0 for _ in range(n_num)))
         out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
 
         # our first-chunk ring buffer (s % _NFB) is free again: hand it to
@@ -294,13 +303,17 @@ def _raster_kernel(
         # ONE (n_planes, 128) store per tile instead of n_planes separate
         # (1,128) stores (per-store overhead was a measurable slice of the
         # ~0.5 us/tile serial cost). The m2 sums are exact: at most one
-        # nonzero term.
+        # nonzero term. The deferred rational divide lands here: one
+        # reciprocal per tile instead of one per group step.
+        esum_w = jnp.sum(out[4] * m2, axis=0, keepdims=True)
+        inv_w = 1.0 / jnp.where(esum_w == 0, 1.0, esum_w)
         planes = [dwin,
                   # no winner (idwin == _BIG_ID) reads tri -1, not zero
                   jnp.where(idwin == _BIG_ID, -1.0,
-                            jnp.sum(out[2] * m2, axis=0, keepdims=True))]
-        for src in out[3:]:
-            planes.append(jnp.sum(src * m2, axis=0, keepdims=True))
+                            jnp.sum(out[2] * m2, axis=0, keepdims=True)),
+                  jnp.sum(out[3] * m2, axis=0, keepdims=True)]
+        for src in out[5:]:
+            planes.append(jnp.sum(src * m2, axis=0, keepdims=True) * inv_w)
         out_ref[0, j] = jnp.concatenate(planes, axis=0)
 
 
@@ -503,7 +516,8 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         in_specs.append(pl.BlockSpec(
             (1, nt, 2, npx), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM))
-    n_planes = 5 + n_attrs
+    # plane layout: depth | tri | mat | attrs (interp) or bary2 (resolve)
+    n_planes = 3 + (n_attrs if interp else 2)
     out_specs = [
         pl.BlockSpec((1, nt, n_planes, npx), lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -551,7 +565,6 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
     depth = blk[:, 0]
     tri_fp = blk[:, 1]
     mat_fp = blk[:, 2]
-    bary = blk[:, 3:5]
 
     def untile(a):
         a = a.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
@@ -564,10 +577,13 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         mat_id = jnp.where(tri_id >= 0, untile(mat_fp).astype(jnp.int32), 0)
     else:
         mat_id = None
-    b0 = untile(bary[:, 0])
-    b1 = untile(bary[:, 1])
-    g = GBuffer(untile(depth), tri_id, jnp.stack([b0, b1], axis=-1), mat_id)
     if not interp:
-        return g
-    attrs = jnp.stack([untile(blk[:, 5 + a]) for a in range(n_attrs)], axis=-1)
+        # bary planes exist only on the resolve path (in-kernel attrs
+        # make them dead weight: every consumer reads attrs instead)
+        b0 = untile(blk[:, 3])
+        b1 = untile(blk[:, 4])
+        return GBuffer(untile(depth), tri_id,
+                       jnp.stack([b0, b1], axis=-1), mat_id)
+    g = GBuffer(untile(depth), tri_id, None, mat_id)
+    attrs = jnp.stack([untile(blk[:, 3 + a]) for a in range(n_attrs)], axis=-1)
     return g, attrs
