@@ -76,7 +76,7 @@ def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
               tri_offset: int = 0, y0=0, full_height: int | None = None,
               peel_bounds=None, attr_planes=None, tri_mat=None,
               prepared=None, max_pairs: int | None = None,
-              active_tiles: int | None = None):
+              active_tiles: int | None = None, peel_layers: int = 1):
     """Raster backend dispatch — decided at trace time (one compiled
     executable per backend, like pipelines per GraphicsPipelineInfo).
     ``y0``/``full_height`` render a row slice of a taller virtual viewport
@@ -94,7 +94,10 @@ def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
                                interpret=rc.pallas_interpret,
                                peel_bounds=peel_bounds,
                                attr_planes=attr_planes, tri_mat=tri_mat,
-                               prepared=prepared, active_tiles=active_tiles)
+                               prepared=prepared, active_tiles=active_tiles,
+                               peel_layers=peel_layers)
+        if peel_layers == 2:
+            return out                    # [(g, attrs), (g, attrs)]
         return out if attr_planes is not None else (out, None)
     if backend == "tiled":
         return rasterize_tiled(setup, height, width, rc.tile_h, rc.tile_w,
@@ -667,16 +670,37 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             # static budget would render empty
             blend_overflow = blend_overflow + jnp.maximum(
                 (prep_t.bins.counts > 0).sum() - active, 0)
-        for li in range(config.translucency_layers):
+        # pallas: successive peel layers raster PAIRWISE in one launch
+        # (the dual two-min kernel) — each launch pays the full per-tile
+        # walk + DMA sweep, so halving launches halves that fixed cost
+        raster_layers = []
+        li = 0
+        while li < config.translucency_layers:
+            if backend == "pallas" and li + 1 < config.translucency_layers:
+                pair = rasterize(setup_ts, slice_h, w, config.raster,
+                                 backend, peel_bounds=(prev, depth_eff),
+                                 attr_planes=ap_t, prepared=prep_t,
+                                 y0=y0, full_height=fh,
+                                 max_pairs=blend_budget,
+                                 active_tiles=active, peel_layers=2)
+                raster_layers.extend(pair)
+                g_last = pair[1][0]
+                li += 2
+            else:
+                g_a = rasterize(setup_ts, slice_h, w, config.raster,
+                                backend, peel_bounds=(prev, depth_eff),
+                                attr_planes=ap_t, prepared=prep_t,
+                                y0=y0, full_height=fh,
+                                max_pairs=blend_budget,
+                                active_tiles=active)
+                raster_layers.append(g_a)
+                g_last = g_a[0]
+                li += 1
+            prev = jnp.where(g_last.tri_id >= 0, g_last.depth, 2.0)
+        for li, (gt, attrs_t) in enumerate(raster_layers):
             budget = (layer_budgets[li] if li < len(layer_budgets)
                       else shared_budget)
             budget = max(1, min(int(budget), n_tiles))
-            gt, attrs_t = rasterize(setup_ts, slice_h, w, config.raster,
-                                    backend, peel_bounds=(prev, depth_eff),
-                                    attr_planes=ap_t, prepared=prep_t,
-                                    y0=y0, full_height=fh,
-                                    max_pairs=blend_budget,
-                                    active_tiles=active)
             covered_t = gt.tri_id >= 0
             sp_in = {"covered": covered_t, "tri_id": gt.tri_id}
             if gt.mat_id is not None:
@@ -713,7 +737,6 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                     blend_overflow = blend_overflow + jnp.maximum(
                         n_cov - budget, 0)
             layers.append((covered_t, rgba_t))
-            prev = jnp.where(covered_t, gt.depth, 2.0)
         for covered_t, rgba_t in reversed(layers):
             a = jnp.clip(rgba_t[..., 3], 0.0, 1.0) * covered_t
             rgb = rgb * (1.0 - a[..., None]) + rgba_t[..., :3] * a[..., None]

@@ -119,7 +119,7 @@ def _raster_kernel(
     pair_data_hbm, *rest,
     tile_h: int, tile_w: int, width: int, full_height: int, ntx: int,
     n_slots: int, chunk: int, peel: bool, n_attrs: int, cpp: int,
-    nt: int,
+    nt: int, dual: bool = False,
 ):
     ppr = 128 // cpp                          # pairs per 128-lane row
     rest = list(rest)
@@ -230,7 +230,10 @@ def _raster_kernel(
                     c0 = k * cpp
                     dmin, idmin, trif, matf, esum_c = (cr[0], cr[1], cr[2],
                                                        cr[3], cr[4])
-                    num_c = list(cr[5:])      # bary/attr NUMERATORS
+                    num_c = list(cr[5:5 + n_num])  # bary/attr NUMERATORS
+                    if dual:
+                        (d2, id2, tri2, mat2, es2) = cr[5 + n_num:10 + n_num]
+                        num2 = list(cr[10 + n_num:])
                     idx = cbase + (GROUP * g + sub) * ppr + k  # (8,1) ids
 
                     e0 = cg[:, c0+0:c0+1] * px + cg[:, c0+1:c0+2] * py + cg[:, c0+2:c0+3]
@@ -248,6 +251,22 @@ def _raster_kernel(
                     if peel:
                         cover = cover & (d > prev_d) & (d <= zmax)
                     take = cover & (d < dmin)
+                    if dual:
+                        # two-layer depth peel in ONE pass over the pairs:
+                        # slot 1 tracks the nearest fragment, slot 2 the
+                        # nearest STRICTLY behind slot 1 (equal depths are
+                        # excluded, matching the two-pass d > prev rule);
+                        # a new slot-1 winner demotes the old one.
+                        take2 = cover & (d > dmin) & (d < d2)
+                        d2 = jnp.where(take, dmin, jnp.where(take2, d, d2))
+                        id2 = jnp.where(take, idmin,
+                                        jnp.where(take2,
+                                                  jnp.broadcast_to(idx, shape),
+                                                  id2))
+                        tri2 = jnp.where(take, trif,
+                                         jnp.where(take2, cg[:, c0+TRI_COL:c0+TRI_COL+1], tri2))
+                        mat2 = jnp.where(take, matf,
+                                         jnp.where(take2, cg[:, c0+MAT_COL:c0+MAT_COL+1], mat2))
                     dmin = jnp.where(take, d, dmin)
                     # record the PAIR index; within a sublane's (g, k)
                     # sequence ids ascend (stable sort; k is the inner
@@ -262,20 +281,32 @@ def _raster_kernel(
                     # and edge sum; the single 1/esum divide happens at
                     # tile end (same product = bit-identical results,
                     # ~10 fewer instructions per 8-pair group step)
-                    esum_c = jnp.where(take, e0 + e1 + e2, esum_c)
+                    esum = e0 + e1 + e2
+                    if dual:
+                        es2 = jnp.where(take, esum_c,
+                                        jnp.where(take2, esum, es2))
+                    esum_c = jnp.where(take, esum, esum_c)
+                    nums = []
                     ni = 0
                     if not interp:
                         # bary numerators (only consumed when the resolve
                         # stage runs, i.e. no in-kernel attrs)
-                        num_c[0] = jnp.where(take, e0, num_c[0])
-                        num_c[1] = jnp.where(take, e1, num_c[1])
+                        nums = [e0, e1]
                         ni = 2
                     for a in range(n_attrs):
                         a0 = c0 + ATTR0 + 3 * a
-                        num = (cg[:, a0:a0+1] * px + cg[:, a0+1:a0+2] * py
-                               + cg[:, a0+2:a0+3])
-                        num_c[ni + a] = jnp.where(take, num, num_c[ni + a])
+                        nums.append(cg[:, a0:a0+1] * px
+                                    + cg[:, a0+1:a0+2] * py
+                                    + cg[:, a0+2:a0+3])
+                    if dual:
+                        for i, nv in enumerate(nums):
+                            num2[i] = jnp.where(take, num_c[i],
+                                                jnp.where(take2, nv, num2[i]))
+                    for i, nv in enumerate(nums):
+                        num_c[i] = jnp.where(take, nv, num_c[i])
                     cr = (dmin, idmin, trif, matf, esum_c, *num_c)
+                    if dual:
+                        cr = cr + (d2, id2, tri2, mat2, es2, *num2)
                 return cr
 
             return jax.lax.fori_loop(0, n_groups, group_body, carry)
@@ -285,35 +316,74 @@ def _raster_kernel(
         dmin0 = jnp.ones(shape, jnp.float32)
         idmin0 = jnp.full(shape, _BIG_ID, jnp.int32)
         z0 = jnp.zeros(shape, jnp.float32)
-        init = ((dmin0, idmin0, jnp.full(shape, -1.0, jnp.float32),
-                 z0, z0) + tuple(z0 for _ in range(n_num)))
+        slot_init = ((dmin0, idmin0, jnp.full(shape, -1.0, jnp.float32),
+                      z0, z0) + tuple(z0 for _ in range(n_num)))
+        init = slot_init + slot_init if dual else slot_init
         out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
 
         # our first-chunk ring buffer (s % _NFB) is free again: hand it to
         # slot s + _NFB (keeps ~_NFB first-chunk copies in flight)
         issue_first(s + _NFB)
 
-        # fold the 8 per-sublane candidates: min depth, then lowest pair
-        # index among equal depths (exact f32 equality — same rounded)
-        dc, idc = out[0], out[1]
-        dwin = jnp.min(dc, axis=0, keepdims=True)                 # (1,128)
-        meq = dc == dwin
-        idwin = jnp.min(jnp.where(meq, idc, _BIG_ID), axis=0, keepdims=True)
-        m2 = (meq & (idc == idwin)).astype(jnp.float32)  # <= 1 sublane set
+        def fold(dc, idc, trid, matd, esumd, numsd, cand_gt=None):
+            """Fold the 8 per-sublane candidates: min depth, then lowest
+            pair index among equal depths (exact f32 equality — same
+            rounded). ``cand_gt``: for the dual second layer, only depths
+            STRICTLY greater than the layer-1 winner are candidates."""
+            if cand_gt is not None:
+                dc = [jnp.where(c > cand_gt, c, 2.0) for c in dc]
+            dwin = jnp.min(dc[0], axis=0, keepdims=True)          # (1,128)
+            for c in dc[1:]:
+                dwin = jnp.minimum(dwin, jnp.min(c, axis=0, keepdims=True))
+            idwin = jnp.full((1, shape[1]), _BIG_ID, jnp.int32)
+            meqs = []
+            for c, ic in zip(dc, idc):
+                meq = c == dwin
+                meqs.append(meq)
+                idwin = jnp.minimum(
+                    idwin, jnp.min(jnp.where(meq, ic, _BIG_ID),
+                                   axis=0, keepdims=True))
+            planes = [None, None, None]
+            esum_w = jnp.zeros((1, shape[1]), jnp.float32)
+            tri_w = jnp.zeros((1, shape[1]), jnp.float32)
+            mat_w = jnp.zeros((1, shape[1]), jnp.float32)
+            nums_w = [jnp.zeros((1, shape[1]), jnp.float32)
+                      for _ in range(n_num)]
+            for meq, ic, tr, ma, es, nu in zip(meqs, idc, trid, matd,
+                                               esumd, numsd):
+                m2 = (meq & (ic == idwin)).astype(jnp.float32)
+                tri_w = tri_w + jnp.sum(tr * m2, axis=0, keepdims=True)
+                mat_w = mat_w + jnp.sum(ma * m2, axis=0, keepdims=True)
+                esum_w = esum_w + jnp.sum(es * m2, axis=0, keepdims=True)
+                for i, nv in enumerate(nu):
+                    nums_w[i] = nums_w[i] + jnp.sum(nv * m2, axis=0,
+                                                    keepdims=True)
+            inv_w = 1.0 / jnp.where(esum_w == 0, 1.0, esum_w)
+            none_ = idwin == _BIG_ID
+            planes[0] = jnp.where(none_, 1.0, dwin) if cand_gt is not None \
+                else dwin
+            planes[1] = jnp.where(none_, -1.0, tri_w)
+            planes[2] = mat_w
+            return planes + [nv * inv_w for nv in nums_w], dwin
+
         # ONE (n_planes, 128) store per tile instead of n_planes separate
         # (1,128) stores (per-store overhead was a measurable slice of the
-        # ~0.5 us/tile serial cost). The m2 sums are exact: at most one
+        # ~0.28 us/tile serial cost). The m2 sums are exact: at most one
         # nonzero term. The deferred rational divide lands here: one
         # reciprocal per tile instead of one per group step.
-        esum_w = jnp.sum(out[4] * m2, axis=0, keepdims=True)
-        inv_w = 1.0 / jnp.where(esum_w == 0, 1.0, esum_w)
-        planes = [dwin,
-                  # no winner (idwin == _BIG_ID) reads tri -1, not zero
-                  jnp.where(idwin == _BIG_ID, -1.0,
-                            jnp.sum(out[2] * m2, axis=0, keepdims=True)),
-                  jnp.sum(out[3] * m2, axis=0, keepdims=True)]
-        for src in out[5:]:
-            planes.append(jnp.sum(src * m2, axis=0, keepdims=True) * inv_w)
+        o1 = out[:5 + n_num]
+        planes, dwin1 = fold([o1[0]], [o1[1]], [o1[2]], [o1[3]], [o1[4]],
+                             [list(o1[5:])])
+        if dual:
+            o2 = out[5 + n_num:]
+            # layer-2 candidates: each sublane's demoted second-best AND
+            # the sublane layer-1 losers strictly behind the global winner
+            planes2, _ = fold([o1[0], o2[0]], [o1[1], o2[1]],
+                              [o1[2], o2[2]], [o1[3], o2[3]],
+                              [o1[4], o2[4]],
+                              [list(o1[5:]), list(o2[5:])],
+                              cand_gt=dwin1)
+            planes = planes + planes2
         out_ref[0, j] = jnp.concatenate(planes, axis=0)
 
 
@@ -430,7 +500,8 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
                      y0=0, full_height: int | None = None,
                      peel_bounds=None, attr_planes=None, tri_mat=None,
                      prepared: PreparedPairs | None = None,
-                     active_tiles: int | None = None):
+                     active_tiles: int | None = None,
+                     peel_layers: int = 1):
     """Bin + pack + Pallas raster. Same G-buffer as ``rasterize_tiled``/
     ``rasterize_reference`` (asserted in tests). ``tile_h * tile_w`` must be
     128 (one vreg of lanes); ``chunk`` is the DMA slab in pairs (multiple
@@ -455,6 +526,12 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
 
     ``prepared``: a ``prepare_pallas_pairs`` result to reuse (skips binning
     and packing; ``max_pairs``/``tri_offset``/``tri_mat`` are then ignored).
+
+    ``peel_layers=2`` (requires ``peel_bounds``) extracts the TWO nearest
+    depth layers in ONE pass over the pairs (the in-kernel two-min tracker
+    with demotion) and returns a list of two per-layer results — the
+    translucent pass's successive peel launches collapse pairwise, saving
+    a full per-tile walk + DMA sweep per pair of layers.
     """
     if tile_h * tile_w != GROUP * TILE_W:
         raise ValueError(f"tile_h*tile_w must be {GROUP * TILE_W}")
@@ -481,6 +558,11 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         chunk = prepared.chunk
 
     peel = peel_bounds is not None
+    dual = peel_layers == 2
+    if peel_layers not in (1, 2):
+        raise ValueError("peel_layers must be 1 or 2")
+    if dual and not peel:
+        raise ValueError("peel_layers=2 requires peel_bounds")
     sparse = active_tiles is not None and active_tiles < n_tiles
     n_sel = active_tiles if sparse else n_tiles
     # NT tile slots per program (grid-iteration + block-DMA overhead is
@@ -494,7 +576,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         _raster_kernel,
         tile_h=tile_h, tile_w=tile_w,
         width=width, full_height=fh, ntx=ntx, n_slots=n_slots, chunk=chunk,
-        peel=peel, n_attrs=n_attrs, cpp=cpp, nt=nt,
+        peel=peel, n_attrs=n_attrs, cpp=cpp, nt=nt, dual=dual,
     )
     if sparse:
         # sparse grid: run only the top-K covered tiles (translucent peels
@@ -516,8 +598,9 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         in_specs.append(pl.BlockSpec(
             (1, nt, 2, npx), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM))
-    # plane layout: depth | tri | mat | attrs (interp) or bary2 (resolve)
-    n_planes = 3 + (n_attrs if interp else 2)
+    # plane layout: depth | tri | mat | attrs (interp) or bary2 (resolve);
+    # doubled for the dual-peel second layer
+    n_planes = (3 + (n_attrs if interp else 2)) * (2 if dual else 1)
     out_specs = [
         pl.BlockSpec((1, nt, n_planes, npx), lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -551,39 +634,46 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         interpret=interpret,
     )(*args)
     blk = outs[0].reshape(n_slots, n_planes, npx)
+    pp = n_planes // 2 if dual else n_planes   # planes per layer
     if sparse:
         # scatter slot blocks back to the full tile layout; untouched
         # tiles read as empty (depth clear 1.0, no winner = tri -1);
         # duplicate pad slots rewrite the same tile with the same values
         fill = jnp.zeros((n_planes, 1), jnp.float32)
-        fill = fill.at[0, 0].set(1.0)
-        fill = fill.at[1, 0].set(-1.0)
+        for lo in range(0, n_planes, pp):
+            fill = fill.at[lo + 0, 0].set(1.0)
+            fill = fill.at[lo + 1, 0].set(-1.0)
         full = jnp.broadcast_to(fill[None], (n_tiles, n_planes, npx))
         blk = full.at[tile_map].set(blk)
     else:
         blk = blk[:n_tiles]
-    depth = blk[:, 0]
-    tri_fp = blk[:, 1]
-    mat_fp = blk[:, 2]
 
     def untile(a):
         a = a.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
         return a.reshape(nty * tile_h, ntx * tile_w)[:height, :width]
 
-    # the kernel outputs the winner's tri/mat ids directly (selected
-    # in-register from the pair rows) — no [H,W] gather needed
-    tri_id = untile(tri_fp).astype(jnp.int32)   # exact int-valued floats
-    if prepared.has_mat:
-        mat_id = jnp.where(tri_id >= 0, untile(mat_fp).astype(jnp.int32), 0)
-    else:
-        mat_id = None
-    if not interp:
-        # bary planes exist only on the resolve path (in-kernel attrs
-        # make them dead weight: every consumer reads attrs instead)
-        b0 = untile(blk[:, 3])
-        b1 = untile(blk[:, 4])
-        return GBuffer(untile(depth), tri_id,
-                       jnp.stack([b0, b1], axis=-1), mat_id)
-    g = GBuffer(untile(depth), tri_id, None, mat_id)
-    attrs = jnp.stack([untile(blk[:, 3 + a]) for a in range(n_attrs)], axis=-1)
-    return g, attrs
+    def unpack(lb):
+        # the kernel outputs the winner's tri/mat ids directly (selected
+        # in-register from the pair rows) — no [H,W] gather needed
+        tri_id = untile(lb[:, 1]).astype(jnp.int32)  # exact int-val floats
+        if prepared.has_mat:
+            mat_id = jnp.where(tri_id >= 0,
+                               untile(lb[:, 2]).astype(jnp.int32), 0)
+        else:
+            mat_id = None
+        if not interp:
+            # bary planes exist only on the resolve path (in-kernel attrs
+            # make them dead weight: every consumer reads attrs instead)
+            b0 = untile(lb[:, 3])
+            b1 = untile(lb[:, 4])
+            return GBuffer(untile(lb[:, 0]), tri_id,
+                           jnp.stack([b0, b1], axis=-1), mat_id), None
+        g = GBuffer(untile(lb[:, 0]), tri_id, None, mat_id)
+        attrs = jnp.stack([untile(lb[:, 3 + a]) for a in range(n_attrs)],
+                          axis=-1)
+        return g, attrs
+
+    if dual:
+        return [unpack(blk[:, :pp]), unpack(blk[:, pp:])]
+    g, attrs = unpack(blk)
+    return (g, attrs) if interp else g

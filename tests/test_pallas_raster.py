@@ -151,3 +151,70 @@ class TestPallasProductionPaths:
         # whatever renders must still be a subset of real triangles
         ids = np.asarray(g.tri_id)
         assert ids.max() < 24 and ids.min() >= -1
+
+
+class TestPallasDualPeel:
+    def test_dual_peel_matches_two_single_peels(self, rng):
+        """peel_layers=2 == two successive single-peel launches, including
+        attrs/mat ids and the sparse grid (the production blend config)."""
+        w, h = 64, 48
+        n = 16
+        s = random_setup(rng, n=n, w=w, h=h)
+        vidx = jnp.arange(3 * n, dtype=jnp.int32).reshape(n, 3)
+        vo = random_vo(rng, s, 3 * n)
+        ap = attribute_planes(s, vo, vidx)
+        tri_mat = jnp.asarray(rng.integers(0, 5, n).astype(np.int32))
+        prep = prepare_pallas_pairs(s, h, w, max_pairs=8192,
+                                    attr_planes=ap, tri_mat=tri_mat)
+        prev = jnp.full((h, w), -1.0, jnp.float32)
+        zmax = jnp.ones((h, w), jnp.float32)
+
+        g1, a1 = rasterize_pallas(s, h, w, interpret=True,
+                                  peel_bounds=(prev, zmax),
+                                  attr_planes=ap, prepared=prep)
+        prev2 = jnp.where(g1.tri_id >= 0, g1.depth, 2.0)
+        g2, a2 = rasterize_pallas(s, h, w, interpret=True,
+                                  peel_bounds=(prev2, zmax),
+                                  attr_planes=ap, prepared=prep)
+
+        (d1, da1), (d2, da2) = rasterize_pallas(
+            s, h, w, interpret=True, peel_bounds=(prev, zmax),
+            attr_planes=ap, prepared=prep, peel_layers=2)
+        for single, dual_ in (((g1, a1), (d1, da1)), ((g2, a2), (d2, da2))):
+            (gs, asr), (gd, ad) = single, dual_
+            np.testing.assert_array_equal(np.asarray(gs.tri_id),
+                                          np.asarray(gd.tri_id))
+            np.testing.assert_array_equal(np.asarray(gs.depth),
+                                          np.asarray(gd.depth))
+            np.testing.assert_array_equal(np.asarray(gs.mat_id),
+                                          np.asarray(gd.mat_id))
+            cov = np.asarray(gs.tri_id) >= 0
+            np.testing.assert_array_equal(np.asarray(asr)[cov],
+                                          np.asarray(ad)[cov])
+
+    def test_dual_peel_sparse_grid(self, rng):
+        from renderengine_tpu.raster.binning import bin_triangles
+
+        w, h = 64, 48
+        n = 12
+        s = random_setup(rng, n=n, w=w, h=h)
+        vidx = jnp.arange(3 * n, dtype=jnp.int32).reshape(n, 3)
+        vo = random_vo(rng, s, 3 * n)
+        ap = attribute_planes(s, vo, vidx)
+        prep = prepare_pallas_pairs(s, h, w, max_pairs=4096, attr_planes=ap)
+        bins = bin_triangles(s, h, w, 8, 16, 4096)
+        n_active = max(1, int(np.asarray((bins.counts > 0).sum())))
+        prev = jnp.full((h, w), -1.0, jnp.float32)
+        zmax = jnp.ones((h, w), jnp.float32)
+        dense = rasterize_pallas(s, h, w, interpret=True,
+                                 peel_bounds=(prev, zmax), attr_planes=ap,
+                                 prepared=prep, peel_layers=2)
+        sparse = rasterize_pallas(s, h, w, interpret=True,
+                                  peel_bounds=(prev, zmax), attr_planes=ap,
+                                  prepared=prep, peel_layers=2,
+                                  active_tiles=n_active)
+        for (gd, _), (gs, _) in zip(dense, sparse):
+            np.testing.assert_array_equal(np.asarray(gd.tri_id),
+                                          np.asarray(gs.tri_id))
+            np.testing.assert_array_equal(np.asarray(gd.depth),
+                                          np.asarray(gs.depth))
