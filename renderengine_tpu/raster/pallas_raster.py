@@ -134,6 +134,14 @@ def _raster_kernel(
     ly = (lane // tile_w).astype(jnp.float32)
     sub = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)     # (8,1)
     shape = (GROUP, tile_h * tile_w)
+    interp = n_attrs > 0
+    n_num = n_attrs if interp else 2
+    npx_ = tile_h * tile_w
+    pp_ = 3 + n_num                     # planes per layer
+    one_ = jnp.ones((1, npx_), jnp.float32)
+    zero_ = jnp.zeros((pp_ - 2, npx_), jnp.float32)
+    lay_ = jnp.concatenate([one_, -one_, zero_], axis=0)
+    empty_blk = jnp.concatenate([lay_, lay_], axis=0) if dual else lay_
 
     # Each program owns ``nt`` consecutive tile SLOTS (grid-iteration and
     # block-DMA overhead is ~0.5 us/program; amortized over nt tiles).
@@ -311,8 +319,6 @@ def _raster_kernel(
 
             return jax.lax.fori_loop(0, n_groups, group_body, carry)
 
-        interp = n_attrs > 0
-        n_num = n_attrs if interp else 2
         dmin0 = jnp.ones(shape, jnp.float32)
         idmin0 = jnp.full(shape, _BIG_ID, jnp.int32)
         z0 = jnp.zeros(shape, jnp.float32)
@@ -371,20 +377,29 @@ def _raster_kernel(
         # ~0.28 us/tile serial cost). The m2 sums are exact: at most one
         # nonzero term. The deferred rational divide lands here: one
         # reciprocal per tile instead of one per group step.
-        o1 = out[:5 + n_num]
-        planes, dwin1 = fold([o1[0]], [o1[1]], [o1[2]], [o1[3]], [o1[4]],
-                             [list(o1[5:])])
-        if dual:
-            o2 = out[5 + n_num:]
-            # layer-2 candidates: each sublane's demoted second-best AND
-            # the sublane layer-1 losers strictly behind the global winner
-            planes2, _ = fold([o1[0], o2[0]], [o1[1], o2[1]],
-                              [o1[2], o2[2]], [o1[3], o2[3]],
-                              [o1[4], o2[4]],
-                              [list(o1[5:]), list(o2[5:])],
-                              cand_gt=dwin1)
-            planes = planes + planes2
-        out_ref[0, j] = jnp.concatenate(planes, axis=0)
+        @pl.when(count > 0)
+        def _():
+            o1 = out[:5 + n_num]
+            planes, dwin1 = fold([o1[0]], [o1[1]], [o1[2]], [o1[3]],
+                                 [o1[4]], [list(o1[5:])])
+            if dual:
+                o2 = out[5 + n_num:]
+                # layer-2 candidates: each sublane's demoted second-best
+                # AND the layer-1 losers strictly behind the global winner
+                planes2, _ = fold([o1[0], o2[0]], [o1[1], o2[1]],
+                                  [o1[2], o2[2]], [o1[3], o2[3]],
+                                  [o1[4], o2[4]],
+                                  [list(o1[5:]), list(o2[5:])],
+                                  cand_gt=dwin1)
+                planes = planes + planes2
+            out_ref[0, j] = jnp.concatenate(planes, axis=0)
+
+        # empty tile: skip the ~45-op fold and store the clear block
+        # (depth 1.0, tri -1, everything else 0) — a real fraction of
+        # tiles on shadow grids (4096^2 maps) and sparse scenes
+        @pl.when(count == 0)
+        def _():
+            out_ref[0, j] = empty_blk
 
 
 def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
