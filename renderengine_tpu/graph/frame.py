@@ -376,7 +376,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             ls_atlas = lightchart.chart_light_spec(
                 scene, scene["chart_pos"], scene["chart_normal"],
                 scene["chart_mat"], scene["chart_vis"], view_args)
-        c_ah, c_aw = ls_atlas.shape[:2]
+        c_ah, c_aw = ls_atlas.shape[1:]          # planar [3,Ah,Aw]
         pre_any = config.tss_preshaded or config.tss_preshaded_blend
         if pre_any:
             # PRE-SHADED charts: compose rgb = albedo*ld + ls in CHART
@@ -407,12 +407,15 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         if config.tss_preshaded:
             tss_shade_px = tss_shade_dense = tss_shade_pre_px
         else:
-            ls_blocks = lightchart.pack_rgbe_blocks(ls_atlas)
-            ld_blocks = scene["chart_ld"]
+            # ONE merged [Ah*Aw,8] row table: static diffuse planes
+            # (chart_ld) + per-frame specular planes — every light lookup
+            # is then a single 32-byte gather
+            light8 = lightchart.merge_light_planes(
+                scene["chart_ld"], lightchart.pack_rgbe_planes(ls_atlas))
 
             def tss_shade_px(chart_uv, uv, mat_id, need_alpha=True):
                 return lightchart.tss_shade(
-                    scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
+                    scene, chart_uv, uv, mat_id, light8,
                     c_ah, c_aw,
                     slots_used=slots_used, max_aniso=config.max_anisotropy,
                     dither=config.dither_trilinear)
@@ -430,7 +433,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 # two dense shades otherwise)
                 if use_halfres:
                     return lightchart.tss_shade_halfres(
-                        scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
+                        scene, chart_uv, uv, mat_id, light8,
                         c_ah, c_aw, y0=y0,
                         slots_used=slots_used,
                         max_aniso=config.max_anisotropy,
@@ -1405,7 +1408,7 @@ class FrameRenderer:
                         params = unpack_params(uniform, self.n_shadows)
                         geo = {"pos": scene["chart_pos"],
                                "normal": scene["chart_normal"],
-                               "mat_id": scene["chart_mat"][..., 15]}
+                               "mat_id": scene["chart_mat"][15]}
                         return lightchart.bake_visibility(
                             scene, geo, maps_, params["shadow_viewproj"],
                             self._shadow_lights)

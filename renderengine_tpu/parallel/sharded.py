@@ -88,11 +88,12 @@ def _scene_specs(scene, n_devices: int | None = None) -> dict:
     # texture-space chart planes shard over atlas ROWS (the per-frame
     # specular pass is elementwise over texels, so row slices are exact);
     # the gather TABLES (chart_ld/base/a, corner uvs) stay replicated —
-    # every device's screen pass gathers from the full atlas
+    # every device's screen pass gathers from the full atlas. Chart
+    # arrays are PLANAR [C,Ah,Aw], so atlas rows are axis 1.
     if n_devices:
         for k in ("chart_pos", "chart_normal", "chart_mat", "chart_vis"):
-            if k in scene and scene[k].shape[0] % n_devices == 0:
-                vert[k] = P(AXIS)
+            if k in scene and scene[k].shape[1] % n_devices == 0:
+                vert[k] = P(None, AXIS)
     return {k: vert.get(k, P()) for k in scene}
 
 
@@ -177,7 +178,7 @@ def render_frame_sharded(scene, params, shadow_maps, config: RenderConfig,
     # _scene_specs only row-shards the chart planes when Ah divides the
     # mesh; otherwise each device holds (and lights) the full atlas
     charts_sharded = (config.texture_space
-                      and scene["chart_pos"].shape[0] % d == 0)
+                      and scene["chart_pos"].shape[1] % d == 0)
 
     def per_device(scene_l, params_l, shadow_l):
         idx = jax.lax.axis_index(AXIS)
@@ -190,7 +191,7 @@ def render_frame_sharded(scene, params, shadow_maps, config: RenderConfig,
             ls_l = lightchart.chart_light_spec(
                 scene_l, scene_l["chart_pos"], scene_l["chart_normal"],
                 scene_l["chart_mat"], scene_l["chart_vis"], view_args)
-            ls = (jax.lax.all_gather(ls_l, AXIS, tiled=True)
+            ls = (jax.lax.all_gather(ls_l, AXIS, tiled=True, axis=1)
                   if charts_sharded else ls_l)
         img, _ = fgraph._frame_core(
             scene_full, params_l, vo, shadow_l, config, n_shadows, backend,
@@ -301,7 +302,7 @@ class ShardedRenderer:
                     def _bake_vis(scene, maps_, svp):
                         geo = {"pos": scene["chart_pos"],
                                "normal": scene["chart_normal"],
-                               "mat_id": scene["chart_mat"][..., 15]}
+                               "mat_id": scene["chart_mat"][15]}
                         return lightchart.bake_visibility(
                             scene, geo, maps_, svp, self._shadow_lights)
 

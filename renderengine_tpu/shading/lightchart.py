@@ -369,9 +369,15 @@ def bake_material(scene, geo, slots_used, max_aniso: int = 1,
 def bake_visibility(scene, geo, shadow_maps, shadow_transforms,
                     shadow_lights) -> jnp.ndarray:
     """(1 - shadow) per texel per light — PCF runs HERE, once per
-    shadow-dirty, never per frame. [Ah,Aw,NL] f32."""
+    shadow-dirty, never per frame. PLANAR [NL,Ah,Aw] f32; ``geo`` may
+    carry pos/normal channel-minor (bake convention) or planar [3,Ah,Aw]
+    (the stored form) — planar is transposed once here."""
     from .shadow import compute_shadow_directional
 
+    pos, normal = geo["pos"], geo["normal"]
+    if pos.shape[0] == 3 and pos.ndim == 3:       # stored planar form
+        pos = jnp.moveaxis(pos, 0, -1)
+        normal = jnp.moveaxis(normal, 0, -1)
     nl = scene["light_type"].shape[0]
     vis = []
     for li in range(nl):
@@ -380,46 +386,70 @@ def bake_visibility(scene, geo, shadow_maps, shadow_transforms,
             continue
         s = compute_shadow_directional(
             shadow_maps, shadow_transforms, scene["light_shadow_index"][li],
-            scene["light_pos"][li], geo["pos"], geo["normal"],
+            scene["light_pos"][li], pos, normal,
             penumbra_tiles=0, cube=shadow_lights[li] == 6)
         vis.append(1.0 - s)
-    return jnp.stack(vis, axis=-1)
+    return jnp.stack(vis, axis=0)
 
 
 def _light_common(scene, li: int, pos, n, chart_vis):
     """Per-light direction + shared scalar weight (intensity x attenuation
     x nol x visibility) x color — the factor both the diffuse and the
-    specular lobes multiply (pbr.glsl:385-409)."""
-    from . import pbr
+    specular lobes multiply (pbr.glsl:385-409).
 
-    light = {k: scene[k][li] for k in (
-        "light_type", "light_color", "light_pos", "light_dir",
-        "light_intensity", "light_falloff", "light_cos_inner",
-        "light_cos_outer")}
-    in_range = li < scene["n_lights"]
-    l = pbr._light_direction(light, pos)
-    nol = jnp.clip((n * l).sum(-1), 0.0, 1.0)
-    is_punctual = (light["light_type"] == 2) | (light["light_type"] == 3)
-    l_un = light["light_pos"] - pos
-    att = jnp.where(is_punctual,
-                    pbr._square_falloff(l_un, light["light_falloff"]), 1.0)
-    att = jnp.where(
-        light["light_type"] == 3,
-        att * pbr._spot_attenuation(l, light["light_dir"],
-                                    light["light_cos_inner"],
-                                    light["light_cos_outer"]), att)
-    common = (light["light_intensity"] * att * nol)[..., None] \
-        * light["light_color"] * chart_vis[..., li:li + 1]
-    return l, common * jnp.where(in_range, 1.0, 0.0)
+    PLANAR layout: ``pos``/``n`` are [3,Ah,Aw] channel-leading planes,
+    ``chart_vis`` is [NL,Ah,Aw]. Channel-minor [...,3] arrays pack 3 of
+    128 vreg lanes on TPU (~2% utilization) — the planar form runs each
+    channel as a full (8,128)-tiled 2D plane. Returns ((lx,ly,lz),
+    (cr,cg,cb)) planes."""
+    lt = scene["light_type"][li]
+    lc = scene["light_color"][li]
+    lp = scene["light_pos"][li]
+    ldir = scene["light_dir"][li]
+    in_range = jnp.where(li < scene["n_lights"], 1.0, 0.0)
+
+    px_, py_, pz_ = pos[0], pos[1], pos[2]
+    nx_, ny_, nz_ = n[0], n[1], n[2]
+    # direction: punctual = normalize(light_pos - pos); directional =
+    # -normalize(light_dir)   (pbr.py::_light_direction)
+    ux = lp[0] - px_
+    uy = lp[1] - py_
+    uz = lp[2] - pz_
+    d2 = ux * ux + uy * uy + uz * uz
+    inv = 1.0 / jnp.maximum(jnp.sqrt(d2), 1e-20)
+    dn = -ldir / jnp.maximum(jnp.sqrt((ldir * ldir).sum()), 1e-20)
+    is_dir = lt == 1
+    lx = jnp.where(is_dir, dn[0], ux * inv)
+    ly = jnp.where(is_dir, dn[1], uy * inv)
+    lz = jnp.where(is_dir, dn[2], uz * inv)
+    nol = jnp.clip(nx_ * lx + ny_ * ly + nz_ * lz, 0.0, 1.0)
+    # square falloff (pbr.py::_square_falloff) for punctual lights
+    inv_r = 1.0 / jnp.maximum(scene["light_falloff"][li], 0.083)
+    factor = d2 * (inv_r * inv_r)
+    smooth = jnp.maximum(1.0 - factor * factor, 0.0)
+    sq = (smooth * smooth) / jnp.maximum(d2, 1e-4)
+    is_punctual = (lt == 2) | (lt == 3)
+    att = jnp.where(is_punctual, sq, 1.0)
+    # spot cone (pbr.py::_spot_attenuation)
+    ci = scene["light_cos_inner"][li]
+    co = scene["light_cos_outer"][li]
+    spot_scale = 1.0 / jnp.maximum(ci - co, 1e-4)
+    cd = dn[0] * lx + dn[1] * ly + dn[2] * lz
+    satt = jnp.clip(cd * spot_scale - co * spot_scale, 0.0, 1.0)
+    att = jnp.where(lt == 3, att * (satt * satt), att)
+    cw = (scene["light_intensity"][li] * att * nol) * chart_vis[li] \
+        * in_range
+    return (lx, ly, lz), (cw * lc[0], cw * lc[1], cw * lc[2])
 
 
 def chart_light_static(scene, chart_pos, chart_normal, chart_mat, chart_vis,
-                       exposure) -> jnp.ndarray:
+                       exposure):
     """The STATIC (view-independent) half of the factored lighting: summed
     diffuse from every light x baked PCF visibility, exposure folded in,
     plus the ambient term. Baked once per upload / shadow-dirty /
     exposure change — NOT per frame (lights and geometry are static; the
-    camera is not, but diffuse doesn't see it).
+    camera is not, but diffuse doesn't see it). PLANAR: inputs
+    [3/16/NL,Ah,Aw], output [3,Ah,Aw].
 
     Approximation vs the per-pixel path: the diffuse lobe's (1 - F(hol))
     energy factor is view-dependent; the bake uses (1 - f0) (its
@@ -427,44 +457,57 @@ def chart_light_static(scene, chart_pos, chart_normal, chart_mat, chart_vis,
     matters at grazing view angles where nol is small too."""
     from . import pbr
 
-    n = chart_normal
-    diffuse_nt = chart_mat[..., 0:3]
-    f0 = chart_mat[..., 3:6]
-    occ = chart_mat[..., 7]
-    fd_nt = (1.0 - f0) * occ[..., None] * diffuse_nt * pbr.fd_lambert()
-    ld = jnp.zeros_like(chart_pos)
+    k = pbr.fd_lambert()
+    occ = chart_mat[7]
+    fd = [(1.0 - chart_mat[3 + c]) * occ * chart_mat[c] * k
+          for c in range(3)]
+    ld = [jnp.zeros_like(chart_pos[0]) for _ in range(3)]
     for li in range(scene["light_type"].shape[0]):
-        _, common = _light_common(scene, li, chart_pos, n, chart_vis)
-        ld = ld + fd_nt * common
-    return ld * exposure + chart_mat[..., 12:15]           # + ambient_d
+        _, common = _light_common(scene, li, chart_pos, chart_normal,
+                                  chart_vis)
+        for c in range(3):
+            ld[c] = ld[c] + fd[c] * common[c]
+    return jnp.stack([ld[c] * exposure + chart_mat[12 + c]
+                      for c in range(3)])                   # + ambient_d
 
 
 def chart_light_spec(scene, chart_pos, chart_normal, chart_mat, chart_vis,
-                     view_args) -> jnp.ndarray:
+                     view_args):
     """The per-frame (view-dependent) half: summed Filament specular +
-    emissive, exposed. Dense VPU over chart texels, zero gathers."""
+    emissive, exposed. Dense VPU over chart texels, zero gathers. PLANAR:
+    inputs [3/16/NL,Ah,Aw], output [3,Ah,Aw] (measured 6.5 -> ~1.5 ms at
+    a 2M-texel atlas vs the channel-minor form)."""
     from . import pbr
 
-    n = chart_normal
-    pos = chart_pos
-    f0 = chart_mat[..., 3:6]
-    rough = chart_mat[..., 6]
-    v = view_args["view_pos"] - pos
-    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
-    nov = jnp.abs((n * v).sum(-1)) + 1e-5
-    ls = jnp.zeros_like(pos)
+    nx_, ny_, nz_ = chart_normal[0], chart_normal[1], chart_normal[2]
+    rough = chart_mat[6]
+    vp = view_args["view_pos"]
+    vx = vp[0] - chart_pos[0]
+    vy = vp[1] - chart_pos[1]
+    vz = vp[2] - chart_pos[2]
+    vinv = 1.0 / jnp.maximum(jnp.sqrt(vx * vx + vy * vy + vz * vz), 1e-20)
+    vx, vy, vz = vx * vinv, vy * vinv, vz * vinv
+    nov = jnp.abs(nx_ * vx + ny_ * vy + nz_ * vz) + 1e-5
+    ls = [jnp.zeros_like(rough) for _ in range(3)]
     for li in range(scene["light_type"].shape[0]):
-        l, common = _light_common(scene, li, pos, n, chart_vis)
-        h = v + l
-        h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
-        noh = jnp.clip((n * h).sum(-1), 0.0, 1.0)
-        nol = jnp.clip((n * l).sum(-1), 0.0, 1.0)
-        hol = jnp.clip((h * l).sum(-1), 0.0, 1.0)
+        (lx, ly, lz), common = _light_common(scene, li, chart_pos,
+                                             chart_normal, chart_vis)
+        hx, hy, hz = vx + lx, vy + ly, vz + lz
+        hinv = 1.0 / jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz),
+                                 1e-20)
+        hx, hy, hz = hx * hinv, hy * hinv, hz * hinv
+        noh = jnp.clip(nx_ * hx + ny_ * hy + nz_ * hz, 0.0, 1.0)
+        nol = jnp.clip(nx_ * lx + ny_ * ly + nz_ * lz, 0.0, 1.0)
+        hol = jnp.clip(hx * lx + hy * ly + hz * lz, 0.0, 1.0)
         d = pbr.d_ggx(noh, rough)
-        f = pbr.f_schlick(hol, f0)
+        s5 = jnp.power(1.0 - hol, 5.0)
         g = pbr.g_smith_ggx_correlated(nov, nol, rough)
-        ls = ls + (d * g)[..., None] * f * common
-    return (ls + chart_mat[..., 8:11]) * view_args["exposure"]
+        dg = d * g
+        for c in range(3):
+            f0c = chart_mat[3 + c]
+            ls[c] = ls[c] + dg * (f0c + (1.0 - f0c) * s5) * common[c]
+    e = view_args["exposure"]
+    return jnp.stack([(ls[c] + chart_mat[8 + c]) * e for c in range(3)])
 
 
 # --- rgb9e5 shared-exponent HDR packing (one u32 per texel) -------------
@@ -507,18 +550,72 @@ def rgb9e5_decode(raw: jnp.ndarray) -> jnp.ndarray:
     return mant * scale[..., None]
 
 
-def pack_rgbe_blocks(atlas3: jnp.ndarray) -> jnp.ndarray:
-    """[Ah,Aw,3] f32 -> [Ah*Aw,4] u32 2x2 clamp-to-edge rgb9e5 blocks: one
-    16-byte row gather fetches all four bilinear corners (the texture-
-    atlas trick, scene.textures.build_atlas). Pure u32 slicing/concat —
-    no sub-word bitcasts, so XLA keeps the layout (the f16-pair variant
-    cost 28 ms/frame in relayouts)."""
-    p = rgb9e5_encode(atlas3)                               # [Ah,Aw] u32
+def rgb9e5_encode_planes(r, g, b) -> jnp.ndarray:
+    """Planar ``rgb9e5_encode``: three [Ah,Aw] f32 planes -> [Ah,Aw] u32
+    (bit-identical to the channel-minor form, full lane utilization)."""
+    import jax
+
+    r = jnp.clip(r, 0.0, 65408.0)
+    g = jnp.clip(g, 0.0, 65408.0)
+    b = jnp.clip(b, 0.0, 65408.0)
+    m = jnp.maximum(jnp.maximum(jnp.maximum(r, g), b), 3e-5)
+    k = (jax.lax.bitcast_convert_type(m, jnp.uint32) >> 23).astype(jnp.int32) - 127
+    e = jnp.clip(k + 16, 0, 31)
+    inv_scale = jax.lax.bitcast_convert_type(
+        ((127 + _E_BIAS - e) << 23).astype(jnp.uint32), jnp.float32)
+    mr = jnp.clip(jnp.round(r * inv_scale), 0, 511).astype(jnp.uint32)
+    mg = jnp.clip(jnp.round(g * inv_scale), 0, 511).astype(jnp.uint32)
+    mb = jnp.clip(jnp.round(b * inv_scale), 0, 511).astype(jnp.uint32)
+    return mr | (mg << 9) | (mb << 18) | (e.astype(jnp.uint32) << 27)
+
+
+def _shift_blocks(p: jnp.ndarray) -> list:
+    """2x2 clamp-to-edge neighborhood planes [p, p+x, p+y, p+xy]."""
     px = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
     py = jnp.concatenate([p[1:], p[-1:]], axis=0)
     pxy = jnp.concatenate([px[1:], px[-1:]], axis=0)
-    blk = jnp.stack([p, px, py, pxy], axis=-1)              # [Ah,Aw,4]
-    return blk.reshape(-1, 4)
+    return [p, px, py, pxy]
+
+
+def pack_rgbe_planes(atlas_p: jnp.ndarray) -> jnp.ndarray:
+    """PLANAR [3,Ah,Aw] f32 -> [4,Ah,Aw] u32 neighborhood planes (the
+    un-interleaved form of ``pack_rgbe_blocks`` — kept planar so the
+    static and per-frame tables can merge into one row table with a
+    single interleave)."""
+    p = rgb9e5_encode_planes(atlas_p[0], atlas_p[1], atlas_p[2])
+    return jnp.stack(_shift_blocks(p))
+
+
+def pack_rgbe_blocks(atlas_p: jnp.ndarray) -> jnp.ndarray:
+    """PLANAR [3,Ah,Aw] f32 -> [Ah*Aw,4] u32 2x2 clamp-to-edge rgb9e5
+    blocks: one 16-byte row gather fetches all four bilinear corners (the
+    texture-atlas trick, scene.textures.build_atlas). Pure u32
+    slicing/concat — no sub-word bitcasts, so XLA keeps the layout (the
+    f16-pair variant cost 28 ms/frame in relayouts)."""
+    planes = pack_rgbe_planes(atlas_p)                      # [4,Ah,Aw]
+    return jnp.moveaxis(planes.reshape(4, -1), 0, 1)        # [Ah*Aw,4]
+
+
+def merge_light_planes(ld_planes: jnp.ndarray,
+                       ls_planes: jnp.ndarray) -> jnp.ndarray:
+    """[4,Ah,Aw] u32 x2 (static diffuse, per-frame specular) -> [Ah*Aw,8]
+    u32: ONE 32-byte row gather fetches both light tables' full bilinear
+    footprints (gathers price per index — merging halves the index count
+    of every light lookup)."""
+    both = jnp.concatenate([ld_planes, ls_planes], axis=0)  # [8,Ah,Aw]
+    return jnp.moveaxis(both.reshape(8, -1), 0, 1)          # [Ah*Aw,8]
+
+
+def rgb9e5_decode_planes(raw: jnp.ndarray):
+    """[...] u32 plane -> (r, g, b) f32 planes."""
+    import jax
+
+    e = (raw >> 27).astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        ((127 - _E_BIAS + e) << 23).astype(jnp.uint32), jnp.float32)
+    return ((raw & 511).astype(jnp.float32) * scale,
+            ((raw >> 9) & 511).astype(jnp.float32) * scale,
+            ((raw >> 18) & 511).astype(jnp.float32) * scale)
 
 
 def sample_rgbe_blocks(blocks: jnp.ndarray, uv: jnp.ndarray,
@@ -541,7 +638,32 @@ def sample_rgbe_blocks(blocks: jnp.ndarray, uv: jnp.ndarray,
     return top * (1 - fy) + bot * fy
 
 
-def sample_light_halfres(ld_blocks, ls_blocks, chart_uv, ah: int, aw: int,
+def sample_light8(light8: jnp.ndarray, uv: jnp.ndarray,
+                  ah: int, aw: int):
+    """Bilinear sample of BOTH light tables from the merged [Ah*Aw,8]
+    row table (``merge_light_planes``): ONE 32-byte gather per index.
+    Returns ([...,3] ld, [...,3] ls)."""
+    x = jnp.clip(uv[..., 0], 0.0, aw - 1.001)
+    y = jnp.clip(uv[..., 1], 0.0, ah - 1.001)
+    ix = jnp.floor(x).astype(jnp.int32)
+    iy = jnp.floor(y).astype(jnp.int32)
+    fx = x - ix.astype(jnp.float32)
+    fy = y - iy.astype(jnp.float32)
+    raw = light8[iy * aw + ix]                             # [...,8] u32
+    ws = ((1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy)
+
+    def blend(off):
+        acc = None
+        for ci in range(4):
+            r_, g_, b_ = rgb9e5_decode_planes(raw[..., off + ci])
+            t = (r_ * ws[ci], g_ * ws[ci], b_ * ws[ci])
+            acc = t if acc is None else tuple(a + v for a, v in zip(acc, t))
+        return jnp.stack(acc, axis=-1)
+
+    return blend(0), blend(4)
+
+
+def sample_light_halfres(light8, chart_uv, ah: int, aw: int,
                          y0: int = 0, sim_radius: float = 3.0,
                          uv=None, mat_id=None):
     """Light-table sampling on the HALF-resolution pixel grid + a
@@ -552,13 +674,18 @@ def sample_light_halfres(ld_blocks, ls_blocks, chart_uv, ah: int, aw: int,
     chart density (~half a screen pixel) anyway, so sampling the light
     field at every screen pixel buys nothing. Instead:
 
-    - gather both tables at the even-pixel half grid (4x fewer indices),
+    - ONE merged-table gather at the even-pixel half grid (4x fewer
+      indices than full res, and half the indices of separate ld/ls
+      tables — ``light8`` is the [Ah*Aw,8] ``merge_light_planes`` row
+      table),
     - upsample bilinearly where a corner's chart uv is within
       ``sim_radius`` texels of the pixel's own (same surface — charts of
       different triangles land in different atlas squares, far apart in
       uv), falling back toward the nearest corner at silhouettes.
 
-    The upsample is repeats/slices/elementwise — zero full-res gathers.
+    The upsample is repeats/slices/elementwise — zero full-res gathers —
+    and runs PLANAR (channel-leading 2D planes; channel-minor arrays
+    pack 3-8 of 128 vreg lanes).
     ``y0``: global row of this image slice (sharded slices must agree on
     the GLOBAL even-row grid; a TRACED y0 — shard_map offsets — assumes
     even slice starts, the sharded path's row split for even heights,
@@ -574,50 +701,82 @@ def sample_light_halfres(ld_blocks, ls_blocks, chart_uv, ah: int, aw: int,
     del uv, mat_id                                    # see docstring
     h, w = chart_uv.shape[:2]
     r0 = (y0 % 2) if isinstance(y0, int) else 0   # static slicing only
-    hu = chart_uv[r0::2, 0::2]                        # [Hh,Wh,2]
-    ld_h = sample_rgbe_blocks(ld_blocks, hu, ah, aw)
-    ls_h = sample_rgbe_blocks(ls_blocks, hu, ah, aw)
-    hl = jnp.concatenate([ld_h, ls_h, hu], axis=-1)   # [Hh,Wh,8]
+    hux = chart_uv[r0::2, 0::2, 0]                    # [Hh,Wh]
+    huy = chart_uv[r0::2, 0::2, 1]
+    x = jnp.clip(hux, 0.0, aw - 1.001)
+    y = jnp.clip(huy, 0.0, ah - 1.001)
+    ix = jnp.floor(x).astype(jnp.int32)
+    iy = jnp.floor(y).astype(jnp.int32)
+    fxh = x - ix.astype(jnp.float32)
+    fyh = y - iy.astype(jnp.float32)
+    raw = light8[iy * aw + ix]                        # [Hh,Wh,8] u32
+    # bilinear blend of the 2x2 block corners, per table, PLANAR
+    ws = ((1 - fxh) * (1 - fyh), fxh * (1 - fyh),
+          (1 - fxh) * fyh, fxh * fyh)
 
-    def up(x):                       # h[i,j] -> full[y,x] = h[y//2,x//2]
-        f = jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
+    def blend(table_off):
+        acc = None
+        for ci in range(4):
+            r_, g_, b_ = rgb9e5_decode_planes(raw[..., table_off + ci])
+            t = (r_ * ws[ci], g_ * ws[ci], b_ * ws[ci])
+            acc = t if acc is None else tuple(a + x_ for a, x_ in zip(acc, t))
+        return acc
+
+    ld3 = blend(0)
+    ls3 = blend(4)
+    hl = [*ld3, *ls3, hux, huy]                       # 8 [Hh,Wh] planes
+
+    def up(x_):                      # h[i,j] -> full[y,x] = h[y//2,x//2]
+        f = jnp.repeat(jnp.repeat(x_, 2, axis=0), 2, axis=1)
         if r0:
             f = jnp.concatenate([f[:1], f[:-1]], axis=0)
         return f[:h, :w]
 
-    sx = jnp.concatenate([hl[:, 1:], hl[:, -1:]], axis=1)
-    sy = jnp.concatenate([hl[1:], hl[-1:]], axis=0)
-    sxy = jnp.concatenate([sx[1:], sx[-1:]], axis=0)
-    c00, c10, c01, c11 = up(hl), up(sx), up(sy), up(sxy)
+    def shifts(p):                   # [p, p+x, p+y, p+xy] neighbor planes
+        sx = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        sy = jnp.concatenate([p[1:], p[-1:]], axis=0)
+        sxy = jnp.concatenate([sx[1:], sx[-1:]], axis=0)
+        return [up(p), up(sx), up(sy), up(sxy)]
+
+    corners = [shifts(p) for p in hl]                 # [8][4] planes
 
     yy = (jnp.arange(h, dtype=jnp.int32) - r0) % 2
     xx = jnp.arange(w, dtype=jnp.int32) % 2
-    fy = (0.5 * yy.astype(jnp.float32))[:, None, None]
-    fx = (0.5 * xx.astype(jnp.float32))[None, :, None]
+    fy = (0.5 * yy.astype(jnp.float32))[:, None]
+    fx = (0.5 * xx.astype(jnp.float32))[None, :]
 
-    def cdist(c):
-        return jnp.abs(c[..., 6:8] - chart_uv).sum(-1, keepdims=True)
+    cux, cuy = chart_uv[..., 0], chart_uv[..., 1]
+    dists = [jnp.abs(corners[6][ci] - cux) + jnp.abs(corners[7][ci] - cuy)
+             for ci in range(4)]
+    wts = [(1 - fy) * (1 - fx) * (dists[0] < sim_radius),
+           (1 - fy) * fx * (dists[1] < sim_radius),
+           fy * (1 - fx) * (dists[2] < sim_radius),
+           fy * fx * (dists[3] < sim_radius)]
+    tot = wts[0] + wts[1] + wts[2] + wts[3]
+    inv_tot = 1.0 / jnp.maximum(tot, 1e-6)
+    # silhouette fallback mask: every corner rejected -> the corner whose
+    # chart uv is closest to the pixel's own (the same-surface sample if
+    # one exists; corner 0 is only screen-nearest, not surface-nearest)
+    bd = jnp.minimum(jnp.minimum(dists[0], dists[1]),
+                     jnp.minimum(dists[2], dists[3]))
+    degenerate = tot <= 1e-6
+    bsel = [dists[0] == bd]
+    taken = bsel[0]
+    for ci in (1, 2, 3):
+        s = (dists[ci] == bd) & ~taken
+        bsel.append(s)
+        taken = taken | s
+    out = []
+    for c in range(6):
+        acc = (corners[c][0] * wts[0] + corners[c][1] * wts[1]
+               + corners[c][2] * wts[2] + corners[c][3] * wts[3]) * inv_tot
+        best = (corners[c][0] * bsel[0] + corners[c][1] * bsel[1]
+                + corners[c][2] * bsel[2] + corners[c][3] * bsel[3])
+        out.append(jnp.where(degenerate, best, acc))
+    return jnp.stack(out[0:3], axis=-1), jnp.stack(out[3:6], axis=-1)
 
-    d00, d10, d01, d11 = cdist(c00), cdist(c10), cdist(c01), cdist(c11)
-    w00 = (1 - fy) * (1 - fx) * (d00 < sim_radius)
-    w10 = (1 - fy) * fx * (d10 < sim_radius)
-    w01 = fy * (1 - fx) * (d01 < sim_radius)
-    w11 = fy * fx * (d11 < sim_radius)
-    tot = w00 + w10 + w01 + w11
-    acc = (c00[..., :6] * w00 + c10[..., :6] * w10
-           + c01[..., :6] * w01 + c11[..., :6] * w11) / jnp.maximum(tot, 1e-6)
-    # silhouette fallback: every corner rejected -> the corner whose chart
-    # uv is closest to the pixel's own (the same-surface sample if one
-    # exists; c00 is only screen-nearest, not surface-nearest)
-    best, bd = c00[..., :6], d00
-    for c, d in ((c10, d10), (c01, d01), (c11, d11)):
-        best = jnp.where(d < bd, c[..., :6], best)
-        bd = jnp.minimum(bd, d)
-    acc = jnp.where(tot > 1e-6, acc, best)
-    return acc[..., 0:3], acc[..., 3:6]
 
-
-def tss_shade_halfres(scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
+def tss_shade_halfres(scene, chart_uv, uv, mat_id, light8,
                       ah: int, aw: int, y0: int = 0,
                       slots_used=(True, True, True, True),
                       max_aniso: int = 1, dither: bool = False):
@@ -627,7 +786,7 @@ def tss_shade_halfres(scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
     from . import pbr, sampling
     from .srgb import srgb_to_linear
 
-    light_d, light_s = sample_light_halfres(ld_blocks, ls_blocks, chart_uv,
+    light_d, light_s = sample_light_halfres(light8, chart_uv,
                                             ah, aw, y0, uv=uv, mat_id=mat_id)
     row = sampling.table_lookup(scene["mat_all"], mat_id)
     factor_a = row[..., 3].astype(jnp.float32)
@@ -766,8 +925,13 @@ def setup_scene_tss(scene_dev: dict, config, slots_used, exposure: float):
         max_aniso=config.max_anisotropy,
         ibl_diffuse=config.ibl_diffuse))(scene_dev, geo)
     nl = int(scene_dev["light_type"].shape[0])
-    up = {"chart_pos": geo["pos"], "chart_normal": nrm, "chart_mat": cm,
-          "chart_vis": jnp.ones(cm.shape[:2] + (nl,), jnp.float32)}
+    # chart arrays are stored PLANAR ([C,Ah,Aw]) — the per-frame light
+    # pass then runs full-lane 2D plane math (channel-minor [...,C]
+    # arrays pack C of 128 vreg lanes; measured ~4x on the spec pass)
+    up = {"chart_pos": jnp.moveaxis(geo["pos"], -1, 0),
+          "chart_normal": jnp.moveaxis(nrm, -1, 0),
+          "chart_mat": jnp.moveaxis(cm, -1, 0),
+          "chart_vis": jnp.ones((nl,) + cm.shape[:2], jnp.float32)}
     alpha_is_factor = False
     pre_any = config.tss_preshaded or config.tss_preshaded_blend
     if pre_any:
@@ -777,7 +941,7 @@ def setup_scene_tss(scene_dev: dict, config, slots_used, exposure: float):
         alb, ta = jax.jit(partial(
             bake_albedo, slots_used=slots_used,
             max_aniso=config.max_anisotropy))(scene_dev, geo)
-        up["chart_albedo"] = alb
+        up["chart_albedo"] = jnp.moveaxis(alb, -1, 0)      # planar
         up["chart_a"] = jax.jit(pack_alpha_blocks)(ta)
         # if no base texture modulates alpha (all-opaque alpha channels:
         # the common case), per-texel alpha == the material base-color
@@ -790,15 +954,17 @@ def setup_scene_tss(scene_dev: dict, config, slots_used, exposure: float):
             np.abs(np.asarray(ta) - fa * live).max() < 0.5 / 255.0)
 
     # static light tables, refreshed on shadow-dirty / exposure change:
-    # the factored screen pass reads chart_ld (rgb9e5 blocks); pre-shaded
-    # passes read chart_base (raw f32, re-packed per frame with the
-    # specular term). Mixed mode (tss_preshaded_blend) needs both.
+    # the factored screen pass reads chart_ld (rgb9e5 neighborhood
+    # PLANES, merged per frame with the specular planes into one row
+    # table); pre-shaded passes read chart_base (raw planar f32,
+    # re-packed per frame with the specular term). Mixed mode
+    # (tss_preshaded_blend) needs both.
     def _ld_all(sc, e, full=config.tss_preshaded, pre_any=pre_any):
         static = chart_light_static(sc, sc["chart_pos"], sc["chart_normal"],
                                     sc["chart_mat"], sc["chart_vis"], e)
         out = {}
         if not full:
-            out["chart_ld"] = pack_rgbe_blocks(static)
+            out["chart_ld"] = pack_rgbe_planes(static)     # [4,Ah,Aw] u32
         if pre_any:
             out["chart_base"] = sc["chart_albedo"] * static
         return out
@@ -860,20 +1026,19 @@ def resolve_tss(scene, coef, g, height, width, y0=0, full_height=None,
             "covered": tri_id >= 0}
 
 
-def tss_shade(scene, chart_uv, uv, mat_id, ld_blocks, ls_blocks,
+def tss_shade(scene, chart_uv, uv, mat_id, light8,
               ah: int, aw: int,
               slots_used=(True, True, True, True), max_aniso: int = 1,
               dither: bool = False):
     """The TSS screen pass: one albedo tap (full-res texture detail) +
-    two 16-byte light-table gathers (static diffuse ld; per-frame
+    ONE 32-byte merged light-table gather (static diffuse ld + per-frame
     specular ls). rgb = albedo * ld + ls; alpha = texture alpha x the
     material's base-color factor alpha (read straight from the small
     material table — exact, not chart-interpolated)."""
     from . import pbr, sampling
     from .srgb import srgb_to_linear
 
-    light_d = sample_rgbe_blocks(ld_blocks, chart_uv, ah, aw)
-    light_s = sample_rgbe_blocks(ls_blocks, chart_uv, ah, aw)
+    light_d, light_s = sample_light8(light8, chart_uv, ah, aw)
     row = sampling.table_lookup(scene["mat_all"], mat_id)
     factor_a = row[..., 3].astype(jnp.float32)
     if slots_used[0]:

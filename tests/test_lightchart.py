@@ -106,7 +106,8 @@ class TestRgb9e5:
         import jax.numpy as jnp
         rng = np.random.default_rng(1)
         atlas = rng.uniform(0, 4, (24, 48, 3)).astype(np.float32)
-        blocks = lc.pack_rgbe_blocks(jnp.asarray(atlas))
+        # pack_rgbe_blocks takes the PLANAR [3,Ah,Aw] convention
+        blocks = lc.pack_rgbe_blocks(jnp.moveaxis(jnp.asarray(atlas), -1, 0))
         uv = np.stack([rng.uniform(0, 47, 400),
                        rng.uniform(0, 23, 400)], -1).astype(np.float32)
         out = np.asarray(lc.sample_rgbe_blocks(blocks, jnp.asarray(uv),

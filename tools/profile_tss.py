@@ -56,9 +56,9 @@ def main():
     r, u, sm = build("TSS frame", texture_space=True,
                      chart_density=args.density)
 
-    ah = int(r.scene_dev["chart_pos"].shape[0])
-    aw = int(r.scene_dev["chart_pos"].shape[1])
-    live = float(jnp.mean((r.scene_dev["chart_mat"][..., 15] > 0)))
+    ah = int(r.scene_dev["chart_pos"].shape[1])
+    aw = int(r.scene_dev["chart_pos"].shape[2])
+    live = float(jnp.mean((r.scene_dev["chart_mat"][15] > 0)))
     print(f"# chart atlas {ah}x{aw} = {ah*aw/1e6:.2f} Mtexels, "
           f"{live:.1%} live", file=sys.stderr)
 
@@ -91,10 +91,12 @@ def main():
     key = jax.random.PRNGKey(0)
     uv = jax.random.uniform(key, (h, w, 2)) * jnp.array(
         [aw - 1.0, ah - 1.0])
-    gather_fn = jax.jit(lambda b, q: lightchart.sample_rgbe_blocks(
-        b, q, ah, aw))
-    t = time_jitted(gather_fn, blocks, uv, reps=args.reps)
-    print(f"{'  light gather (2M px, x2 per shade pass)':42s} "
+    light8 = jax.jit(lambda sc, a: lightchart.merge_light_planes(
+        sc["chart_ld"], lightchart.pack_rgbe_planes(a)))(r.scene_dev, atlas)
+    gather_fn = jax.jit(lambda b, q: lightchart.sample_light8(
+        b, q, ah, aw)[0])
+    t = time_jitted(gather_fn, light8, uv, reps=args.reps)
+    print(f"{'  merged light gather (2M px, per shade)':42s} "
           f"{t['min']*1e3:8.2f} ms", file=sys.stderr)
 
     # bakes (amortized: once per upload / shadow-dirty)
