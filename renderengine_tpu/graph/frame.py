@@ -76,7 +76,8 @@ def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
               tri_offset: int = 0, y0=0, full_height: int | None = None,
               peel_bounds=None, attr_planes=None, tri_mat=None,
               prepared=None, max_pairs: int | None = None,
-              active_tiles: int | None = None, peel_layers: int = 1):
+              active_tiles: int | None = None, peel_layers: int = 1,
+              planar_attrs: bool = False):
     """Raster backend dispatch — decided at trace time (one compiled
     executable per backend, like pipelines per GraphicsPipelineInfo).
     ``y0``/``full_height`` render a row slice of a taller virtual viewport
@@ -95,10 +96,13 @@ def rasterize(setup, height: int, width: int, rc: RasterConfig, backend: str,
                                peel_bounds=peel_bounds,
                                attr_planes=attr_planes, tri_mat=tri_mat,
                                prepared=prepared, active_tiles=active_tiles,
-                               peel_layers=peel_layers)
+                               peel_layers=peel_layers,
+                               planar_attrs=planar_attrs)
         if peel_layers == 2:
             return out                    # [(g, attrs), (g, attrs)]
         return out if attr_planes is not None else (out, None)
+    if peel_layers == 2:
+        raise ValueError("peel_layers=2 is a pallas-only fast path")
     if backend == "tiled":
         return rasterize_tiled(setup, height, width, rc.tile_h, rc.tile_w,
                                rc.tri_chunk, max_pairs,
@@ -489,14 +493,17 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     g, attrs = rasterize(setup_s, slice_h, w, config.raster, backend,
                          attr_planes=ap, y0=y0, full_height=fh,
                          tri_mat=scene["tri_material"], prepared=prep,
-                         max_pairs=opq_budget)
+                         max_pairs=opq_budget, planar_attrs=tss)
 
     if tss:
         from ..shading.lightchart import resolve_tss
         if attrs is not None:
+            # planar attrs: chart_uv / uv ride as 2D plane pairs (minor-
+            # dim slices of a stacked [...,4] cost real relayout ms)
             mat_id = (g.mat_id if g.mat_id is not None
                       else scene["tri_material"][jnp.maximum(g.tri_id, 0)])
-            frag = {"chart_uv": attrs[..., 0:2], "uv": attrs[..., 2:4],
+            frag = {"chart_uv": (attrs[0], attrs[1]),
+                    "uv": (attrs[2], attrs[3]),
                     "mat_id": mat_id, "covered": g.tri_id >= 0}
         else:
             frag = resolve_tss(scene, setup.coef, g, slice_h, w,
@@ -638,12 +645,15 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             # peel layer), so the half-res light path applies
             tss_sh = tss_shade_blend_dense if (tss and dense) else (
                 tss_shade_blend_px if tss else None)
-            if "attrs" in fr:
+            if "attrs" in fr or "cu_x" in fr:
                 if "mat_id" in fr:
                     mat_t = fr["mat_id"]
                 else:
                     mat_t = scene["blend_tri_material"][jnp.maximum(fr["tri_id"], 0)]
                 if tss:
+                    if "cu_x" in fr:   # planar attr planes (pallas+tss)
+                        return tss_sh((fr["cu_x"], fr["cu_y"]),
+                                      (fr["u_x"], fr["u_y"]), mat_t)
                     return tss_sh(fr["attrs"][..., 0:2],
                                   fr["attrs"][..., 2:4], mat_t)
                 fsub = {"pos": fr["attrs"][..., 0:3],
@@ -685,7 +695,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                                  attr_planes=ap_t, prepared=prep_t,
                                  y0=y0, full_height=fh,
                                  max_pairs=blend_budget,
-                                 active_tiles=active, peel_layers=2)
+                                 active_tiles=active, peel_layers=2,
+                                 planar_attrs=tss)
                 raster_layers.extend(pair)
                 g_last = pair[1][0]
                 li += 2
@@ -695,7 +706,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                                 attr_planes=ap_t, prepared=prep_t,
                                 y0=y0, full_height=fh,
                                 max_pairs=blend_budget,
-                                active_tiles=active)
+                                active_tiles=active, planar_attrs=tss)
                 raster_layers.append(g_a)
                 g_last = g_a[0]
                 li += 1
@@ -708,7 +719,12 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             sp_in = {"covered": covered_t, "tri_id": gt.tri_id}
             if gt.mat_id is not None:
                 sp_in["mat_id"] = gt.mat_id
-            if attrs_t is not None:
+            if attrs_t is not None and isinstance(attrs_t, list):
+                # planar attr planes (pallas+tss): separate dict keys so
+                # the sparse tile gather/scatter stays per-plane
+                sp_in["cu_x"], sp_in["cu_y"] = attrs_t[0], attrs_t[1]
+                sp_in["u_x"], sp_in["u_y"] = attrs_t[2], attrs_t[3]
+            elif attrs_t is not None:
                 sp_in["attrs"] = attrs_t
             elif gt.bary is not None:
                 sp_in["bary"] = gt.bary

@@ -516,7 +516,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
                      peel_bounds=None, attr_planes=None, tri_mat=None,
                      prepared: PreparedPairs | None = None,
                      active_tiles: int | None = None,
-                     peel_layers: int = 1):
+                     peel_layers: int = 1, planar_attrs: bool = False):
     """Bin + pack + Pallas raster. Same G-buffer as ``rasterize_tiled``/
     ``rasterize_reference`` (asserted in tests). ``tile_h * tile_w`` must be
     128 (one vreg of lanes); ``chunk`` is the DMA slab in pairs (multiple
@@ -684,6 +684,11 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
             return GBuffer(untile(lb[:, 0]), tri_id,
                            jnp.stack([b0, b1], axis=-1), mat_id), None
         g = GBuffer(untile(lb[:, 0]), tri_id, None, mat_id)
+        if planar_attrs:
+            # hand back 2D [H,W] planes: the TSS shade path consumes
+            # channels individually, and the minor-A stack + re-slice
+            # round trip costs real relayout ms at 1080p
+            return g, [untile(lb[:, 3 + a]) for a in range(n_attrs)]
         attrs = jnp.stack([untile(lb[:, 3 + a]) for a in range(n_attrs)],
                           axis=-1)
         return g, attrs

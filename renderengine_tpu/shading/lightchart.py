@@ -638,13 +638,29 @@ def sample_rgbe_blocks(blocks: jnp.ndarray, uv: jnp.ndarray,
     return top * (1 - fy) + bot * fy
 
 
+def _uv_planes(uv):
+    """Accept a uv as channel-minor [...,2] OR a (x_plane, y_plane) pair
+    (the raster's ``planar_attrs`` form — minor-dim slices of a [...,2]
+    array cost real relayout ms at 1080p)."""
+    if isinstance(uv, (tuple, list)):
+        return uv[0], uv[1]
+    return uv[..., 0], uv[..., 1]
+
+
+def _uv_minor(uv):
+    if isinstance(uv, (tuple, list)):
+        return jnp.stack(list(uv), axis=-1)
+    return uv
+
+
 def sample_light8(light8: jnp.ndarray, uv: jnp.ndarray,
                   ah: int, aw: int):
     """Bilinear sample of BOTH light tables from the merged [Ah*Aw,8]
     row table (``merge_light_planes``): ONE 32-byte gather per index.
     Returns ([...,3] ld, [...,3] ls)."""
-    x = jnp.clip(uv[..., 0], 0.0, aw - 1.001)
-    y = jnp.clip(uv[..., 1], 0.0, ah - 1.001)
+    ux, uy = _uv_planes(uv)
+    x = jnp.clip(ux, 0.0, aw - 1.001)
+    y = jnp.clip(uy, 0.0, ah - 1.001)
     ix = jnp.floor(x).astype(jnp.int32)
     iy = jnp.floor(y).astype(jnp.int32)
     fx = x - ix.astype(jnp.float32)
@@ -699,10 +715,11 @@ def sample_light_halfres(light8, chart_uv, ah: int, aw: int,
     same-cell samples smear a crisp light hotspot less), so the chart-uv
     test stays the only criterion. Returns ([...,3] ld, [...,3] ls)."""
     del uv, mat_id                                    # see docstring
-    h, w = chart_uv.shape[:2]
+    cux, cuy = _uv_planes(chart_uv)
+    h, w = cux.shape
     r0 = (y0 % 2) if isinstance(y0, int) else 0   # static slicing only
-    hux = chart_uv[r0::2, 0::2, 0]                    # [Hh,Wh]
-    huy = chart_uv[r0::2, 0::2, 1]
+    hux = cux[r0::2, 0::2]                            # [Hh,Wh]
+    huy = cuy[r0::2, 0::2]
     x = jnp.clip(hux, 0.0, aw - 1.001)
     y = jnp.clip(huy, 0.0, ah - 1.001)
     ix = jnp.floor(x).astype(jnp.int32)
@@ -745,7 +762,6 @@ def sample_light_halfres(light8, chart_uv, ah: int, aw: int,
     fy = (0.5 * yy.astype(jnp.float32))[:, None]
     fx = (0.5 * xx.astype(jnp.float32))[None, :]
 
-    cux, cuy = chart_uv[..., 0], chart_uv[..., 1]
     dists = [jnp.abs(corners[6][ci] - cux) + jnp.abs(corners[7][ci] - cuy)
              for ci in range(4)]
     wts = [(1 - fy) * (1 - fx) * (dists[0] < sim_radius),
@@ -788,6 +804,7 @@ def tss_shade_halfres(scene, chart_uv, uv, mat_id, light8,
 
     light_d, light_s = sample_light_halfres(light8, chart_uv,
                                             ah, aw, y0, uv=uv, mat_id=mat_id)
+    uv = _uv_minor(uv)              # the sampler path is channel-minor
     row = sampling.table_lookup(scene["mat_all"], mat_id)
     factor_a = row[..., 3].astype(jnp.float32)
     if slots_used[0]:
@@ -854,8 +871,9 @@ def tss_shade_pre(rgb_blocks, a_blocks, chart_uv, ah: int, aw: int,
     pixel (+ one 4-byte alpha-block gather when the pass blends).
     Everything else — albedo, diffuse, specular, emissive, ambient — was
     composed in chart space."""
-    x = jnp.clip(chart_uv[..., 0], 0.0, aw - 1.001)
-    y = jnp.clip(chart_uv[..., 1], 0.0, ah - 1.001)
+    cux, cuy = _uv_planes(chart_uv)
+    x = jnp.clip(cux, 0.0, aw - 1.001)
+    y = jnp.clip(cuy, 0.0, ah - 1.001)
     ix = jnp.floor(x).astype(jnp.int32)
     iy = jnp.floor(y).astype(jnp.int32)
     fx = (x - ix.astype(jnp.float32))[..., None]
@@ -1039,6 +1057,7 @@ def tss_shade(scene, chart_uv, uv, mat_id, light8,
     from .srgb import srgb_to_linear
 
     light_d, light_s = sample_light8(light8, chart_uv, ah, aw)
+    uv = _uv_minor(uv)              # the sampler path is channel-minor
     row = sampling.table_lookup(scene["mat_all"], mat_id)
     factor_a = row[..., 3].astype(jnp.float32)
     if slots_used[0]:
