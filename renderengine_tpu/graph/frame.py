@@ -408,8 +408,33 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                          fa[..., None].astype(jnp.float32)], axis=-1)
                 return out
 
+            use_halfres_pre = (config.chart_density <= 0.5
+                               if config.tss_halfres_light < 0
+                               else bool(config.tss_halfres_light))
+
+            def tss_shade_pre_dense(chart_uv, uv, mat_id, need_alpha=True):
+                # DENSE full-screen pre-shaded pass: gather the rgb block
+                # table on the half grid + chart-uv-guided upsample (the
+                # pre-shaded chart varies at chart density anyway); alpha
+                # stays exact via the material-factor path when possible
+                if not use_halfres_pre:
+                    return tss_shade_pre_px(chart_uv, uv, mat_id,
+                                            need_alpha)
+                out = lightchart.tss_shade_pre_halfres(
+                    rgb_blocks, a_blocks, chart_uv, c_ah, c_aw, y0=y0,
+                    need_alpha=need_alpha and not alpha_is_factor)
+                if need_alpha and alpha_is_factor:
+                    from ..shading import sampling
+                    fa = sampling.table_lookup(
+                        scene["mat_all"], mat_id)[..., 3]
+                    out = jnp.concatenate(
+                        [out[..., :3],
+                         fa[..., None].astype(jnp.float32)], axis=-1)
+                return out
+
         if config.tss_preshaded:
-            tss_shade_px = tss_shade_dense = tss_shade_pre_px
+            tss_shade_px = tss_shade_pre_px
+            tss_shade_dense = tss_shade_pre_dense
         else:
             # ONE merged [Ah*Aw,8] row table: static diffuse planes
             # (chart_ld) + per-frame specular planes — every light lookup
@@ -448,7 +473,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         # (chart-res albedo behind alpha blending is visually mild — the
         # cheap 80% of tss_preshaded), else the factored fns above
         if tss and pre_any:
-            tss_shade_blend_px = tss_shade_blend_dense = tss_shade_pre_px
+            tss_shade_blend_px = tss_shade_pre_px
+            tss_shade_blend_dense = tss_shade_pre_dense
         elif tss:
             tss_shade_blend_px = tss_shade_px
             tss_shade_blend_dense = tss_shade_dense

@@ -715,11 +715,22 @@ def sample_light_halfres(light8, chart_uv, ah: int, aw: int,
     same-cell samples smear a crisp light hotspot less), so the chart-uv
     test stays the only criterion. Returns ([...,3] ld, [...,3] ls)."""
     del uv, mat_id                                    # see docstring
+    import jax
+
     cux, cuy = _uv_planes(chart_uv)
     h, w = cux.shape
     r0 = (y0 % 2) if isinstance(y0, int) else 0   # static slicing only
-    hux = cux[r0::2, 0::2]                            # [Hh,Wh]
-    huy = cuy[r0::2, 0::2]
+
+    def half_grid(p):
+        # stride-2 sampling via a 1x1 reduce_window: XLA lowers a plain
+        # p[::2, ::2] strided slice to a ~5 ms relayout at 1080p, while
+        # the window reduce runs at memory speed (~0.5 ms)
+        q = p[r0:] if r0 else p
+        return jax.lax.reduce_window(q, -jnp.inf, jax.lax.max,
+                                     (1, 1), (2, 2), "VALID")
+
+    hux = half_grid(cux)                              # [Hh,Wh]
+    huy = half_grid(cuy)
     x = jnp.clip(hux, 0.0, aw - 1.001)
     y = jnp.clip(huy, 0.0, ah - 1.001)
     ix = jnp.floor(x).astype(jnp.int32)
@@ -741,7 +752,16 @@ def sample_light_halfres(light8, chart_uv, ah: int, aw: int,
 
     ld3 = blend(0)
     ls3 = blend(4)
-    hl = [*ld3, *ls3, hux, huy]                       # 8 [Hh,Wh] planes
+    out = _guided_upsample([*ld3, *ls3], hux, huy, cux, cuy, r0, sim_radius)
+    return jnp.stack(out[0:3], axis=-1), jnp.stack(out[3:6], axis=-1)
+
+
+def _guided_upsample(channels, hux, huy, cux, cuy, r0, sim_radius=3.0):
+    """Chart-uv-guided 2x upsample shared by the half-res samplers:
+    ``channels`` are half-grid [Hh,Wh] planes sampled at chart uv
+    (hux,huy); (cux,cuy) are the full-res per-pixel chart uvs. Returns
+    full-res planes (same count). All plane math — zero gathers."""
+    h, w = cux.shape
 
     def up(x_):                      # h[i,j] -> full[y,x] = h[y//2,x//2]
         f = jnp.repeat(jnp.repeat(x_, 2, axis=0), 2, axis=1)
@@ -755,14 +775,16 @@ def sample_light_halfres(light8, chart_uv, ah: int, aw: int,
         sxy = jnp.concatenate([sx[1:], sx[-1:]], axis=0)
         return [up(p), up(sx), up(sy), up(sxy)]
 
-    corners = [shifts(p) for p in hl]                 # [8][4] planes
+    hl = list(channels) + [hux, huy]
+    corners = [shifts(p) for p in hl]                 # [C+2][4] planes
+    nc = len(channels)
 
     yy = (jnp.arange(h, dtype=jnp.int32) - r0) % 2
     xx = jnp.arange(w, dtype=jnp.int32) % 2
     fy = (0.5 * yy.astype(jnp.float32))[:, None]
     fx = (0.5 * xx.astype(jnp.float32))[None, :]
 
-    dists = [jnp.abs(corners[6][ci] - cux) + jnp.abs(corners[7][ci] - cuy)
+    dists = [jnp.abs(corners[nc][ci] - cux) + jnp.abs(corners[nc + 1][ci] - cuy)
              for ci in range(4)]
     wts = [(1 - fy) * (1 - fx) * (dists[0] < sim_radius),
            (1 - fy) * fx * (dists[1] < sim_radius),
@@ -783,13 +805,64 @@ def sample_light_halfres(light8, chart_uv, ah: int, aw: int,
         bsel.append(s)
         taken = taken | s
     out = []
-    for c in range(6):
+    for c in range(nc):
         acc = (corners[c][0] * wts[0] + corners[c][1] * wts[1]
                + corners[c][2] * wts[2] + corners[c][3] * wts[3]) * inv_tot
         best = (corners[c][0] * bsel[0] + corners[c][1] * bsel[1]
                 + corners[c][2] * bsel[2] + corners[c][3] * bsel[3])
         out.append(jnp.where(degenerate, best, acc))
-    return jnp.stack(out[0:3], axis=-1), jnp.stack(out[3:6], axis=-1)
+    return out
+
+
+def tss_shade_pre_halfres(rgb_blocks, a_blocks, chart_uv, ah: int, aw: int,
+                          y0: int = 0, need_alpha: bool = True,
+                          sim_radius: float = 3.0):
+    """``tss_shade_pre`` for DENSE full-screen passes: gather the
+    pre-shaded rgb block table on the half-pixel grid (4x fewer indices)
+    and chart-uv-guided-upsample — the pre-shaded chart rgb varies at
+    chart density, so the upsample loses nothing the factored half-res
+    light path doesn't. Alpha (when not a material factor) rides the
+    same half grid."""
+    import jax
+
+    cux, cuy = _uv_planes(chart_uv)
+    h, w = cux.shape
+    r0 = (y0 % 2) if isinstance(y0, int) else 0
+
+    def half_grid(p):
+        q = p[r0:] if r0 else p
+        return jax.lax.reduce_window(q, -jnp.inf, jax.lax.max,
+                                     (1, 1), (2, 2), "VALID")
+
+    hux = half_grid(cux)
+    huy = half_grid(cuy)
+    x = jnp.clip(hux, 0.0, aw - 1.001)
+    y = jnp.clip(huy, 0.0, ah - 1.001)
+    ix = jnp.floor(x).astype(jnp.int32)
+    iy = jnp.floor(y).astype(jnp.int32)
+    fxh = x - ix.astype(jnp.float32)
+    fyh = y - iy.astype(jnp.float32)
+    flat = iy * aw + ix
+    raw = rgb_blocks[flat]                            # [Hh,Wh,4] u32
+    ws = ((1 - fxh) * (1 - fyh), fxh * (1 - fyh),
+          (1 - fxh) * fyh, fxh * fyh)
+    acc = None
+    for ci in range(4):
+        r_, g_, b_ = rgb9e5_decode_planes(raw[..., ci])
+        t = (r_ * ws[ci], g_ * ws[ci], b_ * ws[ci])
+        acc = t if acc is None else tuple(a + v for a, v in zip(acc, t))
+    channels = list(acc)
+    if need_alpha:
+        ar = a_blocks[flat]                           # [Hh,Wh] u32
+        a00 = (ar & 255).astype(jnp.float32)
+        a10 = ((ar >> 8) & 255).astype(jnp.float32)
+        a01 = ((ar >> 16) & 255).astype(jnp.float32)
+        a11 = ((ar >> 24) & 255).astype(jnp.float32)
+        channels.append((a00 * ws[0] + a10 * ws[1] + a01 * ws[2]
+                         + a11 * ws[3]) / 255.0)
+    out = _guided_upsample(channels, hux, huy, cux, cuy, r0, sim_radius)
+    a = out[3] if need_alpha else jnp.ones_like(out[0])
+    return jnp.stack([out[0], out[1], out[2], a], axis=-1)
 
 
 def tss_shade_halfres(scene, chart_uv, uv, mat_id, light8,

@@ -295,3 +295,22 @@ class TestChartSubdivision:
         behind = np.array([[[0, 0, -1.0], [1, 0, -1.0], [0, 1, -1.0]]],
                           np.float32)
         assert lc._footprint_px(behind, vpj, 100, 100)[0] == 64.0
+
+
+class TestPreshadedHalfres:
+    def test_preshaded_halfres_parity(self):
+        """The dense pre-shaded half-grid gather + chart-uv-guided
+        upsample (tss_shade_pre_halfres — the headline's dense-peel path
+        at density <= 0.5) must be near-lossless vs the full-res
+        pre-shaded gather at the SAME density."""
+        import golden_configs
+        cases = {n: (f, c) for n, f, c in golden_configs.golden_cases()}
+        factory, cfg = cases["shadows_pcf"]
+        cfg = cfg.replace(debug_views=False, texture_space=True,
+                          tss_preshaded_blend=True, translucency=True,
+                          skybox=True, chart_density=0.5)
+        full = _memo_render(factory, cfg.replace(tss_halfres_light=0))
+        half = _memo_render(factory, cfg.replace(tss_halfres_light=1))
+        d = np.abs(full.astype(np.int32) - half.astype(np.int32)).max(-1)
+        assert d.mean() < 2.0, d.mean()
+        assert (d <= 16).mean() > 0.97, (d <= 16).mean()
