@@ -114,7 +114,7 @@ _NCB = 2                  # continuation-chunk double buffer (within a tile)
 
 def _raster_kernel(
     # scalar prefetch
-    tile_map_ref, starts_ref, counts_ref, y0_ref,
+    tile_map_ref, starts_ref, counts_ref, org_ref, y0_ref,
     # inputs (HBM + optional VMEM bounds block)
     pair_data_hbm, *rest,
     tile_h: int, tile_w: int, width: int, full_height: int, ntx: int,
@@ -182,8 +182,12 @@ def _raster_kernel(
         n_steps = jnp.where(count > 0,
                             (span_end - base0 + chunk - 1) // chunk, 0)
 
-        org_x = (tile % ntx) * tile_w
-        org_y = (tile // ntx) * tile_h + y0_ref[0]
+        # per-slot pixel origin, packed host-side (oy<<16|ox): integer
+        # div/mod on the scalar core is a multi-cycle slice of the
+        # ~0.28 us/tile fixed cost
+        org = org_ref[s]
+        org_x = org & 0xFFFF
+        org_y = (org >> 16) + y0_ref[0]
         px = org_x.astype(jnp.float32) + lx + (0.5 - width * 0.5)  # (1,128)
         py = org_y.astype(jnp.float32) + ly + (0.5 - full_height * 0.5)
 
@@ -624,7 +628,7 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         jax.ShapeDtypeStruct((grid_n, nt, n_planes, npx), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(grid_n,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -635,7 +639,9 @@ def rasterize_pallas(setup: TriSetup, height: int, width: int,
         ],
     )
     y0_arr = jnp.asarray(y0, jnp.int32).reshape(1)
-    args = [tile_map, bins.starts, bins.counts, y0_arr, pair_data]
+    tile_org = ((((tile_map // ntx) * tile_h) << 16)
+                | ((tile_map % ntx) * tile_w)).astype(jnp.int32)
+    args = [tile_map, bins.starts, bins.counts, tile_org, y0_arr, pair_data]
     if peel:
         tb = _tile_bounds(peel_bounds, height, width, tile_h, tile_w,
                           nty, ntx)

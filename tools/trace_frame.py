@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--preshaded-blend", action="store_true",
                     help="the headline default: pre-shaded translucent "
                     "peels, full-res opaque albedo")
+    ap.add_argument("--dither", action="store_true",
+                    help="dithered trilinear (one gather per texture tap)")
     ap.add_argument("--density", type=float, default=0.5)
     ap.add_argument("--chart-budget", type=int, default=2_000_000)
     ap.add_argument("--frames", type=int, default=3)
@@ -88,6 +90,7 @@ def main():
                                       or args.preshaded_blend),
                        tss_preshaded=args.preshaded,
                        tss_preshaded_blend=args.preshaded_blend,
+                       dither_trilinear=args.dither,
                        chart_density=args.density,
                        chart_budget=args.chart_budget)
     r = FrameRenderer(scene, cfg, backend="pallas")
