@@ -37,6 +37,11 @@ from . import uniforms
 from .uniforms import unpack_params
 
 
+# test hook: force separate opaque/peel launches even where the merged
+# opaque+dual-peel kernel applies (parity tests compare both paths)
+_FORCE_UNMERGED = False
+
+
 def _static_shadow_lights(dev) -> tuple:
     """Static per-light "pays the shadow lookup" flags — traced
     light-type tests can't skip the PCF window gather, so the gate must
@@ -516,10 +521,60 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         from ..raster.binning import count_span_overflow
         overflow = overflow + count_span_overflow(
             setup_s, config.raster.tile_h, config.raster.tile_w, opq_budget)
-    g, attrs = rasterize(setup_s, slice_h, w, config.raster, backend,
-                         attr_planes=ap, y0=y0, full_height=fh,
-                         tri_mat=scene["tri_material"], prepared=prep,
-                         max_pairs=opq_budget, planar_attrs=tss)
+
+    # merged launch: on the TSS pallas path the opaque base pass and the
+    # first TWO translucent peel layers share ONE tile walk (the former
+    # dual-peel launch was intercept-dominated: a full per-tile sweep for
+    # a ~66k-pair blend list at the headline)
+    merged_ok = (backend == "pallas" and tss and config.translucency
+                 and has_translucent and config.translucency_layers >= 2
+                 and not (config.alpha_mask and has_mask)
+                 and not _FORCE_UNMERGED)
+    merged_layers = None
+    setup_ts = ap_t = prep_t = None
+    if config.translucency and has_translucent:
+        setup_t = triangle_setup_corners(
+            corner_clip(scene["corner_attr_blend"][..., 0:3], vpm),
+            scene["n_blend"], w, fh, CullMode.NONE)
+        setup_ts = (setup_t if is_full
+                    else restrict_rows(setup_t, y0, slice_h, fh))
+        if backend != "pallas":
+            ap_t = None
+        elif tss:
+            from ..shading.lightchart import tss_attribute_planes
+            ap_t = tss_attribute_planes(
+                setup_t, corner_uv=scene["chart_corner_blend"],
+                uv_corners=scene["corner_attr_blend"][..., 6:8])
+        else:
+            ap_t = attribute_planes(setup_t,
+                                    corners=scene["corner_attr_blend"])
+        blend_budget = (config.blend_pair_budget
+                        or _pair_budget(setup_t.coef.shape[0],
+                                        config.raster.pairs_per_tri))
+        if backend == "pallas":
+            # bin + pack ONCE: every peel rasters the same blend geometry
+            from ..raster.pallas_raster import prepare_pallas_pairs
+            prep_t = prepare_pallas_pairs(
+                setup_ts, slice_h, w, max_pairs=blend_budget,
+                attr_planes=ap_t, tri_mat=scene["blend_tri_material"])
+            blend_overflow = prep_t.bins.n_overflow
+        elif return_stats and backend == "tiled":
+            from ..raster.binning import count_span_overflow
+            blend_overflow = count_span_overflow(
+                setup_ts, config.raster.tile_h, config.raster.tile_w,
+                blend_budget)
+
+    if merged_ok:
+        from ..raster.pallas_raster import rasterize_pallas_merged
+        (g, attrs), merged_layers = rasterize_pallas_merged(
+            setup_s, slice_h, w, prep, prep_t,
+            interpret=config.raster.pallas_interpret,
+            y0=y0, full_height=fh)
+    else:
+        g, attrs = rasterize(setup_s, slice_h, w, config.raster, backend,
+                             attr_planes=ap, y0=y0, full_height=fh,
+                             tri_mat=scene["tri_material"], prepared=prep,
+                             max_pairs=opq_budget, planar_attrs=tss)
 
     if tss:
         from ..shading.lightchart import resolve_tss
@@ -626,38 +681,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     # the reference's per-mesh back-to-front sorted draws with culling off
     # (RenderScene.cpp:127-159, GraphicsPipelineCache.cpp:307).
     if config.translucency and has_translucent:
-        # dedicated (small) blend draw list: the peels bin/raster only it
-        setup_t = triangle_setup_corners(
-            corner_clip(scene["corner_attr_blend"][..., 0:3], vpm),
-            scene["n_blend"], w, fh, CullMode.NONE)
-        setup_ts = (setup_t if is_full
-                    else restrict_rows(setup_t, y0, slice_h, fh))
-        if backend != "pallas":
-            ap_t = None
-        elif tss:
-            from ..shading.lightchart import tss_attribute_planes
-            ap_t = tss_attribute_planes(
-                setup_t, corner_uv=scene["chart_corner_blend"],
-                uv_corners=scene["corner_attr_blend"][..., 6:8])
-        else:
-            ap_t = attribute_planes(setup_t,
-                                    corners=scene["corner_attr_blend"])
-        blend_budget = (config.blend_pair_budget
-                        or _pair_budget(setup_t.coef.shape[0],
-                                        config.raster.pairs_per_tri))
-        prep_t = None
-        if backend == "pallas":
-            # bin + pack ONCE: every peel rasters the same blend geometry
-            from ..raster.pallas_raster import prepare_pallas_pairs
-            prep_t = prepare_pallas_pairs(
-                setup_ts, slice_h, w, max_pairs=blend_budget,
-                attr_planes=ap_t, tri_mat=scene["blend_tri_material"])
-            blend_overflow = prep_t.bins.n_overflow
-        elif return_stats and backend == "tiled":
-            from ..raster.binning import count_span_overflow
-            blend_overflow = count_span_overflow(
-                setup_ts, config.raster.tile_h, config.raster.tile_w,
-                blend_budget)
+        # (the blend draw list's setup/binning was hoisted above the
+        # opaque raster so the merged launch could consume it)
         prev = jnp.full((slice_h, w), -1.0, jnp.float32)
         layers = []
         n_tiles = ((-(-slice_h // config.raster.tile_h))
@@ -711,9 +736,16 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 (prep_t.bins.counts > 0).sum() - active, 0)
         # pallas: successive peel layers raster PAIRWISE in one launch
         # (the dual two-min kernel) — each launch pays the full per-tile
-        # walk + DMA sweep, so halving launches halves that fixed cost
+        # walk + DMA sweep, so halving launches halves that fixed cost.
+        # The first two layers usually arrive from the MERGED launch
+        # (shared with the opaque pass — zero extra tile walks).
         raster_layers = []
         li = 0
+        if merged_layers is not None:
+            raster_layers.extend(merged_layers)
+            g_last = merged_layers[1][0]
+            prev = jnp.where(g_last.tri_id >= 0, g_last.depth, 2.0)
+            li = 2
         while li < config.translucency_layers:
             if backend == "pallas" and li + 1 < config.translucency_layers:
                 pair = rasterize(setup_ts, slice_h, w, config.raster,

@@ -406,6 +406,365 @@ def _raster_kernel(
             out_ref[0, j] = empty_blk
 
 
+def _merged_kernel(
+    # scalar prefetch
+    starts_ref, counts_ref, starts2_ref, counts2_ref, org_ref, y0_ref,
+    # inputs (both pair tables, HBM)
+    pair_data_hbm, pair_data2_hbm,
+    # output + scratch
+    out_ref, data_buf, sems,
+    *, tile_h: int, tile_w: int, width: int, full_height: int,
+    n_slots: int, chunk: int, n_attrs: int, cpp: int, nt: int,
+):
+    """Opaque base pass + TWO translucent peel layers in ONE tile walk.
+
+    Table 1 (opaque) runs the single-winner tracker; table 2 (the small
+    blend draw list) runs the dual two-min tracker with NO depth bounds —
+    the opaque-occlusion test (d <= opaque depth) applies at the fold,
+    which is exact: occluded blend fragments are strictly deeper than
+    every visible one, so they can only occupy tracker slots when fewer
+    than two visible fragments exist, and the fold's cap then voids them.
+    This folds the former dual-peel launch's entire per-tile walk (its
+    dominant cost: 16200 tiles for ~66k pairs at the headline) into the
+    opaque pass, and the peel-bounds input disappears entirely.
+
+    Dense grids only (the opaque pass needs every tile; slots map 1:1 to
+    tiles).
+    """
+    ppr = 128 // cpp
+    assert n_attrs > 0, "merged kernel serves the TSS interp path"
+    n_num = n_attrs
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h * tile_w), 1)
+    lx = (lane % tile_w).astype(jnp.float32)
+    ly = (lane // tile_w).astype(jnp.float32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (GROUP, 1), 0)
+    shape = (GROUP, tile_h * tile_w)
+    npx_ = tile_h * tile_w
+    pp_ = 3 + n_num
+    one_ = jnp.ones((1, npx_), jnp.float32)
+    zero_ = jnp.zeros((pp_ - 2, npx_), jnp.float32)
+    empty_lay = jnp.concatenate([one_, -one_, zero_], axis=0)
+    pid = pl.program_id(0)
+
+    # stream DMA rings: A (opaque) buffers [0, _NFB+_NCB); B (blend)
+    # buffers [_NFB+_NCB, 2(_NFB+_NCB)) — same scheme as _raster_kernel
+    nb1 = _NFB + _NCB
+
+    def first_dma(stream, s):
+        tbl = pair_data_hbm if stream == 0 else pair_data2_hbm
+        st = (starts_ref if stream == 0 else starts2_ref)[s]
+        b0 = (st // GROUP) * GROUP
+        buf = s % _NFB + stream * nb1
+        return pltpu.make_async_copy(
+            tbl.at[pl.ds(b0 // ppr, chunk // ppr), :],
+            data_buf.at[buf], sems.at[buf])
+
+    def issue_first(stream, s):
+        cnts = counts_ref if stream == 0 else counts2_ref
+        @pl.when((s < n_slots) & (cnts[jnp.minimum(s, n_slots - 1)] > 0))
+        def _():
+            first_dma(stream, jnp.minimum(s, n_slots - 1)).start()
+
+    def fold(dc, idc, trid, matd, esumd, numsd, cand_gt=None, cap=None):
+        """Cross-sublane winner fold (see _raster_kernel.fold); ``cap``
+        voids the winner when its depth exceeds the cap (the merged
+        peel-vs-opaque occlusion test)."""
+        if cand_gt is not None:
+            dc = [jnp.where(c > cand_gt, c, 2.0) for c in dc]
+        dwin = jnp.min(dc[0], axis=0, keepdims=True)
+        for c in dc[1:]:
+            dwin = jnp.minimum(dwin, jnp.min(c, axis=0, keepdims=True))
+        idwin = jnp.full((1, shape[1]), _BIG_ID, jnp.int32)
+        meqs = []
+        for c, ic in zip(dc, idc):
+            meq = c == dwin
+            meqs.append(meq)
+            idwin = jnp.minimum(
+                idwin, jnp.min(jnp.where(meq, ic, _BIG_ID),
+                               axis=0, keepdims=True))
+        esum_w = jnp.zeros((1, shape[1]), jnp.float32)
+        tri_w = jnp.zeros((1, shape[1]), jnp.float32)
+        mat_w = jnp.zeros((1, shape[1]), jnp.float32)
+        nums_w = [jnp.zeros((1, shape[1]), jnp.float32)
+                  for _ in range(n_num)]
+        for meq, ic, tr, ma, es, nu in zip(meqs, idc, trid, matd,
+                                           esumd, numsd):
+            m2 = (meq & (ic == idwin)).astype(jnp.float32)
+            tri_w = tri_w + jnp.sum(tr * m2, axis=0, keepdims=True)
+            mat_w = mat_w + jnp.sum(ma * m2, axis=0, keepdims=True)
+            esum_w = esum_w + jnp.sum(es * m2, axis=0, keepdims=True)
+            for i, nv in enumerate(nu):
+                nums_w[i] = nums_w[i] + jnp.sum(nv * m2, axis=0,
+                                                keepdims=True)
+        inv_w = 1.0 / jnp.where(esum_w == 0, 1.0, esum_w)
+        none_ = idwin == _BIG_ID
+        if cap is not None:
+            none_ = none_ | (dwin > cap)
+        dep = jnp.where(none_, 1.0, dwin) if (cand_gt is not None
+                                              or cap is not None) else dwin
+        planes = [dep, jnp.where(none_, -1.0, tri_w), mat_w]
+        return planes + [nv * inv_w for nv in nums_w], dwin
+
+    for j in range(nt):
+        s = pid * nt + j
+        org = org_ref[s]
+        org_x = org & 0xFFFF
+        org_y = (org >> 16) + y0_ref[0]
+        px = org_x.astype(jnp.float32) + lx + (0.5 - width * 0.5)
+        py = org_y.astype(jnp.float32) + ly + (0.5 - full_height * 0.5)
+
+        if j == 0:
+            @pl.when(pid == 0)
+            def _():
+                for i in range(_NFB):
+                    issue_first(0, jnp.int32(i))
+                    issue_first(1, jnp.int32(i))
+
+        def run_stream(stream, dual):
+            tbl = pair_data_hbm if stream == 0 else pair_data2_hbm
+            start = (starts_ref if stream == 0 else starts2_ref)[s]
+            count = (counts_ref if stream == 0 else counts2_ref)[s]
+            base0 = (start // GROUP) * GROUP
+            span_end = start + count
+            n_steps = jnp.where(count > 0,
+                                (span_end - base0 + chunk - 1) // chunk, 0)
+
+            def buf_of(step):
+                return jnp.where(step == 0, s % _NFB,
+                                 _NFB + (step - 1) % _NCB) + stream * nb1
+
+            def dma(step):
+                off = (base0 + step * chunk) // ppr
+                b = buf_of(step)
+                return pltpu.make_async_copy(
+                    tbl.at[pl.ds(off, chunk // ppr), :],
+                    data_buf.at[b], sems.at[b])
+
+            def chunk_body(step, carry):
+                slot = buf_of(step)
+
+                @pl.when(step + 1 < n_steps)
+                def _():
+                    dma(step + 1).start()
+
+                dma(step).wait()
+                cbase = base0 + step * chunk
+                gsz = GROUP * ppr
+                n_groups = jnp.clip((span_end - cbase + gsz - 1) // gsz,
+                                    0, chunk // gsz)
+
+                def group_body(g, cr):
+                    cg = data_buf[slot, pl.ds(GROUP * g, GROUP), :]
+                    for k in range(ppr):
+                        c0 = k * cpp
+                        dmin, idmin, trif, matf, esum_c = (
+                            cr[0], cr[1], cr[2], cr[3], cr[4])
+                        num_c = list(cr[5:5 + n_num])
+                        if dual:
+                            (d2, id2, tri2, mat2, es2) = \
+                                cr[5 + n_num:10 + n_num]
+                            num2 = list(cr[10 + n_num:])
+                        idx = cbase + (GROUP * g + sub) * ppr + k
+
+                        e0 = cg[:, c0+0:c0+1] * px + cg[:, c0+1:c0+2] * py + cg[:, c0+2:c0+3]
+                        e1 = cg[:, c0+3:c0+4] * px + cg[:, c0+4:c0+5] * py + cg[:, c0+5:c0+6]
+                        e2 = cg[:, c0+6:c0+7] * px + cg[:, c0+7:c0+8] * py + cg[:, c0+8:c0+9]
+                        zn = cg[:, c0+9:c0+10] * px + cg[:, c0+10:c0+11] * py + cg[:, c0+11:c0+12]
+                        wn = cg[:, c0+12:c0+13] * px + cg[:, c0+13:c0+14] * py + cg[:, c0+14:c0+15]
+                        inside = (((e0 + cg[:, c0+15:c0+16]) > 0)
+                                  & ((e1 + cg[:, c0+16:c0+17]) > 0)
+                                  & ((e2 + cg[:, c0+17:c0+18]) > 0))
+                        wpos = wn > 0
+                        d = zn / jnp.where(wpos, wn, 1.0)
+                        cover = (inside & wpos & (d >= 0) & (d <= 1)
+                                 & (idx >= start) & (idx < span_end))
+                        take = cover & (d < dmin)
+                        if dual:
+                            take2 = cover & (d > dmin) & (d < d2)
+                            d2 = jnp.where(take, dmin,
+                                           jnp.where(take2, d, d2))
+                            id2 = jnp.where(
+                                take, idmin,
+                                jnp.where(take2,
+                                          jnp.broadcast_to(idx, shape), id2))
+                            tri2 = jnp.where(
+                                take, trif,
+                                jnp.where(take2,
+                                          cg[:, c0+TRI_COL:c0+TRI_COL+1],
+                                          tri2))
+                            mat2 = jnp.where(
+                                take, matf,
+                                jnp.where(take2,
+                                          cg[:, c0+MAT_COL:c0+MAT_COL+1],
+                                          mat2))
+                        dmin = jnp.where(take, d, dmin)
+                        idmin = jnp.where(take,
+                                          jnp.broadcast_to(idx, shape),
+                                          idmin)
+                        trif = jnp.where(take, cg[:, c0+TRI_COL:c0+TRI_COL+1], trif)
+                        matf = jnp.where(take, cg[:, c0+MAT_COL:c0+MAT_COL+1], matf)
+                        esum = e0 + e1 + e2
+                        if dual:
+                            es2 = jnp.where(take, esum_c,
+                                            jnp.where(take2, esum, es2))
+                        esum_c = jnp.where(take, esum, esum_c)
+                        nums = []
+                        for a in range(n_attrs):
+                            a0 = c0 + ATTR0 + 3 * a
+                            nums.append(cg[:, a0:a0+1] * px
+                                        + cg[:, a0+1:a0+2] * py
+                                        + cg[:, a0+2:a0+3])
+                        if dual:
+                            for i, nv in enumerate(nums):
+                                num2[i] = jnp.where(
+                                    take, num_c[i],
+                                    jnp.where(take2, nv, num2[i]))
+                        for i, nv in enumerate(nums):
+                            num_c[i] = jnp.where(take, nv, num_c[i])
+                        cr = (dmin, idmin, trif, matf, esum_c, *num_c)
+                        if dual:
+                            cr = cr + (d2, id2, tri2, mat2, es2, *num2)
+                    return cr
+
+                return jax.lax.fori_loop(0, n_groups, group_body, carry)
+
+            dmin0 = jnp.ones(shape, jnp.float32)
+            idmin0 = jnp.full(shape, _BIG_ID, jnp.int32)
+            z0 = jnp.zeros(shape, jnp.float32)
+            slot_init = ((dmin0, idmin0,
+                          jnp.full(shape, -1.0, jnp.float32),
+                          z0, z0) + tuple(z0 for _ in range(n_num)))
+            init = slot_init + slot_init if dual else slot_init
+            out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
+            issue_first(stream, s + _NFB)
+            return out, count
+
+        out_a, count_a = run_stream(0, dual=False)
+        out_b, count_b = run_stream(1, dual=True)
+
+        # opaque fold (planes 0..pp_) — always stored
+        @pl.when(count_a > 0)
+        def _():
+            planes_a, _ = fold([out_a[0]], [out_a[1]], [out_a[2]],
+                               [out_a[3]], [out_a[4]], [list(out_a[5:])])
+            out_ref[0, j, 0:pp_] = jnp.concatenate(planes_a, axis=0)
+
+        @pl.when(count_a == 0)
+        def _():
+            out_ref[0, j, 0:pp_] = empty_lay
+
+        # opaque winning depth caps both peel layers (occlusion);
+        # 1.0 (clear) where the opaque pass drew nothing
+        dwin_o = jnp.min(out_a[0], axis=0, keepdims=True)
+
+        @pl.when(count_b > 0)
+        def _():
+            o1 = out_b[:5 + n_num]
+            o2 = out_b[5 + n_num:]
+            planes1, dwin1 = fold([o1[0]], [o1[1]], [o1[2]], [o1[3]],
+                                  [o1[4]], [list(o1[5:])], cap=dwin_o)
+            planes2, _ = fold([o1[0], o2[0]], [o1[1], o2[1]],
+                              [o1[2], o2[2]], [o1[3], o2[3]],
+                              [o1[4], o2[4]],
+                              [list(o1[5:]), list(o2[5:])],
+                              cand_gt=dwin1, cap=dwin_o)
+            out_ref[0, j, pp_:3 * pp_] = jnp.concatenate(
+                planes1 + planes2, axis=0)
+
+        @pl.when(count_b == 0)
+        def _():
+            out_ref[0, j, pp_:3 * pp_] = jnp.concatenate(
+                [empty_lay, empty_lay], axis=0)
+
+
+def rasterize_pallas_merged(setup, height: int, width: int,
+                            prepared: PreparedPairs,
+                            prepared_blend: PreparedPairs,
+                            chunk: int = CHUNK, interpret: bool = False,
+                            y0=0, full_height: int | None = None):
+    """One launch = opaque base pass + two translucent peel layers (see
+    ``_merged_kernel``). Both PreparedPairs must carry the same attr
+    count. Returns ((g_opaque, attrs), [(g1, a1), (g2, a2)]) with attrs
+    as PLANAR plane lists."""
+    tile_h, tile_w = TILE_H, TILE_W
+    fh = height if full_height is None else full_height
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    n_tiles = ntx * nty
+    npx = tile_h * tile_w
+    n_attrs = prepared.n_attrs
+    assert n_attrs == prepared_blend.n_attrs and n_attrs > 0
+    cpp = _cols_per_pair(n_attrs)
+    gsz = GROUP * (128 // cpp)
+    chunk = max(gsz, (chunk // gsz) * gsz)
+    chunk = min(chunk, prepared.chunk, prepared_blend.chunk)
+
+    nt = TILES_PER_PROGRAM
+    grid_n = -(-n_tiles // nt)
+    n_slots = grid_n * nt
+    pp = 3 + n_attrs
+    n_planes = 3 * pp
+
+    kernel = functools.partial(
+        _merged_kernel,
+        tile_h=tile_h, tile_w=tile_w, width=width, full_height=fh,
+        n_slots=n_slots, chunk=chunk, n_attrs=n_attrs, cpp=cpp, nt=nt,
+    )
+
+    def padded(a, fill=0):
+        if n_slots > n_tiles:
+            a = jnp.concatenate(
+                [a, jnp.full((n_slots - n_tiles,), fill, a.dtype)])
+        return a
+
+    tiles = jnp.arange(n_slots, dtype=jnp.int32)
+    tile_org = ((((tiles // ntx) * tile_h) << 16)
+                | ((tiles % ntx) * tile_w)).astype(jnp.int32)
+    y0_arr = jnp.asarray(y0, jnp.int32).reshape(1)
+    args = [padded(prepared.bins.starts), padded(prepared.bins.counts),
+            padded(prepared_blend.bins.starts),
+            padded(prepared_blend.bins.counts),
+            tile_org, y0_arr,
+            prepared.pair_data, prepared_blend.pair_data]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(grid_n,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[pl.BlockSpec((1, nt, n_planes, npx),
+                                lambda i, *_: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[
+            pltpu.VMEM((2 * (_NFB + _NCB), chunk // (128 // cpp), 128),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * (_NFB + _NCB),)),
+        ],
+    )
+    outs = pl.pallas_call(kernel, grid_spec=grid_spec,
+                          out_shape=[jax.ShapeDtypeStruct(
+                              (grid_n, nt, n_planes, npx), jnp.float32)],
+                          interpret=interpret)(*args)
+    blk = outs[0].reshape(n_slots, n_planes, npx)[:n_tiles]
+
+    def untile(a):
+        a = a.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
+        return a.reshape(nty * tile_h, ntx * tile_w)[:height, :width]
+
+    def unpack(lb, has_mat):
+        tri_id = untile(lb[:, 1]).astype(jnp.int32)
+        mat_id = (jnp.where(tri_id >= 0,
+                            untile(lb[:, 2]).astype(jnp.int32), 0)
+                  if has_mat else None)
+        g = GBuffer(untile(lb[:, 0]), tri_id, None, mat_id)
+        return g, [untile(lb[:, 3 + a]) for a in range(n_attrs)]
+
+    opaque = unpack(blk[:, 0:pp], prepared.has_mat)
+    l1 = unpack(blk[:, pp:2 * pp], prepared_blend.has_mat)
+    l2 = unpack(blk[:, 2 * pp:3 * pp], prepared_blend.has_mat)
+    return opaque, [l1, l2]
+
+
 def _tile_bounds(peel_bounds, height, width, tile_h, tile_w, nty, ntx):
     """(prev[H,W], zmax[H,W]) -> [n_tiles, 2, th*tw] lane-major rows."""
     prev, zmax = peel_bounds

@@ -218,3 +218,34 @@ class TestPallasDualPeel:
                                           np.asarray(gs.tri_id))
             np.testing.assert_array_equal(np.asarray(gd.depth),
                                           np.asarray(gs.depth))
+
+
+class TestMergedLaunch:
+    def test_merged_frame_matches_separate_launches(self):
+        """The merged opaque+dual-peel launch (one tile walk) must render
+        the TSS translucent frame bit-exactly like the separate
+        opaque + peel launches (the occlusion cap moves from the per-
+        fragment test to the fold — exact by the depth-ordering
+        argument in _merged_kernel's docstring)."""
+        from renderengine_tpu.core.config import RenderConfig, RasterConfig
+        from renderengine_tpu.graph import frame as fr
+        from renderengine_tpu.graph.frame import FrameRenderer
+        from renderengine_tpu.scene import procedural
+
+        w, h = 64, 32
+        sc = procedural.sponza_scene(width=w, height=h, n_textures=4,
+                                     target_tris=400)
+        cfg = RenderConfig(width=w, height=h, shadow_extent=32,
+                           texture_space=True, translucency=True,
+                           debug_views=False,
+                           raster=RasterConfig(pallas_interpret=True,
+                                               auto_tune_pairs=False,
+                                               pairs_per_tri=8))
+        merged = np.asarray(FrameRenderer(sc, cfg, backend="pallas").render())
+        fr._FORCE_UNMERGED = True
+        try:
+            sep = np.asarray(FrameRenderer(sc, cfg, backend="pallas").render())
+        finally:
+            fr._FORCE_UNMERGED = False
+        mismatch = (merged != sep).mean()
+        assert mismatch == 0.0, f"merged differs on {mismatch:.2%} of bytes"
