@@ -769,11 +769,27 @@ def _guided_upsample(channels, hux, huy, cux, cuy, r0, sim_radius=3.0):
             f = jnp.concatenate([f[:1], f[:-1]], axis=0)
         return f[:h, :w]
 
-    def shifts(p):                   # [p, p+x, p+y, p+xy] neighbor planes
-        sx = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
-        sy = jnp.concatenate([p[1:], p[-1:]], axis=0)
-        sxy = jnp.concatenate([sx[1:], sx[-1:]], axis=0)
-        return [up(p), up(sx), up(sy), up(sxy)]
+    def cshift(u):                   # full-res equivalent of the half +x
+        ex = u[:, -1:]
+        return jnp.concatenate([u[:, 2:], ex, ex], axis=1)
+
+    def rshift(u):                   # full-res equivalent of the half +y
+        ey = u[-1:]
+        if r0:
+            # up() clamps full row 0 to half row 0 (phase shift), so the
+            # +y neighbor of row 0 is half row 1 = upsampled row 3
+            return jnp.concatenate([u[3:4], u[3:], ey, ey], axis=0)
+        return jnp.concatenate([u[2:], ey, ey], axis=0)
+
+    def shifts(p):
+        """[p, p+x, p+y, p+xy] corner planes at FULL res: one upsample,
+        then the half-grid neighbor shifts become full-res shifts by 2
+        (up(shift(p)) == shift2(up(p)), clamp included — the appended
+        edge columns/rows equal the half-grid clamp value). One repeat-
+        expansion per channel instead of four."""
+        u = up(p)
+        sx = cshift(u)
+        return [u, sx, rshift(u), rshift(sx)]
 
     hl = list(channels) + [hux, huy]
     corners = [shifts(p) for p in hl]                 # [C+2][4] planes
