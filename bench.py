@@ -97,9 +97,13 @@ def main():
                     help="pre-shade only the translucent peel passes "
                     "(opaque keeps full-res albedo); implies "
                     "--texture-space")
-    ap.add_argument("--dither", action="store_true",
+    ap.add_argument("--dither", action="store_true", default=None,
                     help="dithered trilinear: one gather per texture tap "
-                    "(4x4 Bayer mip rounding)")
+                    "(4x4 Bayer mip rounding). DEFAULT for the headline "
+                    "texture-space run (reported as a mip_filter "
+                    "divergence); --no-dither or --per-pixel for the "
+                    "reference's exact two-tap trilinear")
+    ap.add_argument("--no-dither", action="store_true")
     ap.add_argument("--chart-density", type=float, default=0.5)
     ap.add_argument("--chart-budget", type=int, default=2_000_000)
     ap.add_argument("--goldens", action="store_true",
@@ -143,6 +147,13 @@ def main():
         tss = args.preshaded_blend = True     # the headline default
     else:
         tss = bool(args.texture_space)
+    # headline default: ordered-dither mip rounding (ONE atlas gather per
+    # tap). The reference's sampler blends two mips; the divergence is
+    # printed in the JSON record below.
+    dither = (tss and not args.per_pixel) if args.dither is None \
+        else bool(args.dither)
+    if args.no_dither:
+        dither = False
     # debug_views=False == the reference's runtime default (debug NONE);
     # on TPU the zero-cost-when-off form of that uniform branch is
     # trace-time specialization (toggling re-jits, like a pipeline rebuild)
@@ -154,7 +165,8 @@ def main():
                                       or args.preshaded_blend),
                        tss_preshaded=args.preshaded,
                        tss_preshaded_blend=args.preshaded_blend,
-                       dither_trilinear=args.dither,
+                       dither_trilinear=dither,
+                       sky_halfres=(tss and not args.per_pixel),
                        chart_density=args.chart_density,
                        chart_budget=args.chart_budget,
                        raster=RasterConfig(pairs_per_tri=args.pairs_per_tri))
@@ -246,10 +258,27 @@ def main():
         "vs_baseline": round(fps / 60.0, 4),
         "shading_mode": mode + ("+dither" if cfg.dither_trilinear else ""),
     }
-    if not args.quick and args.shadow_extent != 4096:
-        # reference constant: 4096^2 shadow maps (RenderScene.cpp:26)
-        rec["config_divergence"] = (
-            f"shadow_extent={args.shadow_extent} (reference constant 4096)")
+    if not args.quick:
+        # loud divergence notes: every knob the measured config sets
+        # differently from the reference's own constants
+        div = []
+        if args.shadow_extent != 4096:
+            # reference constant: 4096^2 shadow maps (RenderScene.cpp:26)
+            div.append(f"shadow_extent={args.shadow_extent} "
+                       "(reference constant 4096)")
+        if cfg.max_anisotropy < 16:
+            # reference requests the device max, 16x (TextureCache.cpp:185)
+            div.append(f"max_anisotropy={cfg.max_anisotropy} "
+                       "(reference sampler requests 16)")
+        if cfg.dither_trilinear:
+            div.append("mip_filter=dithered (reference: two-tap trilinear)")
+        if cfg.sky_halfres:
+            div.append("sky=half-grid sampled (reference: per-pixel)")
+        if cfg.texture_space:
+            div.append("shading=texture-space charts "
+                       "(reference: per-pixel fragment shading)")
+        if div:
+            rec["config_divergence"] = "; ".join(div)
     print(json.dumps(rec))
 
 

@@ -95,6 +95,7 @@ class RenderConfig:
     chart_budget: int = 2_000_000  # total chart texel cap (atlas size / gather-table price)
     tss_halfres_light: int = -1  # dense-pass half-res light sampling: -1 = auto (on when chart_density <= 0.5 — lighting varies at >= 2 px scale there anyway), 0 = off, 1 = on. Factored TSS only
     dither_trilinear: bool = False  # one gather per texture tap: the mip fraction ordered-dithers (4x4 Bayer) the level choice instead of blending two bilinear fetches — halves atlas gather cost for ~1/2-mip-step spatial noise on mip gradients (the 'dithered trilinear' of shipping rasterizers). False = reference-exact trilinear
+    sky_halfres: bool = False  # sample the skybox on the even-pixel half grid + bilinear upsample: cubemap gathers price per INDEX (~2-4 ms per 2M-index gather regardless of the small cube), and the sky is magnified many screen pixels per cube texel, so the upsample is visually lossless. False = reference-exact per-pixel sample
     tss_preshaded: bool = False  # fully pre-shaded charts: albedo is baked at chart resolution and rgb = albedo*ld + ls composes IN CHART SPACE, so every screen pass costs ONE 16-byte rgb9e5-block gather per pixel (translucent passes add one 4-byte alpha-block gather). Texture detail then lives at chart_density — run with chart_density 1.0 / a larger chart_budget for parity-grade detail. Requires texture_space
     tss_preshaded_blend: bool = False  # pre-shade ONLY the translucent peel passes (opaque keeps the factored full-res albedo tap): each peel layer drops from a trilinear atlas tap + light gathers to one 16-byte block gather + one 4-byte alpha gather per pixel. Chart-res albedo on a blended surface (banner at alpha<1 over a busy background) is visually mild, so this is the cheap 80% of tss_preshaded. Requires texture_space; implied by tss_preshaded
     mask_layers: int = 2      # cutoff-pass peel depth: fragments revealed through >= this many stacked discarded MASK layers fall back to the opaque surface behind

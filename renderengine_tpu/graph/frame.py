@@ -670,8 +670,10 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     # (skybox.frag:30), so its stored (sRGB-encoded) values pass through as
     # if linear and get re-encoded by the swapchain.
     if config.skybox:
-        sky = skybox.render_skybox(scene["cubemap"], params["inv_vp_rot"],
-                                   slice_h, w, y0=y0, full_height=fh)
+        sky_fn = (skybox.render_skybox_halfres if config.sky_halfres
+                  else skybox.render_skybox)
+        sky = sky_fn(scene["cubemap"], params["inv_vp_rot"],
+                     slice_h, w, y0=y0, full_height=fh)
         rgb = jnp.where(covered[..., None], rgba[..., :3], sky[..., :3])
     else:
         rgb = jnp.where(covered[..., None], rgba[..., :3], 0.0)

@@ -79,18 +79,27 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
     #    WITHOUT the [P] gather whenever the bit budget fits u32.
     tile_bits = max(1, int(n_tiles - 1).bit_length())
     if ntx <= 255 and max_pairs < (1 << 23) and n_tiles < (1 << 23):
-        c0 = _fill_from_heads((offsets << 8) | nx, offsets, span, max_pairs)
-        off_s = c0 >> 8
-        nxv = c0 & 255
         if tri_bits + tile_bits <= 32:
-            tb = _fill_from_heads(
-                (jnp.arange(t_tris, dtype=jnp.uint32) << tile_bits)
-                | rowbase.astype(jnp.uint32), offsets, span, max_pairs)
+            # ONE two-lane head scatter + one cummax for BOTH fills:
+            # scatter cost is per-update (~8 ns), so a [T,2] update costs
+            # about one [T] update, not two (measured ~2 ms at 260k tris)
+            vals = jnp.stack(
+                [((offsets << 8) | nx).astype(jnp.uint32),
+                 (jnp.arange(t_tris, dtype=jnp.uint32) << tile_bits)
+                 | rowbase.astype(jnp.uint32)], axis=-1)          # [T,2]
+            f2 = _fill_from_heads(vals, offsets, span, max_pairs)
+            c0 = f2[:, 0]
+            tb = f2[:, 1]
             tri = (tb >> tile_bits).astype(jnp.int32)
             base_s = (tb & ((1 << tile_bits) - 1)).astype(jnp.int32)
         else:
+            c0 = _fill_from_heads(
+                ((offsets << 8) | nx).astype(jnp.uint32),
+                offsets, span, max_pairs)
             tri = _segment_ids_from_offsets(offsets, span, max_pairs)
             base_s = rowbase[tri]                                 # [P]
+        off_s = (c0 >> 8).astype(jnp.int32)
+        nxv = (c0 & 255).astype(jnp.int32)
     else:
         tri = _segment_ids_from_offsets(offsets, span, max_pairs)
         bin_rows = jnp.stack([offsets, nx, rowbase], axis=-1)
@@ -120,9 +129,32 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
         sck = jax.lax.sort(ck, dimension=0, is_stable=False)  # keys unique
         sorted_tri = (sck & ((1 << tri_bits) - 1)).astype(jnp.int32)
         sorted_key = (sck >> tri_bits).astype(jnp.int32)
-        edges = jnp.searchsorted(
-            sck, (jnp.arange(n_tiles + 1, dtype=jnp.uint32) << tri_bits),
-            side="left", method="scan_unrolled").astype(jnp.int32)
+        # (starts, counts) via segment-HEAD positions, not searchsorted:
+        # the binary search is 20 SEQUENTIAL latency-bound gather rounds
+        # (~4 ms at a 574k table); sorting the head positions instead
+        # costs one more u32 sort (~0.4 ms) + 16k-sized gathers/scatters.
+        # Segments (distinct sorted keys' tiles, + one invalid-key
+        # segment) number <= n_tiles + 1, so the first n_tiles + 1 sorted
+        # positions hold every head.
+        is_head = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_),
+             sorted_key[1:] != sorted_key[:-1]])
+        hp = jax.lax.sort(jnp.where(is_head, slots, max_pairs)
+                          .astype(jnp.uint32), dimension=0,
+                          is_stable=False)[:n_tiles + 1]
+        hp = hp.astype(jnp.int32)
+        ht = sorted_key[jnp.minimum(hp, max_pairs - 1)]       # tile ids
+        hn = jnp.concatenate([hp[1:],
+                              jnp.full((1,), max_pairs, jnp.int32)])
+        hn = jnp.minimum(hn, max_pairs)
+        live = (hp < max_pairs) & (ht < n_tiles)
+        idx = jnp.where(live, ht, n_tiles)
+        starts = jnp.zeros(n_tiles, jnp.int32).at[idx].max(
+            jnp.where(live, hp, 0), mode="drop")
+        counts = jnp.zeros(n_tiles, jnp.int32).at[idx].max(
+            jnp.where(live, hn - hp, 0), mode="drop")
+        return TileBins(sorted_tri, sorted_key < n_tiles, starts, counts,
+                        n_overflow)
     else:
         sorted_key, sorted_tri = jax.lax.sort((key, tri), dimension=0,
                                               num_keys=1, is_stable=True)
@@ -169,8 +201,10 @@ def _fill_from_heads(values, offsets, span, n_out: int):
     """Forward-fill per-segment ``values`` (which must be MONOTONIC
     non-decreasing across non-empty segment heads) over the slot axis:
     scatter at heads, cummax-fill — the gather-free sibling of
-    ``_segment_ids_from_offsets``."""
+    ``_segment_ids_from_offsets``. ``values`` may be [T] or [T, k]
+    (k lanes fill together through one scatter + one scan)."""
     heads = jnp.where(span > 0, offsets, n_out)
-    v = jnp.zeros(n_out + 1, values.dtype).at[heads].max(
+    shape = (n_out + 1,) + values.shape[1:]
+    v = jnp.zeros(shape, values.dtype).at[heads].max(
         values, mode="drop")[:n_out]
-    return jax.lax.cummax(v)
+    return jax.lax.cummax(v, axis=0)

@@ -253,13 +253,21 @@ def _raster_kernel(
                     e2 = cg[:, c0+6:c0+7] * px + cg[:, c0+7:c0+8] * py + cg[:, c0+8:c0+9]
                     zn = cg[:, c0+9:c0+10] * px + cg[:, c0+10:c0+11] * py + cg[:, c0+11:c0+12]
                     wn = cg[:, c0+12:c0+13] * px + cg[:, c0+13:c0+14] * py + cg[:, c0+14:c0+15]
-                    inside = (((e0 + cg[:, c0+15:c0+16]) > 0)
-                              & ((e1 + cg[:, c0+16:c0+17]) > 0)
-                              & ((e2 + cg[:, c0+17:c0+18]) > 0))
-                    wpos = wn > 0
-                    d = zn / jnp.where(wpos, wn, 1.0)
-                    cover = (inside & wpos & (d >= 0) & (d <= 1)
-                             & (idx >= start) & (idx < span_end))
+                    # coverage in RATIONAL space (zn>=0, zn<=wn replace
+                    # d-bounds; min-fold replaces 3 cmp + 2 and), and NO
+                    # idx-span test: slots outside [start, span_end) hold
+                    # either a NEIGHBOR tile's pairs — screen-space planes
+                    # are globally valid, and any pair covering a pixel
+                    # here is also in THIS tile's span (bbox binning), so
+                    # drawing it is correct — or zeroed rows (dead/padding,
+                    # see the pack), whose coverage self-voids (0 > 0).
+                    emin = jnp.minimum(
+                        e0 + cg[:, c0+15:c0+16],
+                        jnp.minimum(e1 + cg[:, c0+16:c0+17],
+                                    e2 + cg[:, c0+17:c0+18]))
+                    d = zn / wn   # wn<=0 never covers; inf/NaN cmp = False
+                    cover = ((emin > 0) & (wn > 0)
+                             & (zn >= 0) & (zn <= wn))
                     if peel:
                         cover = cover & (d > prev_d) & (d <= zmax)
                     take = cover & (d < dmin)
@@ -444,6 +452,7 @@ def _merged_kernel(
     one_ = jnp.ones((1, npx_), jnp.float32)
     zero_ = jnp.zeros((pp_ - 2, npx_), jnp.float32)
     empty_lay = jnp.concatenate([one_, -one_, zero_], axis=0)
+    empty2_lay = jnp.concatenate([empty_lay, empty_lay], axis=0)
     pid = pl.program_id(0)
 
     # stream DMA rings: A (opaque) buffers [0, _NFB+_NCB); B (blend)
@@ -505,21 +514,27 @@ def _merged_kernel(
         planes = [dep, jnp.where(none_, -1.0, tri_w), mat_w]
         return planes + [nv * inv_w for nv in nums_w], dwin
 
-    for j in range(nt):
+    # does ANY of this program's nt tiles have blend pairs? 87% of
+    # programs at the headline have none (blend geometry clusters), and
+    # for them the whole stream-B tile loop below — loop setup, carry
+    # init, branches, per-tile stores — collapses to ONE broadcast store.
+    # The measured per-tile fixed cost of this kernel is ~0.6 us (9.5 ms
+    # at the 16200-tile 1080p grid with only 7k pairs), so skipped fixed
+    # work is the dominant lever, not pair math.
+    b_any = counts2_ref[pid * nt] > 0
+    for jj in range(1, nt):
+        b_any = b_any | (counts2_ref[pid * nt + jj] > 0)
+
+    def tile_px(j):
         s = pid * nt + j
         org = org_ref[s]
         org_x = org & 0xFFFF
         org_y = (org >> 16) + y0_ref[0]
         px = org_x.astype(jnp.float32) + lx + (0.5 - width * 0.5)
         py = org_y.astype(jnp.float32) + ly + (0.5 - full_height * 0.5)
+        return s, px, py
 
-        if j == 0:
-            @pl.when(pid == 0)
-            def _():
-                for i in range(_NFB):
-                    issue_first(0, jnp.int32(i))
-                    issue_first(1, jnp.int32(i))
-
+    def make_run_stream(s, px, py):
         def run_stream(stream, dual):
             tbl = pair_data_hbm if stream == 0 else pair_data2_hbm
             start = (starts_ref if stream == 0 else starts2_ref)[s]
@@ -571,13 +586,15 @@ def _merged_kernel(
                         e2 = cg[:, c0+6:c0+7] * px + cg[:, c0+7:c0+8] * py + cg[:, c0+8:c0+9]
                         zn = cg[:, c0+9:c0+10] * px + cg[:, c0+10:c0+11] * py + cg[:, c0+11:c0+12]
                         wn = cg[:, c0+12:c0+13] * px + cg[:, c0+13:c0+14] * py + cg[:, c0+14:c0+15]
-                        inside = (((e0 + cg[:, c0+15:c0+16]) > 0)
-                                  & ((e1 + cg[:, c0+16:c0+17]) > 0)
-                                  & ((e2 + cg[:, c0+17:c0+18]) > 0))
-                        wpos = wn > 0
-                        d = zn / jnp.where(wpos, wn, 1.0)
-                        cover = (inside & wpos & (d >= 0) & (d <= 1)
-                                 & (idx >= start) & (idx < span_end))
+                        # rational-space coverage, no idx-span test — see
+                        # _raster_kernel.group_body for the argument
+                        emin = jnp.minimum(
+                            e0 + cg[:, c0+15:c0+16],
+                            jnp.minimum(e1 + cg[:, c0+16:c0+17],
+                                        e2 + cg[:, c0+17:c0+18]))
+                        d = zn / wn
+                        cover = ((emin > 0) & (wn > 0)
+                                 & (zn >= 0) & (zn <= wn))
                         take = cover & (d < dmin)
                         if dual:
                             take2 = cover & (d > dmin) & (d < d2)
@@ -636,11 +653,26 @@ def _merged_kernel(
                           z0, z0) + tuple(z0 for _ in range(n_num)))
             init = slot_init + slot_init if dual else slot_init
             out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
-            issue_first(stream, s + _NFB)
             return out, count
 
-        out_a, count_a = run_stream(0, dual=False)
-        out_b, count_b = run_stream(1, dual=True)
+        return run_stream
+
+    # ---- stream A (opaque): every tile ----
+    for j in range(nt):
+        s, px, py = tile_px(j)
+        if j == 0:
+            @pl.when(pid == 0)
+            def _():
+                for i in range(_NFB):
+                    issue_first(0, jnp.int32(i))
+                    issue_first(1, jnp.int32(i))
+
+        out_a, count_a = make_run_stream(s, px, py)(0, dual=False)
+        # ring: our stream-A first-chunk buffer (s % _NFB) is consumed;
+        # hand it to tile s + _NFB. Stream B's ring is kept warm in the
+        # B loop / skip branch below (issuing here would race the B loop:
+        # buffer (s+_NFB) % _NFB == s % _NFB is still unconsumed)
+        issue_first(0, s + _NFB)
 
         # opaque fold (planes 0..pp_) — always stored
         @pl.when(count_a > 0)
@@ -653,28 +685,46 @@ def _merged_kernel(
         def _():
             out_ref[0, j, 0:pp_] = empty_lay
 
-        # opaque winning depth caps both peel layers (occlusion);
-        # 1.0 (clear) where the opaque pass drew nothing
-        dwin_o = jnp.min(out_a[0], axis=0, keepdims=True)
+    # ---- stream B (two peel layers): only when this program has any ----
+    @pl.when(b_any)
+    def _():
+        for j in range(nt):
+            s, px, py = tile_px(j)
+            out_b, count_b = make_run_stream(s, px, py)(1, dual=True)
+            issue_first(1, s + _NFB)
+            # opaque winning depth caps both peel layers (occlusion):
+            # read back the STORED dep plane (== the fold-A dwin; 1.0
+            # where the opaque pass drew nothing)
+            dwin_o = out_ref[0, j, 0:1]
 
-        @pl.when(count_b > 0)
-        def _():
-            o1 = out_b[:5 + n_num]
-            o2 = out_b[5 + n_num:]
-            planes1, dwin1 = fold([o1[0]], [o1[1]], [o1[2]], [o1[3]],
-                                  [o1[4]], [list(o1[5:])], cap=dwin_o)
-            planes2, _ = fold([o1[0], o2[0]], [o1[1], o2[1]],
-                              [o1[2], o2[2]], [o1[3], o2[3]],
-                              [o1[4], o2[4]],
-                              [list(o1[5:]), list(o2[5:])],
-                              cand_gt=dwin1, cap=dwin_o)
-            out_ref[0, j, pp_:3 * pp_] = jnp.concatenate(
-                planes1 + planes2, axis=0)
+            @pl.when(count_b > 0)
+            def _():
+                o1 = out_b[:5 + n_num]
+                o2 = out_b[5 + n_num:]
+                planes1, dwin1 = fold([o1[0]], [o1[1]], [o1[2]], [o1[3]],
+                                      [o1[4]], [list(o1[5:])], cap=dwin_o)
+                planes2, _ = fold([o1[0], o2[0]], [o1[1], o2[1]],
+                                  [o1[2], o2[2]], [o1[3], o2[3]],
+                                  [o1[4], o2[4]],
+                                  [list(o1[5:]), list(o2[5:])],
+                                  cand_gt=dwin1, cap=dwin_o)
+                out_ref[0, j, pp_:3 * pp_] = jnp.concatenate(
+                    planes1 + planes2, axis=0)
 
-        @pl.when(count_b == 0)
-        def _():
-            out_ref[0, j, pp_:3 * pp_] = jnp.concatenate(
-                [empty_lay, empty_lay], axis=0)
+            @pl.when(count_b == 0)
+            def _():
+                out_ref[0, j, pp_:3 * pp_] = empty2_lay
+
+    @pl.when(jnp.logical_not(b_any))
+    def _():
+        # no blend pairs anywhere in this program: ONE broadcast store
+        # clears both peel layers of all nt tiles, and the B ring is kept
+        # warm for downstream programs (all of OUR tiles' counts are 0,
+        # so none of their buffers were ever claimed)
+        for j in range(nt):
+            issue_first(1, pid * nt + j + _NFB)
+        out_ref[0, :, pp_:3 * pp_] = jnp.broadcast_to(
+            empty2_lay[None], (nt, 2 * pp_, npx_))
 
 
 def rasterize_pallas_merged(setup, height: int, width: int,

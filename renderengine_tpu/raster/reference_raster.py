@@ -54,7 +54,10 @@ def _coverage_and_depth(coef, tie, p):
     inside = jnp.all((e > 0) | ((e == 0) & tie_b), axis=-1)
     wpos = wnum > 0
     depth = znum / jnp.where(wpos, wnum, 1.0)
-    cover = inside & wpos & (depth >= 0.0) & (depth <= 1.0)
+    # depth bounds tested in RATIONAL space (exact: no divide rounding at
+    # the 0/1 boundaries); identical rule in tiled.py and the pallas
+    # kernels keeps all backends bit-exact against each other
+    cover = inside & wpos & (znum >= 0.0) & (znum <= wnum)
     return cover, depth
 
 

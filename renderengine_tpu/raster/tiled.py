@@ -87,7 +87,9 @@ def rasterize_tiled(setup: TriSetup, height: int, width: int,
         znum = vals[:, :, 3]
         wpos = wnum > 0
         depth = znum / jnp.where(wpos, wnum, 1.0)
-        cover = inside & wpos & (depth >= 0) & (depth <= 1) & in_bin[..., None, None]
+        # rational depth bounds — see reference_raster._eval_cover
+        cover = (inside & wpos & (znum >= 0) & (znum <= wnum)
+                 & in_bin[..., None, None])
         if peel_bounds is not None:
             cover = cover & (depth > prev_t[:, None]) & (depth <= zmax_t[:, None])
         depth = jnp.where(cover, depth, 2.0)

@@ -45,15 +45,19 @@ def aggregate(trace_dir: str) -> dict:
                                   or "device" in pid_name.get(p, "").lower())}
     agg = defaultdict(float)
     src = defaultdict(float)
+    per_file = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in dev:
             continue
         dur = float(e.get("dur", 0.0)) / 1e3   # us -> ms
         agg[e.get("name", "?")] += dur
-        src[e.get("args", {}).get("source", "(no-src)")] += dur
+        s = e.get("args", {}).get("source", "(no-src)")
+        src[s] += dur
+        per_file[s.rsplit(":", 1)[0].rsplit("/", 1)[-1]] += dur
         total += dur
-    return {"per_op": dict(agg), "per_source": dict(src), "total_ms": total}
+    return {"per_op": dict(agg), "per_source": dict(src),
+            "per_file": dict(per_file), "total_ms": total}
 
 
 def main():
@@ -134,6 +138,10 @@ def main():
     rows = sorted(res["per_source"].items(), key=lambda kv: -kv[1])
     for name, ms in rows[:args.top]:
         print(f"{ms/args.frames:9.2f} ms  {name[:110]}", file=sys.stderr)
+    print("# --- by file ---", file=sys.stderr)
+    rows = sorted(res["per_file"].items(), key=lambda kv: -kv[1])
+    for name, ms in rows:
+        print(f"{ms/args.frames:9.2f} ms  {name}", file=sys.stderr)
     print("# --- by op ---", file=sys.stderr)
     rows = sorted(res["per_op"].items(), key=lambda kv: -kv[1])
     for name, ms in rows[:args.top]:
