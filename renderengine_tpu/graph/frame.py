@@ -406,8 +406,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                     need_alpha=need_alpha and not alpha_is_factor)
                 if need_alpha and alpha_is_factor:
                     from ..shading import sampling
-                    fa = sampling.table_lookup(
-                        scene["mat_all"], mat_id)[..., 3]
+                    fa = sampling.table_lookup_planar(
+                        scene["mat_all"], mat_id, (3,))[0]
                     out = jnp.concatenate(
                         [out[..., :3],
                          fa[..., None].astype(jnp.float32)], axis=-1)
@@ -430,8 +430,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                     need_alpha=need_alpha and not alpha_is_factor)
                 if need_alpha and alpha_is_factor:
                     from ..shading import sampling
-                    fa = sampling.table_lookup(
-                        scene["mat_all"], mat_id)[..., 3]
+                    fa = sampling.table_lookup_planar(
+                        scene["mat_all"], mat_id, (3,))[0]
                     out = jnp.concatenate(
                         [out[..., :3],
                          fa[..., None].astype(jnp.float32)], axis=-1)

@@ -79,23 +79,20 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
     #    WITHOUT the [P] gather whenever the bit budget fits u32.
     tile_bits = max(1, int(n_tiles - 1).bit_length())
     if ntx <= 255 and max_pairs < (1 << 23) and n_tiles < (1 << 23):
+        # two SEPARATE 1-D fills: a combined [T,2] fill measured 2x
+        # SLOWER on chip (10.4 vs 8.8 ms at the headline) — the [P,2]
+        # cummax/scatter layout packs 2 of 128 vector lanes, so each scan
+        # pass wastes 98% of the VPU; 1-D scans pack lanes fully
+        c0 = _fill_from_heads(
+            ((offsets << 8) | nx).astype(jnp.uint32),
+            offsets, span, max_pairs)
         if tri_bits + tile_bits <= 32:
-            # ONE two-lane head scatter + one cummax for BOTH fills:
-            # scatter cost is per-update (~8 ns), so a [T,2] update costs
-            # about one [T] update, not two (measured ~2 ms at 260k tris)
-            vals = jnp.stack(
-                [((offsets << 8) | nx).astype(jnp.uint32),
-                 (jnp.arange(t_tris, dtype=jnp.uint32) << tile_bits)
-                 | rowbase.astype(jnp.uint32)], axis=-1)          # [T,2]
-            f2 = _fill_from_heads(vals, offsets, span, max_pairs)
-            c0 = f2[:, 0]
-            tb = f2[:, 1]
+            tb = _fill_from_heads(
+                (jnp.arange(t_tris, dtype=jnp.uint32) << tile_bits)
+                | rowbase.astype(jnp.uint32), offsets, span, max_pairs)
             tri = (tb >> tile_bits).astype(jnp.int32)
             base_s = (tb & ((1 << tile_bits) - 1)).astype(jnp.int32)
         else:
-            c0 = _fill_from_heads(
-                ((offsets << 8) | nx).astype(jnp.uint32),
-                offsets, span, max_pairs)
             tri = _segment_ids_from_offsets(offsets, span, max_pairs)
             base_s = rowbase[tri]                                 # [P]
         off_s = (c0 >> 8).astype(jnp.int32)

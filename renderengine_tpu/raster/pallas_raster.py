@@ -674,16 +674,14 @@ def _merged_kernel(
         # buffer (s+_NFB) % _NFB == s % _NFB is still unconsumed)
         issue_first(0, s + _NFB)
 
-        # opaque fold (planes 0..pp_) — always stored
-        @pl.when(count_a > 0)
-        def _():
-            planes_a, _ = fold([out_a[0]], [out_a[1]], [out_a[2]],
-                               [out_a[3]], [out_a[4]], [list(out_a[5:])])
-            out_ref[0, j, 0:pp_] = jnp.concatenate(planes_a, axis=0)
-
-        @pl.when(count_a == 0)
-        def _():
-            out_ref[0, j, 0:pp_] = empty_lay
+        # opaque fold — UNCONDITIONAL: folding the untouched init carries
+        # yields exactly the clear block (dwin=1, idwin=BIG -> tri=-1,
+        # all sums 0), so the empty-tile branch pair costs more than the
+        # fold it skips on this dense grid (most tiles are covered; the
+        # sparse shadow grids keep their branch in _raster_kernel)
+        planes_a, _ = fold([out_a[0]], [out_a[1]], [out_a[2]],
+                           [out_a[3]], [out_a[4]], [list(out_a[5:])])
+        out_ref[0, j, 0:pp_] = jnp.concatenate(planes_a, axis=0)
 
     # ---- stream B (two peel layers): only when this program has any ----
     @pl.when(b_any)

@@ -638,6 +638,20 @@ def sample_rgbe_blocks(blocks: jnp.ndarray, uv: jnp.ndarray,
     return top * (1 - fy) + bot * fy
 
 
+def _slot_planes(p6):
+    """``pbr._slot`` from 6 channel-leading planes (cols 16..21 of
+    mat_all: page,x,y,w,h,n_mips for texture slot 0)."""
+    return {
+        "page": p6[0].astype(jnp.int32),
+        "x": p6[1].astype(jnp.int32),
+        "y": p6[2].astype(jnp.int32),
+        "w": p6[3].astype(jnp.int32),
+        "h": p6[4].astype(jnp.int32),
+        "n_mips": p6[5].astype(jnp.int32),
+        "valid": p6[0] >= 0,
+    }
+
+
 def _uv_planes(uv):
     """Accept a uv as channel-minor [...,2] OR a (x_plane, y_plane) pair
     (the raster's ``planar_attrs`` form — minor-dim slices of a [...,2]
@@ -894,10 +908,14 @@ def tss_shade_halfres(scene, chart_uv, uv, mat_id, light8,
     light_d, light_s = sample_light_halfres(light8, chart_uv,
                                             ah, aw, y0, uv=uv, mat_id=mat_id)
     uv = _uv_minor(uv)              # the sampler path is channel-minor
-    row = sampling.table_lookup(scene["mat_all"], mat_id)
-    factor_a = row[..., 3].astype(jnp.float32)
+    # PLANAR column lookup: only base-color-factor alpha (col 3) + the
+    # base-texture slot (cols 16..21) are consumed here, and the planar
+    # form avoids the [H,W,40]-row relayout copy (~1 ms/pass at 1080p)
+    pl7 = sampling.table_lookup_planar(scene["mat_all"], mat_id,
+                                       (3, 16, 17, 18, 19, 20, 21))
+    factor_a = pl7[0]
     if slots_used[0]:
-        tb = pbr._slot(row[..., 16:].astype(jnp.float32), 0)
+        tb = _slot_planes(pl7[1:])
         duv_dx = sampling.quad_dfdx(uv)
         duv_dy = sampling.quad_dfdy(uv)
         tap = pbr._sample_slot(scene, tb, uv, duv_dx, duv_dy,
@@ -1147,10 +1165,12 @@ def tss_shade(scene, chart_uv, uv, mat_id, light8,
 
     light_d, light_s = sample_light8(light8, chart_uv, ah, aw)
     uv = _uv_minor(uv)              # the sampler path is channel-minor
-    row = sampling.table_lookup(scene["mat_all"], mat_id)
-    factor_a = row[..., 3].astype(jnp.float32)
+    # planar column lookup — see tss_shade_halfres
+    pl7 = sampling.table_lookup_planar(scene["mat_all"], mat_id,
+                                       (3, 16, 17, 18, 19, 20, 21))
+    factor_a = pl7[0]
     if slots_used[0]:
-        tb = pbr._slot(row[..., 16:].astype(jnp.float32), 0)
+        tb = _slot_planes(pl7[1:])
         duv_dx = sampling.quad_dfdx(uv)
         duv_dy = sampling.quad_dfdy(uv)
         tap = pbr._sample_slot(scene, tb, uv, duv_dx, duv_dy,

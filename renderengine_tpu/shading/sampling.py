@@ -60,6 +60,28 @@ def table_lookup(table: jnp.ndarray, idx: jnp.ndarray,
     return out.reshape(*idx.shape, table.shape[1])
 
 
+def table_lookup_planar(table, idx, cols,
+                        max_rows_for_mxu: int = 1024) -> jnp.ndarray:
+    """``table_lookup`` restricted to ``cols``, returned CHANNEL-LEADING:
+    [len(cols), *idx.shape] planes. The row-minor [..., C] form costs a
+    full relayout copy on TPU before plane consumers can slice channels
+    (measured 3x ~1 ms per frame at 1080p for the 40-col material rows);
+    a transposed one-hot contraction emits planes directly, and fetching
+    only the consumed columns shrinks the MXU pass."""
+    cols = tuple(cols)
+    n = table.shape[0]
+    sub = table[:, jnp.asarray(cols, jnp.int32)]            # [N, K]
+    if n > max_rows_for_mxu or idx.size < 4 * n:
+        out = sub[idx].astype(jnp.float32)                  # [..., K]
+        return jnp.moveaxis(out, -1, 0)
+    flat = idx.reshape(-1)
+    oh = (jnp.arange(n, dtype=jnp.int32)[:, None] == flat[None, :])
+    out = jnp.dot(sub.astype(jnp.float32).T, oh.astype(jnp.float32),
+                  precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)       # [K, PX]
+    return out.reshape(len(cols), *idx.shape)
+
+
 def _gather_rgba(atlas: jnp.ndarray, page, ry, rx) -> jnp.ndarray:
     """atlas [P,H,W,4] uint8; integer index arrays -> f32 rgba in [0,1]."""
     p, h, w, _ = atlas.shape
@@ -72,16 +94,20 @@ def _gather_block(table32: jnp.ndarray, flat) -> jnp.ndarray:
     """Fetch a 2x2 block row from a u32-packed block table and unpack to
     f32 [...,16] unorm values. Row width 4 = u8 content, 8 = u16
     (TextureCache.h:59 parity) — packed u32 rows gather ~30% faster than
-    16 narrow elements."""
+    16 narrow elements. Indices are flattened to 1-D before the gather:
+    a [H,W]-indexed gather materializes as a 3-D result whose layout then
+    costs a full relayout copy (~1.4 ms at 1080p); the flat form's [N,4]
+    result feeds the unpack directly."""
     c = table32.shape[-1]
-    blk32 = table32.reshape(-1, c)[flat]
+    shape = flat.shape
+    blk32 = table32.reshape(-1, c)[flat.reshape(-1)]
     if c == 4:       # u8 content
         b = jax.lax.bitcast_convert_type(blk32, jnp.uint8)
         scale = 1.0 / 255.0
     else:            # u16 content
         b = jax.lax.bitcast_convert_type(blk32, jnp.uint16)
         scale = 1.0 / 65535.0
-    return b.reshape(*blk32.shape[:-1], 16).astype(jnp.float32) * scale
+    return b.reshape(*shape, 16).astype(jnp.float32) * scale
 
 
 def _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, level):

@@ -88,13 +88,14 @@ def main():
     w, h = 1920, 1080
     scene = procedural.sponza_scene(width=w, height=h, n_textures=200,
                                     target_tris=260_000)
+    tss = (args.texture_space or args.preshaded or args.preshaded_blend)
     cfg = RenderConfig(width=w, height=h, shadow_extent=args.shadow_extent,
                        debug_views=False,
-                       texture_space=(args.texture_space or args.preshaded
-                                      or args.preshaded_blend),
+                       texture_space=tss,
                        tss_preshaded=args.preshaded,
                        tss_preshaded_blend=args.preshaded_blend,
                        dither_trilinear=args.dither,
+                       sky_halfres=tss,     # match the bench headline
                        chart_density=args.density,
                        chart_budget=args.chart_budget)
     r = FrameRenderer(scene, cfg, backend="pallas")
