@@ -566,10 +566,15 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
 
     if merged_ok:
         from ..raster.pallas_raster import rasterize_pallas_merged
+        # pre-shaded peels consume chart_uv only: the kernel's blend
+        # stream interpolates just that prefix (uv planes drop out of the
+        # dual tracker's FMA + select chains)
+        nab = 2 if (config.tss_preshaded or config.tss_preshaded_blend) \
+            else None
         (g, attrs), merged_layers = rasterize_pallas_merged(
             setup_s, slice_h, w, prep, prep_t,
             interpret=config.raster.pallas_interpret,
-            y0=y0, full_height=fh)
+            y0=y0, full_height=fh, n_attrs_b=nab)
     else:
         g, attrs = rasterize(setup_s, slice_h, w, config.raster, backend,
                              attr_planes=ap, y0=y0, full_height=fh,
@@ -705,8 +710,12 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                     mat_t = scene["blend_tri_material"][jnp.maximum(fr["tri_id"], 0)]
                 if tss:
                     if "cu_x" in fr:   # planar attr planes (pallas+tss)
+                        # pre-shaded peels carry no uv planes (the shade
+                        # fn ignores uv; the kernel skipped them)
+                        uv_pl = ((fr["u_x"], fr["u_y"])
+                                 if "u_x" in fr else None)
                         return tss_sh((fr["cu_x"], fr["cu_y"]),
-                                      (fr["u_x"], fr["u_y"]), mat_t)
+                                      uv_pl, mat_t)
                     return tss_sh(fr["attrs"][..., 0:2],
                                   fr["attrs"][..., 2:4], mat_t)
                 fsub = {"pos": fr["attrs"][..., 0:3],
@@ -781,9 +790,12 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 sp_in["mat_id"] = gt.mat_id
             if attrs_t is not None and isinstance(attrs_t, list):
                 # planar attr planes (pallas+tss): separate dict keys so
-                # the sparse tile gather/scatter stays per-plane
+                # the sparse tile gather/scatter stays per-plane; merged
+                # pre-shaded peels carry chart_uv only (uv never consumed
+                # there — and dropping it also skips its sparse gathers)
                 sp_in["cu_x"], sp_in["cu_y"] = attrs_t[0], attrs_t[1]
-                sp_in["u_x"], sp_in["u_y"] = attrs_t[2], attrs_t[3]
+                if len(attrs_t) > 2:
+                    sp_in["u_x"], sp_in["u_y"] = attrs_t[2], attrs_t[3]
             elif attrs_t is not None:
                 sp_in["attrs"] = attrs_t
             elif gt.bary is not None:

@@ -56,6 +56,7 @@ from .reference_raster import GBuffer
 from .setup import TriSetup
 
 _BIG_ID = 2**31 - 1
+_BIG_F = float(2 ** 30)   # fold sentinel: exact f32, above any id float
 _TIE_EPS = 1e-35          # normal f32; survives TPU FTZ, vanishes vs any |E|
 CHUNK = 64                # pairs per DMA slab
 GROUP = 8                 # pair ROWS evaluated per step (across sublanes)
@@ -240,13 +241,11 @@ def _raster_kernel(
                 cg = data_buf[slot, pl.ds(GROUP * g, GROUP), :]   # (8, 128)
                 for k in range(ppr):
                     c0 = k * cpp
-                    dmin, idmin, trif, matf, esum_c = (cr[0], cr[1], cr[2],
-                                                       cr[3], cr[4])
-                    num_c = list(cr[5:5 + n_num])  # bary/attr NUMERATORS
+                    dmin, trif, matf, esum_c = (cr[0], cr[1], cr[2], cr[3])
+                    num_c = list(cr[4:4 + n_num])  # bary/attr NUMERATORS
                     if dual:
-                        (d2, id2, tri2, mat2, es2) = cr[5 + n_num:10 + n_num]
-                        num2 = list(cr[10 + n_num:])
-                    idx = cbase + (GROUP * g + sub) * ppr + k  # (8,1) ids
+                        (d2, tri2, mat2, es2) = cr[4 + n_num:8 + n_num]
+                        num2 = list(cr[8 + n_num:])
 
                     e0 = cg[:, c0+0:c0+1] * px + cg[:, c0+1:c0+2] * py + cg[:, c0+2:c0+3]
                     e1 = cg[:, c0+3:c0+4] * px + cg[:, c0+4:c0+5] * py + cg[:, c0+5:c0+6]
@@ -279,22 +278,17 @@ def _raster_kernel(
                         # a new slot-1 winner demotes the old one.
                         take2 = cover & (d > dmin) & (d < d2)
                         d2 = jnp.where(take, dmin, jnp.where(take2, d, d2))
-                        id2 = jnp.where(take, idmin,
-                                        jnp.where(take2,
-                                                  jnp.broadcast_to(idx, shape),
-                                                  id2))
                         tri2 = jnp.where(take, trif,
                                          jnp.where(take2, cg[:, c0+TRI_COL:c0+TRI_COL+1], tri2))
                         mat2 = jnp.where(take, matf,
                                          jnp.where(take2, cg[:, c0+MAT_COL:c0+MAT_COL+1], mat2))
                     dmin = jnp.where(take, d, dmin)
-                    # record the PAIR index; within a sublane's (g, k)
-                    # sequence ids ascend (stable sort; k is the inner
-                    # loop), so strict-less keeps the lowest on exact depth
-                    # ties; the cross-sublane fold ties by lowest index too.
-                    idmin = jnp.where(take, jnp.broadcast_to(idx, shape),
-                                      idmin)
-                    # tri/mat ids ride as exact integer-valued floats
+                    # the TRIANGLE id is the tie-break tracker: within a
+                    # sublane's (g, k) sequence pair slots ascend, and the
+                    # sort key orders tris ascending inside a tile, so
+                    # strict-less keeps the lowest tri on exact depth ties
+                    # (brute-force semantics); the cross-sublane fold ties
+                    # by lowest tri too. Ids ride as exact integer floats.
                     trif = jnp.where(take, cg[:, c0+TRI_COL:c0+TRI_COL+1], trif)
                     matf = jnp.where(take, cg[:, c0+MAT_COL:c0+MAT_COL+1], matf)
                     # rational attributes: carry the winner's NUMERATORS
@@ -324,17 +318,16 @@ def _raster_kernel(
                                                 jnp.where(take2, nv, num2[i]))
                     for i, nv in enumerate(nums):
                         num_c[i] = jnp.where(take, nv, num_c[i])
-                    cr = (dmin, idmin, trif, matf, esum_c, *num_c)
+                    cr = (dmin, trif, matf, esum_c, *num_c)
                     if dual:
-                        cr = cr + (d2, id2, tri2, mat2, es2, *num2)
+                        cr = cr + (d2, tri2, mat2, es2, *num2)
                 return cr
 
             return jax.lax.fori_loop(0, n_groups, group_body, carry)
 
         dmin0 = jnp.ones(shape, jnp.float32)
-        idmin0 = jnp.full(shape, _BIG_ID, jnp.int32)
         z0 = jnp.zeros(shape, jnp.float32)
-        slot_init = ((dmin0, idmin0, jnp.full(shape, -1.0, jnp.float32),
+        slot_init = ((dmin0, jnp.full(shape, -1.0, jnp.float32),
                       z0, z0) + tuple(z0 for _ in range(n_num)))
         init = slot_init + slot_init if dual else slot_init
         out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
@@ -343,45 +336,49 @@ def _raster_kernel(
         # slot s + _NFB (keeps ~_NFB first-chunk copies in flight)
         issue_first(s + _NFB)
 
-        def fold(dc, idc, trid, matd, esumd, numsd, cand_gt=None):
+        def fold(dc, trid, matd, esumd, numsd, cand_gt=None):
             """Fold the 8 per-sublane candidates: min depth, then lowest
-            pair index among equal depths (exact f32 equality — same
-            rounded). ``cand_gt``: for the dual second layer, only depths
-            STRICTLY greater than the layer-1 winner are candidates."""
+            TRIANGLE id among equal depths (exact f32 equality — same
+            rounded; tri order == pair order inside a tile, and it is the
+            brute-force tie rule). ``cand_gt``: for the dual second layer,
+            only depths STRICTLY greater than the layer-1 winner are
+            candidates."""
             if cand_gt is not None:
                 dc = [jnp.where(c > cand_gt, c, 2.0) for c in dc]
             dwin = jnp.min(dc[0], axis=0, keepdims=True)          # (1,128)
             for c in dc[1:]:
                 dwin = jnp.minimum(dwin, jnp.min(c, axis=0, keepdims=True))
-            idwin = jnp.full((1, shape[1]), _BIG_ID, jnp.int32)
+            triwin = jnp.full((1, shape[1]), _BIG_F, jnp.float32)
             meqs = []
-            for c, ic in zip(dc, idc):
+            for c, tr in zip(dc, trid):
                 meq = c == dwin
                 meqs.append(meq)
-                idwin = jnp.minimum(
-                    idwin, jnp.min(jnp.where(meq, ic, _BIG_ID),
-                                   axis=0, keepdims=True))
+                triwin = jnp.minimum(
+                    triwin, jnp.min(jnp.where(meq, tr, _BIG_F),
+                                    axis=0, keepdims=True))
             planes = [None, None, None]
             esum_w = jnp.zeros((1, shape[1]), jnp.float32)
-            tri_w = jnp.zeros((1, shape[1]), jnp.float32)
-            mat_w = jnp.zeros((1, shape[1]), jnp.float32)
+            mat_w = jnp.full((1, shape[1]), _BIG_F, jnp.float32)
             nums_w = [jnp.zeros((1, shape[1]), jnp.float32)
                       for _ in range(n_num)]
-            for meq, ic, tr, ma, es, nu in zip(meqs, idc, trid, matd,
-                                               esumd, numsd):
-                m2 = (meq & (ic == idwin)).astype(jnp.float32)
-                tri_w = tri_w + jnp.sum(tr * m2, axis=0, keepdims=True)
-                mat_w = mat_w + jnp.sum(ma * m2, axis=0, keepdims=True)
-                esum_w = esum_w + jnp.sum(es * m2, axis=0, keepdims=True)
+            for meq, tr, ma, es, nu in zip(meqs, trid, matd, esumd, numsd):
+                # duplicate overhang copies of the winning tri can match
+                # m2 twice: min-select the mat (copies agree); the
+                # esum/nums doubling cancels in the rational divide
+                m2 = meq & (tr == triwin)
+                mat_w = jnp.minimum(mat_w, jnp.min(
+                    jnp.where(m2, ma, _BIG_F), axis=0, keepdims=True))
+                m2f = m2.astype(jnp.float32)
+                esum_w = esum_w + jnp.sum(es * m2f, axis=0, keepdims=True)
                 for i, nv in enumerate(nu):
-                    nums_w[i] = nums_w[i] + jnp.sum(nv * m2, axis=0,
+                    nums_w[i] = nums_w[i] + jnp.sum(nv * m2f, axis=0,
                                                     keepdims=True)
             inv_w = 1.0 / jnp.where(esum_w == 0, 1.0, esum_w)
-            none_ = idwin == _BIG_ID
+            none_ = triwin < 0
             planes[0] = jnp.where(none_, 1.0, dwin) if cand_gt is not None \
                 else dwin
-            planes[1] = jnp.where(none_, -1.0, tri_w)
-            planes[2] = mat_w
+            planes[1] = jnp.where(none_, -1.0, triwin)
+            planes[2] = jnp.where(mat_w == _BIG_F, 0.0, mat_w)
             return planes + [nv * inv_w for nv in nums_w], dwin
 
         # ONE (n_planes, 128) store per tile instead of n_planes separate
@@ -391,17 +388,16 @@ def _raster_kernel(
         # reciprocal per tile instead of one per group step.
         @pl.when(count > 0)
         def _():
-            o1 = out[:5 + n_num]
-            planes, dwin1 = fold([o1[0]], [o1[1]], [o1[2]], [o1[3]],
-                                 [o1[4]], [list(o1[5:])])
+            o1 = out[:4 + n_num]
+            planes, dwin1 = fold([o1[0]], [o1[1]], [o1[2]],
+                                 [o1[3]], [list(o1[4:])])
             if dual:
-                o2 = out[5 + n_num:]
+                o2 = out[4 + n_num:]
                 # layer-2 candidates: each sublane's demoted second-best
                 # AND the layer-1 losers strictly behind the global winner
                 planes2, _ = fold([o1[0], o2[0]], [o1[1], o2[1]],
                                   [o1[2], o2[2]], [o1[3], o2[3]],
-                                  [o1[4], o2[4]],
-                                  [list(o1[5:]), list(o2[5:])],
+                                  [list(o1[4:]), list(o2[4:])],
                                   cand_gt=dwin1)
                 planes = planes + planes2
             out_ref[0, j] = jnp.concatenate(planes, axis=0)
@@ -422,7 +418,8 @@ def _merged_kernel(
     # output + scratch
     out_ref, data_buf, sems,
     *, tile_h: int, tile_w: int, width: int, full_height: int,
-    n_slots: int, chunk: int, n_attrs: int, cpp: int, nt: int,
+    n_slots: int, chunk: int, n_attrs: int, n_attrs_b: int, cpp: int,
+    nt: int,
 ):
     """Opaque base pass + TWO translucent peel layers in ONE tile walk.
 
@@ -441,7 +438,12 @@ def _merged_kernel(
     """
     ppr = 128 // cpp
     assert n_attrs > 0, "merged kernel serves the TSS interp path"
+    # stream B (the peels) may interpolate a PREFIX of the packed attrs:
+    # pre-shaded peels consume chart_uv only, so uv's plane FMAs + dual
+    # select chains (and two live vregs per layer) drop out of the group
+    # loop. The pair table layout is shared (cpp from the full count).
     n_num = n_attrs
+    n_num_b = n_attrs_b
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile_h * tile_w), 1)
     lx = (lane % tile_w).astype(jnp.float32)
     ly = (lane // tile_w).astype(jnp.float32)
@@ -449,10 +451,12 @@ def _merged_kernel(
     shape = (GROUP, tile_h * tile_w)
     npx_ = tile_h * tile_w
     pp_ = 3 + n_num
+    ppb_ = 3 + n_num_b
     one_ = jnp.ones((1, npx_), jnp.float32)
-    zero_ = jnp.zeros((pp_ - 2, npx_), jnp.float32)
-    empty_lay = jnp.concatenate([one_, -one_, zero_], axis=0)
-    empty2_lay = jnp.concatenate([empty_lay, empty_lay], axis=0)
+    empty2_lay = jnp.concatenate(
+        [jnp.concatenate([one_, -one_,
+                          jnp.zeros((ppb_ - 2, npx_), jnp.float32)], axis=0)
+         ] * 2, axis=0)
     pid = pl.program_id(0)
 
     # stream DMA rings: A (opaque) buffers [0, _NFB+_NCB); B (blend)
@@ -474,7 +478,7 @@ def _merged_kernel(
         def _():
             first_dma(stream, jnp.minimum(s, n_slots - 1)).start()
 
-    def fold(dc, idc, trid, matd, esumd, numsd, cand_gt=None, cap=None):
+    def fold(dc, trid, matd, esumd, numsd, cand_gt=None, cap=None):
         """Cross-sublane winner fold (see _raster_kernel.fold); ``cap``
         voids the winner when its depth exceeds the cap (the merged
         peel-vs-opaque occlusion test)."""
@@ -483,35 +487,44 @@ def _merged_kernel(
         dwin = jnp.min(dc[0], axis=0, keepdims=True)
         for c in dc[1:]:
             dwin = jnp.minimum(dwin, jnp.min(c, axis=0, keepdims=True))
-        idwin = jnp.full((1, shape[1]), _BIG_ID, jnp.int32)
+        # tie-break on the TRIANGLE id (brute-force semantics): pair order
+        # ascends with tri id inside a tile (the sort key), so tri ids can
+        # replace the former carried pair-index tracker — one less live
+        # vreg per layer in the group loop. Untouched sublanes carry
+        # tri = -1 with depth 1.0, so triwin < 0 <=> nothing drawn.
+        triwin = jnp.full((1, shape[1]), _BIG_F, jnp.float32)
         meqs = []
-        for c, ic in zip(dc, idc):
+        for c, tr in zip(dc, trid):
             meq = c == dwin
             meqs.append(meq)
-            idwin = jnp.minimum(
-                idwin, jnp.min(jnp.where(meq, ic, _BIG_ID),
-                               axis=0, keepdims=True))
+            triwin = jnp.minimum(
+                triwin, jnp.min(jnp.where(meq, tr, _BIG_F),
+                                axis=0, keepdims=True))
         esum_w = jnp.zeros((1, shape[1]), jnp.float32)
-        tri_w = jnp.zeros((1, shape[1]), jnp.float32)
-        mat_w = jnp.zeros((1, shape[1]), jnp.float32)
+        mat_w = jnp.full((1, shape[1]), _BIG_F, jnp.float32)
         nums_w = [jnp.zeros((1, shape[1]), jnp.float32)
-                  for _ in range(n_num)]
-        for meq, ic, tr, ma, es, nu in zip(meqs, idc, trid, matd,
-                                           esumd, numsd):
-            m2 = (meq & (ic == idwin)).astype(jnp.float32)
-            tri_w = tri_w + jnp.sum(tr * m2, axis=0, keepdims=True)
-            mat_w = mat_w + jnp.sum(ma * m2, axis=0, keepdims=True)
-            esum_w = esum_w + jnp.sum(es * m2, axis=0, keepdims=True)
+                  for _ in range(len(numsd[0]))]
+        for meq, tr, ma, es, nu in zip(meqs, trid, matd, esumd, numsd):
+            # duplicate pairs of the SAME tri (DMA overhang from a
+            # neighbor's span) can match m2 in two sublanes: min-select
+            # the mat (all copies agree) and let the esum/nums doubling
+            # cancel in the rational divide below.
+            m2 = meq & (tr == triwin)
+            mat_w = jnp.minimum(mat_w, jnp.min(
+                jnp.where(m2, ma, _BIG_F), axis=0, keepdims=True))
+            m2f = m2.astype(jnp.float32)
+            esum_w = esum_w + jnp.sum(es * m2f, axis=0, keepdims=True)
             for i, nv in enumerate(nu):
-                nums_w[i] = nums_w[i] + jnp.sum(nv * m2, axis=0,
+                nums_w[i] = nums_w[i] + jnp.sum(nv * m2f, axis=0,
                                                 keepdims=True)
         inv_w = 1.0 / jnp.where(esum_w == 0, 1.0, esum_w)
-        none_ = idwin == _BIG_ID
+        none_ = triwin < 0
         if cap is not None:
             none_ = none_ | (dwin > cap)
         dep = jnp.where(none_, 1.0, dwin) if (cand_gt is not None
                                               or cap is not None) else dwin
-        planes = [dep, jnp.where(none_, -1.0, tri_w), mat_w]
+        planes = [dep, jnp.where(none_, -1.0, triwin),
+                  jnp.where(mat_w == _BIG_F, 0.0, mat_w)]
         return planes + [nv * inv_w for nv in nums_w], dwin
 
     # does ANY of this program's nt tiles have blend pairs? 87% of
@@ -536,6 +549,7 @@ def _merged_kernel(
 
     def make_run_stream(s, px, py):
         def run_stream(stream, dual):
+            nn = n_num if stream == 0 else n_num_b   # interpolated attrs
             tbl = pair_data_hbm if stream == 0 else pair_data2_hbm
             start = (starts_ref if stream == 0 else starts2_ref)[s]
             count = (counts_ref if stream == 0 else counts2_ref)[s]
@@ -572,14 +586,13 @@ def _merged_kernel(
                     cg = data_buf[slot, pl.ds(GROUP * g, GROUP), :]
                     for k in range(ppr):
                         c0 = k * cpp
-                        dmin, idmin, trif, matf, esum_c = (
-                            cr[0], cr[1], cr[2], cr[3], cr[4])
-                        num_c = list(cr[5:5 + n_num])
+                        dmin, trif, matf, esum_c = (
+                            cr[0], cr[1], cr[2], cr[3])
+                        num_c = list(cr[4:4 + nn])
                         if dual:
-                            (d2, id2, tri2, mat2, es2) = \
-                                cr[5 + n_num:10 + n_num]
-                            num2 = list(cr[10 + n_num:])
-                        idx = cbase + (GROUP * g + sub) * ppr + k
+                            (d2, tri2, mat2, es2) = \
+                                cr[4 + nn:8 + nn]
+                            num2 = list(cr[8 + nn:])
 
                         e0 = cg[:, c0+0:c0+1] * px + cg[:, c0+1:c0+2] * py + cg[:, c0+2:c0+3]
                         e1 = cg[:, c0+3:c0+4] * px + cg[:, c0+4:c0+5] * py + cg[:, c0+5:c0+6]
@@ -600,10 +613,6 @@ def _merged_kernel(
                             take2 = cover & (d > dmin) & (d < d2)
                             d2 = jnp.where(take, dmin,
                                            jnp.where(take2, d, d2))
-                            id2 = jnp.where(
-                                take, idmin,
-                                jnp.where(take2,
-                                          jnp.broadcast_to(idx, shape), id2))
                             tri2 = jnp.where(
                                 take, trif,
                                 jnp.where(take2,
@@ -615,9 +624,6 @@ def _merged_kernel(
                                           cg[:, c0+MAT_COL:c0+MAT_COL+1],
                                           mat2))
                         dmin = jnp.where(take, d, dmin)
-                        idmin = jnp.where(take,
-                                          jnp.broadcast_to(idx, shape),
-                                          idmin)
                         trif = jnp.where(take, cg[:, c0+TRI_COL:c0+TRI_COL+1], trif)
                         matf = jnp.where(take, cg[:, c0+MAT_COL:c0+MAT_COL+1], matf)
                         esum = e0 + e1 + e2
@@ -626,7 +632,7 @@ def _merged_kernel(
                                             jnp.where(take2, esum, es2))
                         esum_c = jnp.where(take, esum, esum_c)
                         nums = []
-                        for a in range(n_attrs):
+                        for a in range(nn):
                             a0 = c0 + ATTR0 + 3 * a
                             nums.append(cg[:, a0:a0+1] * px
                                         + cg[:, a0+1:a0+2] * py
@@ -638,19 +644,17 @@ def _merged_kernel(
                                     jnp.where(take2, nv, num2[i]))
                         for i, nv in enumerate(nums):
                             num_c[i] = jnp.where(take, nv, num_c[i])
-                        cr = (dmin, idmin, trif, matf, esum_c, *num_c)
+                        cr = (dmin, trif, matf, esum_c, *num_c)
                         if dual:
-                            cr = cr + (d2, id2, tri2, mat2, es2, *num2)
+                            cr = cr + (d2, tri2, mat2, es2, *num2)
                     return cr
 
                 return jax.lax.fori_loop(0, n_groups, group_body, carry)
 
             dmin0 = jnp.ones(shape, jnp.float32)
-            idmin0 = jnp.full(shape, _BIG_ID, jnp.int32)
             z0 = jnp.zeros(shape, jnp.float32)
-            slot_init = ((dmin0, idmin0,
-                          jnp.full(shape, -1.0, jnp.float32),
-                          z0, z0) + tuple(z0 for _ in range(n_num)))
+            slot_init = ((dmin0, jnp.full(shape, -1.0, jnp.float32),
+                          z0, z0) + tuple(z0 for _ in range(nn)))
             init = slot_init + slot_init if dual else slot_init
             out = jax.lax.fori_loop(0, n_steps, chunk_body, init)
             return out, count
@@ -675,12 +679,12 @@ def _merged_kernel(
         issue_first(0, s + _NFB)
 
         # opaque fold — UNCONDITIONAL: folding the untouched init carries
-        # yields exactly the clear block (dwin=1, idwin=BIG -> tri=-1,
-        # all sums 0), so the empty-tile branch pair costs more than the
-        # fold it skips on this dense grid (most tiles are covered; the
-        # sparse shadow grids keep their branch in _raster_kernel)
+        # yields exactly the clear block (dwin=1, tri=-1, all sums 0), so
+        # the empty-tile branch pair costs more than the fold it skips on
+        # this dense grid (most tiles are covered; the sparse shadow
+        # grids keep their branch in _raster_kernel)
         planes_a, _ = fold([out_a[0]], [out_a[1]], [out_a[2]],
-                           [out_a[3]], [out_a[4]], [list(out_a[5:])])
+                           [out_a[3]], [list(out_a[4:])])
         out_ref[0, j, 0:pp_] = jnp.concatenate(planes_a, axis=0)
 
     # ---- stream B (two peel layers): only when this program has any ----
@@ -697,21 +701,20 @@ def _merged_kernel(
 
             @pl.when(count_b > 0)
             def _():
-                o1 = out_b[:5 + n_num]
-                o2 = out_b[5 + n_num:]
-                planes1, dwin1 = fold([o1[0]], [o1[1]], [o1[2]], [o1[3]],
-                                      [o1[4]], [list(o1[5:])], cap=dwin_o)
+                o1 = out_b[:4 + n_num_b]
+                o2 = out_b[4 + n_num_b:]
+                planes1, dwin1 = fold([o1[0]], [o1[1]], [o1[2]],
+                                      [o1[3]], [list(o1[4:])], cap=dwin_o)
                 planes2, _ = fold([o1[0], o2[0]], [o1[1], o2[1]],
                                   [o1[2], o2[2]], [o1[3], o2[3]],
-                                  [o1[4], o2[4]],
-                                  [list(o1[5:]), list(o2[5:])],
+                                  [list(o1[4:]), list(o2[4:])],
                                   cand_gt=dwin1, cap=dwin_o)
-                out_ref[0, j, pp_:3 * pp_] = jnp.concatenate(
+                out_ref[0, j, pp_:pp_ + 2 * ppb_] = jnp.concatenate(
                     planes1 + planes2, axis=0)
 
             @pl.when(count_b == 0)
             def _():
-                out_ref[0, j, pp_:3 * pp_] = empty2_lay
+                out_ref[0, j, pp_:pp_ + 2 * ppb_] = empty2_lay
 
     @pl.when(jnp.logical_not(b_any))
     def _():
@@ -721,19 +724,23 @@ def _merged_kernel(
         # so none of their buffers were ever claimed)
         for j in range(nt):
             issue_first(1, pid * nt + j + _NFB)
-        out_ref[0, :, pp_:3 * pp_] = jnp.broadcast_to(
-            empty2_lay[None], (nt, 2 * pp_, npx_))
+        out_ref[0, :, pp_:pp_ + 2 * ppb_] = jnp.broadcast_to(
+            empty2_lay[None], (nt, 2 * ppb_, npx_))
 
 
 def rasterize_pallas_merged(setup, height: int, width: int,
                             prepared: PreparedPairs,
                             prepared_blend: PreparedPairs,
                             chunk: int = CHUNK, interpret: bool = False,
-                            y0=0, full_height: int | None = None):
+                            y0=0, full_height: int | None = None,
+                            n_attrs_b: int | None = None):
     """One launch = opaque base pass + two translucent peel layers (see
     ``_merged_kernel``). Both PreparedPairs must carry the same attr
-    count. Returns ((g_opaque, attrs), [(g1, a1), (g2, a2)]) with attrs
-    as PLANAR plane lists."""
+    count. ``n_attrs_b``: peel layers interpolate only this PREFIX of the
+    packed attrs (pre-shaded peels consume chart_uv alone — uv's FMAs and
+    dual select chains leave the group loop). Returns
+    ((g_opaque, attrs), [(g1, a1), (g2, a2)]) with attrs as PLANAR plane
+    lists (peel lists are ``n_attrs_b`` long)."""
     tile_h, tile_w = TILE_H, TILE_W
     fh = height if full_height is None else full_height
     ntx = -(-width // tile_w)
@@ -742,6 +749,7 @@ def rasterize_pallas_merged(setup, height: int, width: int,
     npx = tile_h * tile_w
     n_attrs = prepared.n_attrs
     assert n_attrs == prepared_blend.n_attrs and n_attrs > 0
+    nab = n_attrs if n_attrs_b is None else min(n_attrs_b, n_attrs)
     cpp = _cols_per_pair(n_attrs)
     gsz = GROUP * (128 // cpp)
     chunk = max(gsz, (chunk // gsz) * gsz)
@@ -751,12 +759,14 @@ def rasterize_pallas_merged(setup, height: int, width: int,
     grid_n = -(-n_tiles // nt)
     n_slots = grid_n * nt
     pp = 3 + n_attrs
-    n_planes = 3 * pp
+    ppb = 3 + nab
+    n_planes = pp + 2 * ppb
 
     kernel = functools.partial(
         _merged_kernel,
         tile_h=tile_h, tile_w=tile_w, width=width, full_height=fh,
-        n_slots=n_slots, chunk=chunk, n_attrs=n_attrs, cpp=cpp, nt=nt,
+        n_slots=n_slots, chunk=chunk, n_attrs=n_attrs, n_attrs_b=nab,
+        cpp=cpp, nt=nt,
     )
 
     def padded(a, fill=0):
@@ -799,17 +809,17 @@ def rasterize_pallas_merged(setup, height: int, width: int,
         a = a.reshape(nty, ntx, tile_h, tile_w).transpose(0, 2, 1, 3)
         return a.reshape(nty * tile_h, ntx * tile_w)[:height, :width]
 
-    def unpack(lb, has_mat):
+    def unpack(lb, has_mat, na):
         tri_id = untile(lb[:, 1]).astype(jnp.int32)
         mat_id = (jnp.where(tri_id >= 0,
                             untile(lb[:, 2]).astype(jnp.int32), 0)
                   if has_mat else None)
         g = GBuffer(untile(lb[:, 0]), tri_id, None, mat_id)
-        return g, [untile(lb[:, 3 + a]) for a in range(n_attrs)]
+        return g, [untile(lb[:, 3 + a]) for a in range(na)]
 
-    opaque = unpack(blk[:, 0:pp], prepared.has_mat)
-    l1 = unpack(blk[:, pp:2 * pp], prepared_blend.has_mat)
-    l2 = unpack(blk[:, 2 * pp:3 * pp], prepared_blend.has_mat)
+    opaque = unpack(blk[:, 0:pp], prepared.has_mat, n_attrs)
+    l1 = unpack(blk[:, pp:pp + ppb], prepared_blend.has_mat, nab)
+    l2 = unpack(blk[:, pp + ppb:pp + 2 * ppb], prepared_blend.has_mat, nab)
     return opaque, [l1, l2]
 
 
