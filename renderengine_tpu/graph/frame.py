@@ -1005,6 +1005,7 @@ class FrameRenderer:
         self._rebuild_frame_fn()
         self._shadow_maps = None
         self._shadows_dirty = True
+        self._shadow_vp_cache = None
 
     def _rebuild_frame_fn(self) -> None:
         self._fn = jax.jit(partial(render_frame, config=self.config,
@@ -1170,6 +1171,7 @@ class FrameRenderer:
     def mark_shadows_dirty(self) -> None:
         """Re-render shadow depth next frame (scene or light changed)."""
         self._shadows_dirty = True
+        self._shadow_vp_cache = None   # refit to the CURRENT camera/scene
 
     def binning_stats(self, view_props=None) -> dict:
         """One-off host check of the pair-table budget for the current
@@ -1204,7 +1206,19 @@ class FrameRenderer:
         params["inv_vp_rot"] = skybox.skybox_ray_matrix(vp.view, vp.proj)
         params["inv_vp"] = grid_mod.grid_unproject_matrix(vp.view, vp.proj)
         if self.n_shadows > 0:
-            params["shadow_viewproj"] = self._fitting.shadow_transforms_for_scene(self.scene_host)
+            # fit ONCE per dirty-flag cycle and cache. Deliberate
+            # divergence: the reference refits per frame
+            # (RenderScene.cpp:163-164 -> ShadowSystem::Update) while
+            # rendering depth only on the dirty flag
+            # (RenderScene.cpp:169-174) — i.e. it samples REFIT
+            # coordinates against depths rendered with the old fit.
+            # Caching the fit with the maps keeps sampling consistent,
+            # and drops ~18 ms/frame of host AABB walking (measured as
+            # the single biggest per-frame dispatch cost).
+            if self._shadows_dirty or self._shadow_vp_cache is None:
+                self._shadow_vp_cache = \
+                    self._fitting.shadow_transforms_for_scene(self.scene_host)
+            params["shadow_viewproj"] = self._shadow_vp_cache
         return params
 
     def uniform_for_camera(self, view_props: ViewProperties | None = None):
@@ -1228,7 +1242,13 @@ class FrameRenderer:
             st = self._pending_overflow[0]
             ov = st["pair_overflow"]
             blend_ov = st["blend_pair_overflow"]
-            if (not grew and len(self._pending_overflow) <= 3
+            # NEVER block on an unfinished frame: popping an unready head
+            # forces a synchronous wait (+ tunnel round-trip) inside the
+            # dispatch loop, serializing host and device. The queue is
+            # bounded by the device's completion rate (frames finish in
+            # order), so unconsumed stats never pile past a few entries;
+            # cap at 16 as a memory backstop.
+            if (not grew and len(self._pending_overflow) <= 16
                     and hasattr(ov, "is_ready") and not ov.is_ready()):
                 break
             self._pending_overflow.pop(0)
@@ -1508,6 +1528,14 @@ class FrameRenderer:
         out = self._fn(self.scene_dev, u, self._shadow_maps)
         if self._react_overflow:
             img, stats = out
+            # start the device->host copies NOW, in the background: a
+            # synchronous np.asarray at poll time pays a full tunnel
+            # round-trip (~27 ms measured) even for an 8-byte counter;
+            # by poll time these copies have long landed and asarray is
+            # a cached-host read
+            for v in stats.values():
+                if hasattr(v, "copy_to_host_async"):
+                    v.copy_to_host_async()
             self._pending_overflow.append(stats)
             return img
         return out

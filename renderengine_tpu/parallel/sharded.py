@@ -273,6 +273,7 @@ class ShardedRenderer:
 
     def mark_shadows_dirty(self) -> None:
         self._shadows_dirty = True
+        self._shadow_vp_cache = None
 
     def params_for_camera(self) -> dict:
         from ..scene.camera import ViewProperties
@@ -283,8 +284,14 @@ class ShardedRenderer:
         params["inv_vp_rot"] = skybox.skybox_ray_matrix(vp.view, vp.proj)
         params["inv_vp"] = grid_mod.grid_unproject_matrix(vp.view, vp.proj)
         if self.n_shadows > 0:
-            params["shadow_viewproj"] = \
-                self._fitting.shadow_transforms_for_scene(self.scene_host)
+            # fit once per dirty cycle (same policy + rationale as
+            # FrameRenderer.params_for_camera: the cached maps define
+            # the sampling transform, and the host-side fit is ~18 ms)
+            if self._shadows_dirty or \
+                    getattr(self, "_shadow_vp_cache", None) is None:
+                self._shadow_vp_cache = \
+                    self._fitting.shadow_transforms_for_scene(self.scene_host)
+            params["shadow_viewproj"] = self._shadow_vp_cache
         return params
 
     def render(self, params: dict | None = None) -> jnp.ndarray:
