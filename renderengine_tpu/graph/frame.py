@@ -515,7 +515,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         from ..raster.pallas_raster import prepare_pallas_pairs
         prep = prepare_pallas_pairs(
             setup_s, slice_h, w, max_pairs=opq_budget,
-            attr_planes=ap, tri_mat=scene["tri_material"])
+            attr_planes=ap, tri_mat=scene["tri_material"],
+            dense_k=config.raster.pairs_per_tri)
         overflow = overflow + prep.bins.n_overflow
     elif return_stats and backend == "tiled":
         from ..raster.binning import count_span_overflow
@@ -556,7 +557,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             from ..raster.pallas_raster import prepare_pallas_pairs
             prep_t = prepare_pallas_pairs(
                 setup_ts, slice_h, w, max_pairs=blend_budget,
-                attr_planes=ap_t, tri_mat=scene["blend_tri_material"])
+                attr_planes=ap_t, tri_mat=scene["blend_tri_material"],
+                dense_k=config.raster.pairs_per_tri)
             blend_overflow = prep_t.bins.n_overflow
         elif return_stats and backend == "tiled":
             from ..raster.binning import count_span_overflow
@@ -638,7 +640,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             from ..raster.pallas_raster import prepare_pallas_pairs
             prep_m = prepare_pallas_pairs(
                 setup_ms, slice_h, w, max_pairs=mask_budget,
-                attr_planes=ap_m, tri_mat=scene["mask_tri_material"])
+                attr_planes=ap_m, tri_mat=scene["mask_tri_material"],
+                dense_k=config.raster.pairs_per_tri)
             overflow = overflow + prep_m.bins.n_overflow
         prev_m = jnp.full((slice_h, w), -1.0, jnp.float32)
         resolved = jnp.zeros((slice_h, w), bool)

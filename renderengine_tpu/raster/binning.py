@@ -43,7 +43,17 @@ class TileBins(NamedTuple):
 
 
 def bin_triangles(setup: TriSetup, height: int, width: int,
-                  tile_h: int, tile_w: int, max_pairs: int) -> TileBins:
+                  tile_h: int, tile_w: int, max_pairs: int,
+                  dense_k: int | None = None) -> TileBins:
+    """``dense_k``: enumerate the first k pairs of every triangle DENSELY
+    ([T,k] grid, zero scatters) and only the span>k tail through the
+    scatter+cummax fills — the two head-scatters are the dominant binning
+    cost at camera-pass sizes (2x ~2.4 ms at 261k tris on v5e; the
+    cummaxes are ~0.5 ms), and camera spans are small (mean ~2 tiles), so
+    the dense grid replaces them with pure vector math plus a slightly
+    larger sort. Use None for span-heavy views (the 4096^2 shadow fit
+    puts most pairs in the tail, where the dense grid only adds sort
+    rows)."""
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     n_tiles = ntx * nty
@@ -56,6 +66,17 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
     nx = (tx1 - tx0 + 1)
     ny = (ty1 - ty0 + 1)
     span = jnp.where(setup.valid, nx * ny, 0).astype(jnp.int32)
+
+    t_ = span.shape[0]
+    tri_bits_ = max(1, int(t_ - 1).bit_length())
+    tile_bits_ = max(1, int(n_tiles - 1).bit_length())
+    if (dense_k is not None and ntx <= 255
+            and ((n_tiles + 1) << tri_bits_) <= (1 << 32)
+            and tri_bits_ + tile_bits_ <= 32
+            and max_pairs < (1 << 23) and not _FORCE_VARIADIC_SORT):
+        rowbase_ = ty0 * ntx + tx0
+        return _bin_dense(span, nx, ny, rowbase_, n_tiles, ntx, max_pairs,
+                          int(dense_k), tri_bits_)
 
     offsets = jnp.cumsum(span) - span            # exclusive scan
     total = offsets[-1] + span[-1]
@@ -167,6 +188,121 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
     counts = edges[1:] - starts
     # empty tiles: make starts well-defined (their count is 0 anyway)
     starts = jnp.where(counts > 0, starts, 0)
+    return TileBins(sorted_tri, sorted_key < n_tiles, starts, counts,
+                    n_overflow)
+
+
+_BIG_TRI_CAP = 16384      # compacted span>k triangle list (sorted prefix)
+
+
+def _bin_dense(span, nx, ny, rowbase, n_tiles: int, ntx: int,
+               max_pairs: int, k: int, tri_bits: int) -> TileBins:
+    """Dense-grid binning (see ``bin_triangles``): pair (t, j) for j <
+    min(span, k) comes from a [T,k] vector grid; the span>k tail is
+    compacted to <= _BIG_TRI_CAP triangles by one u32 sort, enumerated
+    with the (now tiny) head-fills, and both key streams go through ONE
+    combined-key sort whose first ``max_pairs`` slots are the budget —
+    live keys sort before the invalid sentinel, so slicing preserves the
+    exact drop-and-count overflow semantics of the scatter path."""
+    t = span.shape[0]
+    tris = jnp.arange(t, dtype=jnp.uint32)
+    inval = jnp.uint32(n_tiles << tri_bits)
+
+    # dense stream: j is a STATIC column index, so dy = j // nx unrolls to
+    # k cheap vector divides (nx <= 255; exact in f32)
+    key_cols = []
+    nxf = nx.astype(jnp.float32)
+    for j in range(k):
+        dy = jnp.floor(jnp.float32(j) / nxf).astype(jnp.int32)
+        dx = j - dy * nx
+        tile_j = rowbase + dy * ntx + dx
+        ok = j < span          # span==0 for culled tris
+        key_cols.append(jnp.where(
+            ok, (tile_j.astype(jnp.uint32) << tri_bits) | tris,
+            inval | tris))
+    dense_keys = jnp.stack(key_cols, axis=1).reshape(-1)      # [t*k]
+    dense_live = jnp.minimum(span, k).sum()
+
+    # span>k tail: compact the big triangles to a sorted id prefix
+    span_big = jnp.maximum(span - k, 0)
+    big_total = span_big.sum()
+    sel = jnp.where(span_big > 0, tris, tris | jnp.uint32(1 << 31))
+    sel = jax.lax.sort(sel, dimension=0, is_stable=False)[:_BIG_TRI_CAP]
+    live_row = (sel >> 31) == 0
+    big_tri = (sel & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    big_tri = jnp.minimum(big_tri, t - 1)
+    b_span = jnp.where(live_row, span_big[big_tri], 0)        # [CAP]
+    b_nx = nx[big_tri]
+    b_rowbase = rowbase[big_tri]
+    kept_total = b_span.sum()                 # spans of tris that fit CAP
+    b_off = jnp.cumsum(b_span) - b_span
+    # the tail gets the FULL budget: the fills' cost driver was the
+    # head-scatter index count (now <= _BIG_TRI_CAP), not the slot count,
+    # so a max_pairs-deep tail costs only its cummax (~0.5 ms at 574k)
+    b_budget = max_pairs
+    # per-slot (offset, nx) and (tri, rowbase) ride the two head-fills —
+    # the scatters now index a 16k table instead of the full draw list
+    tile_bits = max(1, int(n_tiles - 1).bit_length())
+    c0 = _fill_from_heads(((b_off.astype(jnp.uint32) << 8)
+                           | b_nx.astype(jnp.uint32)),
+                          b_off, b_span, b_budget)
+    # tri in the HIGH bits drives the fill's required monotonicity
+    # (compacted ids ascend); rowbase rides the low bits
+    tb = _fill_from_heads((big_tri.astype(jnp.uint32) << tile_bits)
+                          | b_rowbase.astype(jnp.uint32),
+                          b_off, b_span, b_budget)
+    s_slots = jnp.arange(b_budget, dtype=jnp.int32)
+    off_s = (c0 >> 8).astype(jnp.int32)
+    nx_s = jnp.maximum((c0 & 255).astype(jnp.int32), 1)
+    tri_s = (tb >> tile_bits)
+    base_s = (tb & ((1 << tile_bits) - 1)).astype(jnp.int32)
+    jloc = k + (s_slots - off_s)
+    dy = jloc // nx_s
+    dx = jloc - dy * nx_s
+    tile_s = base_s + dy * ntx + dx
+    ok_s = s_slots < jnp.minimum(kept_total, b_budget)
+    big_keys = jnp.where(ok_s,
+                         (tile_s.astype(jnp.uint32) << tri_bits) | tri_s,
+                         inval | jnp.uint32(t - 1))
+    big_live = jnp.minimum(kept_total, b_budget)
+
+    ck = jnp.concatenate([dense_keys, big_keys])
+    if ck.shape[0] < max_pairs:
+        ck = jnp.concatenate([ck, jnp.full(max_pairs - ck.shape[0],
+                                           inval, jnp.uint32)])
+    sck = jax.lax.sort(ck, dimension=0, is_stable=False)[:max_pairs]
+    live_total = dense_live + big_live
+    n_overflow = ((big_total - kept_total)          # big tris past CAP
+                  + jnp.maximum(kept_total - b_budget, 0)
+                  + jnp.maximum(live_total - max_pairs, 0)).astype(jnp.int32)
+    return _segments_from_sorted(sck, tri_bits, n_tiles, max_pairs,
+                                 n_overflow)
+
+
+def _segments_from_sorted(sck, tri_bits: int, n_tiles: int, max_pairs: int,
+                          n_overflow) -> TileBins:
+    """(starts, counts) from a sorted combined-key array via segment-HEAD
+    positions (see the comment in ``bin_triangles``)."""
+    slots = jnp.arange(max_pairs, dtype=jnp.int32)
+    sorted_tri = (sck & ((1 << tri_bits) - 1)).astype(jnp.int32)
+    sorted_key = (sck >> tri_bits).astype(jnp.int32)
+    is_head = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_),
+         sorted_key[1:] != sorted_key[:-1]])
+    hp = jax.lax.sort(jnp.where(is_head, slots, max_pairs)
+                      .astype(jnp.uint32), dimension=0,
+                      is_stable=False)[:n_tiles + 1]
+    hp = hp.astype(jnp.int32)
+    ht = sorted_key[jnp.minimum(hp, max_pairs - 1)]
+    hn = jnp.concatenate([hp[1:],
+                          jnp.full((1,), max_pairs, jnp.int32)])
+    hn = jnp.minimum(hn, max_pairs)
+    live = (hp < max_pairs) & (ht < n_tiles)
+    idx = jnp.where(live, ht, n_tiles)
+    starts = jnp.zeros(n_tiles, jnp.int32).at[idx].max(
+        jnp.where(live, hp, 0), mode="drop")
+    counts = jnp.zeros(n_tiles, jnp.int32).at[idx].max(
+        jnp.where(live, hn - hp, 0), mode="drop")
     return TileBins(sorted_tri, sorted_key < n_tiles, starts, counts,
                     n_overflow)
 

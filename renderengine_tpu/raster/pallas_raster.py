@@ -919,13 +919,16 @@ def prepare_pallas_pairs(setup: TriSetup, height: int, width: int,
                          tile_h: int = TILE_H, tile_w: int = TILE_W,
                          max_pairs: int | None = None, tri_offset: int = 0,
                          attr_planes=None, tri_mat=None,
-                         chunk: int = CHUNK) -> PreparedPairs:
+                         chunk: int = CHUNK,
+                         dense_k: int | None = None) -> PreparedPairs:
     """Bin + pack for ``rasterize_pallas``. Split out so passes over the
-    same geometry (successive depth-peel layers) bin and pack once."""
+    same geometry (successive depth-peel layers) bin and pack once.
+    ``dense_k``: scatter-free dense binning (see ``bin_triangles``)."""
     t = setup.coef.shape[0]
     if max_pairs is None:
         max_pairs = 4 * t
-    bins = bin_triangles(setup, height, width, tile_h, tile_w, max_pairs)
+    bins = bin_triangles(setup, height, width, tile_h, tile_w, max_pairs,
+                         dense_k=dense_k)
     return _pack_pairs(setup, bins, tri_offset, attr_planes, tri_mat, chunk)
 
 
