@@ -1092,15 +1092,16 @@ class FrameRenderer:
 
         @jax.jit
         def total_pairs(scene, view, proj):
+            # post-cull live estimate (binning.py::live_pairs_estimate):
+            # the dense binning voids corner-test failures, so sizing the
+            # budget from the bbox span sum would bake its ~15-25%
+            # overcount into every frame's sort+pack+gather
+            from ..raster.binning import live_pairs_estimate
             vo = cached_vertex_outputs(scene, view, proj)
             s = triangle_setup(vo.clip, scene["tri_vidx"], scene["n_opaque"],
                                w, h, cfg.cull_mode)
-            tx0 = s.bbox[:, 0] // etw
-            ty0 = s.bbox[:, 1] // eth
-            tx1 = s.bbox[:, 2] // etw
-            ty1 = s.bbox[:, 3] // eth
-            span = jnp.where(s.valid, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
-            return span.sum()
+            return live_pairs_estimate(s, h, w, eth, etw,
+                                       cfg.raster.pairs_per_tri)
 
         total = int(total_pairs(self.scene_dev, jnp.asarray(vp.view),
                                 jnp.asarray(vp.proj)))

@@ -76,7 +76,10 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
             and max_pairs < (1 << 23) and not _FORCE_VARIADIC_SORT):
         rowbase_ = ty0 * ntx + tx0
         return _bin_dense(span, nx, ny, rowbase_, n_tiles, ntx, max_pairs,
-                          int(dense_k), tri_bits_)
+                          int(dense_k), tri_bits_,
+                          setup=setup, tx0=tx0, ty0=ty0,
+                          tile_h=tile_h, tile_w=tile_w,
+                          width=width, height=height)
 
     offsets = jnp.cumsum(span) - span            # exclusive scan
     total = offsets[-1] + span[-1]
@@ -195,8 +198,52 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
 _BIG_TRI_CAP = 16384      # compacted span>k triangle list (sorted prefix)
 
 
+def live_pairs_estimate(setup: TriSetup, height: int, width: int,
+                        tile_h: int, tile_w: int, k: int):
+    """Post-cull live pair count for ``dense_k`` binning: the dense
+    columns apply the same conservative corner test as ``_bin_dense``;
+    the span>k tail is assumed fully live. Lets budget auto-tune track
+    the culled count instead of the bbox overcount (every unused budget
+    slot is a per-frame sort+pack+gather tax)."""
+    ntx = -(-width // tile_w)
+    bbox = setup.bbox
+    tx0 = bbox[:, 0] // tile_w
+    ty0 = bbox[:, 1] // tile_h
+    nx = bbox[:, 2] // tile_w - tx0 + 1
+    ny = bbox[:, 3] // tile_h - ty0 + 1
+    span = jnp.where(setup.valid, nx * ny, 0).astype(jnp.int32)
+    a_ = setup.coef[:, 0:3, 0]
+    b_ = setup.coef[:, 0:3, 1]
+    c_ = setup.coef[:, 0:3, 2]
+    cpx0 = (tx0 * tile_w + (tile_w - 1) * 0.5 + 0.5
+            - width * 0.5).astype(jnp.float32)[:, None]
+    cpy0 = (ty0 * tile_h + (tile_h - 1) * 0.5 + 0.5
+            - height * 0.5).astype(jnp.float32)[:, None]
+    e0 = a_ * cpx0 + b_ * cpy0 + c_
+    sx = a_ * float(tile_w)
+    sy = b_ * float(tile_h)
+    margin = (jnp.abs(a_) * ((tile_w - 1) * 0.5)
+              + jnp.abs(b_) * ((tile_h - 1) * 0.5))
+    margin = margin + 1e-5 * (jnp.abs(e0) + jnp.abs(sx) + jnp.abs(sy)
+                              + margin)
+    nxf = nx.astype(jnp.float32)
+    live = jnp.maximum(span - k, 0)
+    for j in range(k):
+        dy = jnp.floor(jnp.float32(j) / nxf).astype(jnp.int32)
+        dx = j - dy * nx
+        dxf = dx.astype(jnp.float32)[:, None]
+        dyf = dy.astype(jnp.float32)[:, None]
+        reach = e0 + dxf * sx + dyf * sy + margin
+        ok = (j < span) & jnp.all(reach > 0, axis=-1)
+        live = live + ok.astype(jnp.int32)
+    return live.sum()
+
+
 def _bin_dense(span, nx, ny, rowbase, n_tiles: int, ntx: int,
-               max_pairs: int, k: int, tri_bits: int) -> TileBins:
+               max_pairs: int, k: int, tri_bits: int,
+               setup=None, tx0=None, ty0=None,
+               tile_h: int = 8, tile_w: int = 32,
+               width: int = 0, height: int = 0) -> TileBins:
     """Dense-grid binning (see ``bin_triangles``): pair (t, j) for j <
     min(span, k) comes from a [T,k] vector grid; the span>k tail is
     compacted to <= _BIG_TRI_CAP triangles by one u32 sort, enumerated
@@ -208,20 +255,55 @@ def _bin_dense(span, nx, ny, rowbase, n_tiles: int, ntx: int,
     tris = jnp.arange(t, dtype=jnp.uint32)
     inval = jnp.uint32(n_tiles << tri_bits)
 
+    # exact-coverage cull: bbox binning overcounts ~15-25% at camera tri
+    # sizes (a triangle spanning 2x2 tiles usually covers 3). The dense
+    # loop runs in TRIANGLE-index space, so the edge planes are at hand
+    # with no gather: a conservative corner test — edge value at the tile
+    # center plus the tile's worst-case half-extent along the edge
+    # normal — voids (t, tile) pairs the triangle cannot touch. Margins
+    # are padded by a relative slack (~1e-5 >> 3 ulps) so f32 rounding in
+    # the kernel's own edge evaluation can never resurrect a culled
+    # pixel; the kernel's DMA-overhang argument stays valid because the
+    # test is conservative (any covered pixel keeps its pair).
+    if setup is not None:
+        a_ = setup.coef[:, 0:3, 0]                # [T,3]
+        b_ = setup.coef[:, 0:3, 1]
+        c_ = setup.coef[:, 0:3, 2]
+        cpx0 = (tx0 * tile_w + (tile_w - 1) * 0.5 + 0.5
+                - width * 0.5).astype(jnp.float32)[:, None]   # [T,1]
+        cpy0 = (ty0 * tile_h + (tile_h - 1) * 0.5 + 0.5
+                - height * 0.5).astype(jnp.float32)[:, None]
+        e0 = a_ * cpx0 + b_ * cpy0 + c_                       # [T,3]
+        sx = a_ * float(tile_w)
+        sy = b_ * float(tile_h)
+        margin = (jnp.abs(a_) * ((tile_w - 1) * 0.5)
+                  + jnp.abs(b_) * ((tile_h - 1) * 0.5))
+        margin = margin + 1e-5 * (jnp.abs(e0) + jnp.abs(sx) + jnp.abs(sy)
+                                  + margin)
+    else:
+        e0 = None
+
     # dense stream: j is a STATIC column index, so dy = j // nx unrolls to
     # k cheap vector divides (nx <= 255; exact in f32)
     key_cols = []
+    live_cols = []
     nxf = nx.astype(jnp.float32)
     for j in range(k):
         dy = jnp.floor(jnp.float32(j) / nxf).astype(jnp.int32)
         dx = j - dy * nx
         tile_j = rowbase + dy * ntx + dx
         ok = j < span          # span==0 for culled tris
+        if e0 is not None:
+            dxf = dx.astype(jnp.float32)[:, None]
+            dyf = dy.astype(jnp.float32)[:, None]
+            reach = e0 + dxf * sx + dyf * sy + margin
+            ok = ok & jnp.all(reach > 0, axis=-1)
         key_cols.append(jnp.where(
             ok, (tile_j.astype(jnp.uint32) << tri_bits) | tris,
             inval | tris))
+        live_cols.append(ok)
     dense_keys = jnp.stack(key_cols, axis=1).reshape(-1)      # [t*k]
-    dense_live = jnp.minimum(span, k).sum()
+    dense_live = jnp.stack(live_cols, axis=1).sum()
 
     # span>k tail: compact the big triangles to a sorted id prefix
     span_big = jnp.maximum(span - k, 0)
