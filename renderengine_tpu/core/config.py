@@ -59,6 +59,7 @@ class RasterConfig:
     tri_chunk: int = 16      # triangles rastered per tile per inner step
     max_tris_per_tile: int = 2048  # bin capacity; overflow counted + reported
     pairs_per_tri: int = 4   # pair-table budget multiplier (overflow is counted)
+    dense_k: int = 0         # >0: dense-grid binning, first K pairs per tri scatter-free (binning.py::_bin_dense); FrameRenderer auto-picks from the span distribution
     pair_budget: int = 0     # absolute opaque-pass pair budget; 0 = pairs_per_tri * T + 8192 (auto-tune sets this: the bin sort/pack run over the whole STATIC budget, so integer multipliers overshoot)
     auto_tune_pairs: bool = True  # size the budget from the initial camera (2x headroom)
     use_pallas: bool = True  # Pallas kernel vs pure-jnp tile loop

@@ -341,6 +341,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
     slice_h = fh if slice_h is None else slice_h
     is_full = slice_h == fh
     overflow = jnp.zeros((), jnp.int32)
+    tail_overflow = jnp.zeros((), jnp.int32)   # span>dense_k big-cap drops
     blend_overflow = jnp.zeros((), jnp.int32)
     shade_tile_counts = []   # observed covered shade tiles per peel layer
     shadow_stats = []        # (penumbra tiles, overflow) per shadow lookup
@@ -516,8 +517,9 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         prep = prepare_pallas_pairs(
             setup_s, slice_h, w, max_pairs=opq_budget,
             attr_planes=ap, tri_mat=scene["tri_material"],
-            dense_k=config.raster.pairs_per_tri)
+            dense_k=config.raster.dense_k or None)
         overflow = overflow + prep.bins.n_overflow
+        tail_overflow = tail_overflow + prep.bins.n_tail
     elif return_stats and backend == "tiled":
         from ..raster.binning import count_span_overflow
         overflow = overflow + count_span_overflow(
@@ -558,8 +560,9 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             prep_t = prepare_pallas_pairs(
                 setup_ts, slice_h, w, max_pairs=blend_budget,
                 attr_planes=ap_t, tri_mat=scene["blend_tri_material"],
-                dense_k=config.raster.pairs_per_tri)
+                dense_k=config.raster.dense_k or None)
             blend_overflow = prep_t.bins.n_overflow
+            tail_overflow = tail_overflow + prep_t.bins.n_tail
         elif return_stats and backend == "tiled":
             from ..raster.binning import count_span_overflow
             blend_overflow = count_span_overflow(
@@ -641,8 +644,9 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             prep_m = prepare_pallas_pairs(
                 setup_ms, slice_h, w, max_pairs=mask_budget,
                 attr_planes=ap_m, tri_mat=scene["mask_tri_material"],
-                dense_k=config.raster.pairs_per_tri)
+                dense_k=config.raster.dense_k or None)
             overflow = overflow + prep_m.bins.n_overflow
+            tail_overflow = tail_overflow + prep_m.bins.n_tail
         prev_m = jnp.full((slice_h, w), -1.0, jnp.float32)
         resolved = jnp.zeros((slice_h, w), bool)
         for _ in range(config.mask_layers):
@@ -859,6 +863,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
 
     img = encode_srgb8(rgb)
     stats = {"pair_overflow": overflow,
+             "pair_tail_overflow": tail_overflow,
              "blend_pair_overflow": blend_overflow}
     if shade_tile_counts:
         stats["blend_shade_tiles"] = jnp.stack(shade_tile_counts)
@@ -931,11 +936,11 @@ class FrameRenderer:
                 backend = "tiled"
         self.backend = backend
         if backend in ("pallas", "tiled") and config.raster.auto_tune_pairs:
-            ppt, abs_budget = self._estimate_pair_budget()
+            ppt, abs_budget, dense_k = self._estimate_pair_budget()
             self.config = config = config.replace(
                 raster=dataclasses.replace(
                     config.raster, pairs_per_tri=ppt,
-                    pair_budget=abs_budget))
+                    pair_budget=abs_budget, dense_k=dense_k))
         has_translucent = int(dev["n_blend"]) > 0
         if (has_translucent and config.translucency
                 and backend in ("pallas", "tiled")
@@ -1080,7 +1085,7 @@ class FrameRenderer:
             backend=self.backend, max_pairs=self._shadow_budget(),
             return_overflow=True))
 
-    def _estimate_pair_budget(self) -> tuple[int, int]:
+    def _estimate_pair_budget(self) -> tuple[int, int, int]:
         """Size the pair-table budget from the initial camera: count the
         (tile, triangle) pairs the scene actually produces (one cheap jit —
         setup + span sum, no sort) and keep 2x headroom, floor 2. The
@@ -1116,7 +1121,31 @@ class FrameRenderer:
         # the camera view's).
         ppt = min(64, max(2, -(-2 * total // max(t, 1))))
         abs_budget = min(self._MAX_PAIRS, int(1.35 * total) + 8192)
-        return ppt, abs_budget
+
+        @jax.jit
+        def span_quantile(scene, view, proj):
+            # smallest k whose span>k triangle count fits the dense
+            # binning's big-list cap with 4x orbit margin = the
+            # (CAP/4)-th largest bbox span at the init camera
+            from ..raster.binning import _BIG_TRI_CAP
+            vo = cached_vertex_outputs(scene, view, proj)
+            s = triangle_setup(vo.clip, scene["tri_vidx"],
+                               scene["n_opaque"], w, h, cfg.cull_mode)
+            tx0 = s.bbox[:, 0] // etw
+            ty0 = s.bbox[:, 1] // eth
+            nx = s.bbox[:, 2] // etw - tx0 + 1
+            ny = s.bbox[:, 3] // eth - ty0 + 1
+            span = jnp.where(s.valid, nx * ny, 0).astype(jnp.int32)
+            q = _BIG_TRI_CAP // 4
+            return jax.lax.sort(span, dimension=0)[-q]
+
+        dk = int(span_quantile(self.scene_dev, jnp.asarray(vp.view),
+                               jnp.asarray(vp.proj)))
+        # dense-grid binning when the bulk of the spans is small; a
+        # span-heavy view (k would exceed 16: dense rows ~16x T) keeps
+        # the fill path, which has no compaction cap
+        dense_k = max(4, dk) if dk <= 16 else 0
+        return ppt, abs_budget, dense_k
 
     def _estimate_blend_budgets(self) -> tuple[float, int, int]:
         """Size the translucency budgets from the initial camera: the
@@ -1266,12 +1295,33 @@ class FrameRenderer:
             cfg = self.config
             rc = cfg.raster
             t = int(self.scene_dev["tri_vidx"].shape[0])
+            tail_ov = st.get("pair_tail_overflow")
+            if tail_ov is not None and int(tail_ov) > 0 and rc.dense_k:
+                # span>dense_k triangles overflowed the dense binning's
+                # big-list cap — budget growth can NEVER fix these, so
+                # grow K (more spans handled densely); past 16 the dense
+                # rows outweigh the scatters they save, fall back to the
+                # capless fill path
+                nk = rc.dense_k + max(2, rc.dense_k // 2)
+                nk = nk if nk <= 16 else 0
+                get_logger().warning(
+                    "dense binning big-cap overflow (%d dropped): "
+                    "dense_k %d -> %s, re-jitting", int(tail_ov),
+                    rc.dense_k, nk or "fill path")
+                cfg = cfg.replace(raster=dataclasses.replace(
+                    rc, dense_k=nk))
+                rc = cfg.raster
             if int(ov) > 0 and 0 < rc.pair_budget < self._MAX_PAIRS:
-                # absolute opaque budget (the auto-tuned path): 1.5x
-                # growth — the sort/pack run over the whole static budget,
-                # so overshooting is a per-frame tax after the camera move
+                # absolute opaque budget (the auto-tuned path): the sort
+                # slice makes the overflow count EXACT (live = budget +
+                # dropped), so grow straight to the observed need plus
+                # 15% headroom — the sort/pack run over the whole static
+                # budget, so a doubling ladder's overshoot would be a
+                # per-frame tax long after the camera move
+                need = rc.pair_budget + int(ov)
                 nb = min(self._MAX_PAIRS,
-                         rc.pair_budget + max(8192, rc.pair_budget // 2))
+                         max(need + need // 7 + 8192,
+                             rc.pair_budget + 8192))
                 get_logger().warning(
                     "pair budget overflow (%d dropped): budget %d -> %d, "
                     "re-jitting", int(ov), rc.pair_budget, nb)

@@ -40,6 +40,11 @@ class TileBins(NamedTuple):
     starts: jnp.ndarray      # [n_tiles] i32 first pair index per tile
     counts: jnp.ndarray      # [n_tiles] i32 pairs per tile
     n_overflow: jnp.ndarray  # scalar i32: pairs that didn't fit the budget
+    # pairs of span>dense_k triangles beyond the big-list compaction cap
+    # (_BIG_TRI_CAP) — a SEPARATE counter because budget growth cannot fix
+    # them (the reaction must grow dense_k instead); always 0 on the
+    # fill path
+    n_tail: jnp.ndarray | int = 0
 
 
 def bin_triangles(setup: TriSetup, height: int, width: int,
@@ -195,7 +200,7 @@ def bin_triangles(setup: TriSetup, height: int, width: int,
                     n_overflow)
 
 
-_BIG_TRI_CAP = 16384      # compacted span>k triangle list (sorted prefix)
+_BIG_TRI_CAP = 65536      # compacted span>k triangle list (sorted prefix)
 
 
 def live_pairs_estimate(setup: TriSetup, height: int, width: int,
@@ -354,15 +359,15 @@ def _bin_dense(span, nx, ny, rowbase, n_tiles: int, ntx: int,
                                            inval, jnp.uint32)])
     sck = jax.lax.sort(ck, dimension=0, is_stable=False)[:max_pairs]
     live_total = dense_live + big_live
-    n_overflow = ((big_total - kept_total)          # big tris past CAP
-                  + jnp.maximum(kept_total - b_budget, 0)
+    n_overflow = (jnp.maximum(kept_total - b_budget, 0)
                   + jnp.maximum(live_total - max_pairs, 0)).astype(jnp.int32)
+    n_tail = (big_total - kept_total).astype(jnp.int32)  # big tris past CAP
     return _segments_from_sorted(sck, tri_bits, n_tiles, max_pairs,
-                                 n_overflow)
+                                 n_overflow, n_tail)
 
 
 def _segments_from_sorted(sck, tri_bits: int, n_tiles: int, max_pairs: int,
-                          n_overflow) -> TileBins:
+                          n_overflow, n_tail=0) -> TileBins:
     """(starts, counts) from a sorted combined-key array via segment-HEAD
     positions (see the comment in ``bin_triangles``)."""
     slots = jnp.arange(max_pairs, dtype=jnp.int32)
@@ -386,7 +391,7 @@ def _segments_from_sorted(sck, tri_bits: int, n_tiles: int, max_pairs: int,
     counts = jnp.zeros(n_tiles, jnp.int32).at[idx].max(
         jnp.where(live, hn - hp, 0), mode="drop")
     return TileBins(sorted_tri, sorted_key < n_tiles, starts, counts,
-                    n_overflow)
+                    n_overflow, n_tail)
 
 
 def count_span_overflow(setup: TriSetup, tile_h: int, tile_w: int,
