@@ -61,7 +61,13 @@ _TIE_EPS = 1e-35          # normal f32; survives TPU FTZ, vanishes vs any |E|
 CHUNK = 64                # pairs per DMA slab
 GROUP = 8                 # pair ROWS evaluated per step (across sublanes)
 TILE_H = 8                # subtile pixel rows
-TILE_W = 16               # subtile pixel cols (TILE_H * TILE_W = 128 lanes)
+TILE_W = 32               # subtile pixel cols (TILE_H * TILE_W = 256 lanes; 2
+                          # vregs/op — measured better than the 1-vreg 8x16:
+                          # per-TILE fixed cost (~0.6 us: carry init, fold,
+                          # store, DMA admin) dominates the walk, so halving
+                          # the tile count beats the extra pair-pixel lanes,
+                          # and wider tiles also shrink bbox spans => fewer
+                          # pairs through sort+pack)
 TILES_PER_PROGRAM = 8     # tile slots per program (amortizes ~0.5 us/program
 #                           grid + block-DMA overhead; see _raster_kernel)
 N_ATTRS = 8               # pos3 | normal3 | uv2

@@ -32,7 +32,7 @@ class TestPallasMatchesReference:
         w, h = 64, 48
         s = random_setup(rng, n=16, w=w, h=h)
         ref = rasterize_reference(s, h, w)
-        pal = rasterize_pallas(s, h, w, tile_h=8, tile_w=16, chunk=8,
+        pal = rasterize_pallas(s, h, w, chunk=8,
                                max_pairs=8192, interpret=True)
         np.testing.assert_array_equal(np.asarray(ref.tri_id), np.asarray(pal.tri_id))
         np.testing.assert_array_equal(np.asarray(ref.depth), np.asarray(pal.depth))
@@ -41,7 +41,7 @@ class TestPallasMatchesReference:
         w, h = 53, 37
         s = random_setup(rng, n=12, w=w, h=h, cull=CullMode.BACK)
         ref = rasterize_reference(s, h, w)
-        pal = rasterize_pallas(s, h, w, tile_h=8, tile_w=16, chunk=4,
+        pal = rasterize_pallas(s, h, w, chunk=4,
                                max_pairs=8192, interpret=True)
         np.testing.assert_array_equal(np.asarray(ref.tri_id), np.asarray(pal.tri_id))
 
