@@ -318,15 +318,19 @@ def _bin_dense(span, nx, ny, rowbase, n_tiles: int, ntx: int,
     live_row = (sel >> 31) == 0
     big_tri = (sel & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     big_tri = jnp.minimum(big_tri, t - 1)
-    b_span = jnp.where(live_row, span_big[big_tri], 0)        # [CAP]
-    b_nx = nx[big_tri]
-    b_rowbase = rowbase[big_tri]
+    # ONE row gather for (span_big, nx, rowbase) — three separate [CAP]
+    # gathers shared the same indices and each paid the per-index cost
+    big_rows = jnp.stack([span_big, nx, rowbase], axis=-1)[big_tri]
+    b_span = jnp.where(live_row, big_rows[:, 0], 0)           # [CAP]
+    b_nx = big_rows[:, 1]
+    b_rowbase = big_rows[:, 2]
     kept_total = b_span.sum()                 # spans of tris that fit CAP
     b_off = jnp.cumsum(b_span) - b_span
-    # the tail gets the FULL budget: the fills' cost driver was the
-    # head-scatter index count (now <= _BIG_TRI_CAP), not the slot count,
-    # so a max_pairs-deep tail costs only its cummax (~0.5 ms at 574k)
-    b_budget = max_pairs
+    # tail budget: a quarter of the pair budget covers span>k tails at
+    # camera-pass span profiles; overruns ride n_overflow, whose reaction
+    # grows max_pairs (and so this) — the fills' cummax runs over these
+    # slots, so oversizing is a per-frame tax
+    b_budget = max(65536, max_pairs // 4)
     # per-slot (offset, nx) and (tri, rowbase) ride the two head-fills —
     # the scatters now index a 16k table instead of the full draw list
     tile_bits = max(1, int(n_tiles - 1).bit_length())

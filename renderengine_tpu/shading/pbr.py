@@ -75,8 +75,10 @@ def _sample_slot(scene, tex, uv, duv_dx, duv_dy, default, max_aniso=1,
     size = jnp.stack([tex["w"].astype(jnp.float32), tex["h"].astype(jnp.float32)], -1)
     dx = duv_dx * size
     dy = duv_dy * size
-    rho = jnp.maximum(jnp.sqrt((dx * dx).sum(-1)), jnp.sqrt((dy * dy).sum(-1)))
-    lod = jnp.log2(jnp.maximum(rho, 1e-20))
+    # log2(sqrt(v)) == 0.5*log2(v): skips two full-screen sqrt chains;
+    # differs from the sqrt form by ~1 ulp, goldens unaffected
+    rho2 = jnp.maximum((dx * dx).sum(-1), (dy * dy).sum(-1))
+    lod = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-40))
     s = sampling.sample_texture_rows(scene["atlas"], scene["mip_y"],
                                      scene["mip_x"], tex,
                                      tex["n_mips"], uv, lod, dither=dither)
