@@ -326,11 +326,13 @@ def _bin_dense(span, nx, ny, rowbase, n_tiles: int, ntx: int,
     b_rowbase = big_rows[:, 2]
     kept_total = b_span.sum()                 # spans of tris that fit CAP
     b_off = jnp.cumsum(b_span) - b_span
-    # tail budget: a quarter of the pair budget covers span>k tails at
-    # camera-pass span profiles; overruns ride n_overflow, whose reaction
-    # grows max_pairs (and so this) — the fills' cummax runs over these
-    # slots, so oversizing is a per-frame tax
-    b_budget = max(65536, max_pairs // 4)
+    # the tail gets the FULL budget: the fills' cost driver was the
+    # head-scatter index count (now <= _BIG_TRI_CAP), not the slot count,
+    # so a max_pairs-deep tail costs only its cummax (~0.5 ms at 574k).
+    # (A max_pairs//4 diet was tried: its overruns feed the budget-growth
+    # equation need = budget + dropped, which is wrong for tail drops —
+    # the controller then grows past the fill-path steady state.)
+    b_budget = max_pairs
     # per-slot (offset, nx) and (tri, rowbase) ride the two head-fills —
     # the scatters now index a 16k table instead of the full draw list
     tile_bits = max(1, int(n_tiles - 1).bit_length())
