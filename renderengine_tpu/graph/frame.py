@@ -924,6 +924,14 @@ class FrameRenderer:
             vp0 = ViewProperties.from_camera(scene_host.camera)
             viewproj = np.asarray(vp0.proj) @ np.asarray(vp0.view)
             lightchart.attach_chart_layout(dev, viewproj, config)
+        # keep the (small) geometry slice of the host dict: the budget
+        # estimates below are host-side PLANNING, so they jit on the local
+        # CPU backend — through a remote-device tunnel every compile RPC
+        # costs ~15-20 s of fixed latency, and init used to pay five of
+        # them for scalar budget numbers
+        self._est_np = {k: np.asarray(dev[k]) for k in (
+            "world_pos", "world_normal", "uvs", "tri_vidx", "n_tris",
+            "n_opaque", "blend_tri_vidx", "n_blend") if k in dev}
         self.scene_dev = jax.device_put(dev, device)
         if backend is None:
             # Pallas on real TPUs; dense-jnp tiled loop elsewhere. Tiny
@@ -1033,6 +1041,17 @@ class FrameRenderer:
     def _shadow_budget(self) -> int:
         return self._shadow_budget_val
 
+    @staticmethod
+    def _planning_device():
+        """Local CPU device for budget-estimate jits (scalar planning
+        math): keeps init off the device-compile path — each remote
+        compile RPC costs ~15-20 s through the axon tunnel."""
+        try:
+            return jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            import contextlib
+            return contextlib.nullcontext()
+
     def _estimate_shadow_budget(self) -> int:
         """Measure the (tile, triangle) spans each shadow view produces at
         the shadow extent (one cheap jit per map: setup + span sum, no
@@ -1067,9 +1086,10 @@ class FrameRenderer:
                 worst = jnp.maximum(worst, spans)
             return worst
 
-        worst = max(int(worst_slice_spans(self.scene_dev,
-                                          jnp.asarray(m, jnp.float32)))
-                    for m in np.asarray(svp))
+        with self._planning_device():
+            worst = max(int(worst_slice_spans(self._est_np,
+                                              np.asarray(m, np.float32)))
+                        for m in np.asarray(svp))
         budget = int(1.3 * worst) + 8192
         if budget > self._MAX_PAIRS:
             from ..utils.log import get_logger
@@ -1108,9 +1128,10 @@ class FrameRenderer:
             return live_pairs_estimate(s, h, w, eth, etw,
                                        cfg.raster.pairs_per_tri)
 
-        total = int(total_pairs(self.scene_dev, jnp.asarray(vp.view),
-                                jnp.asarray(vp.proj)))
-        t = int(self.scene_dev["tri_vidx"].shape[0])
+        with self._planning_device():
+            total = int(total_pairs(self._est_np, np.asarray(vp.view),
+                                    np.asarray(vp.proj)))
+        t = int(self._est_np["tri_vidx"].shape[0])
         # absolute budget with 1.35x headroom for the opaque pass (the
         # sort/pack/row-gather all run over the whole STATIC budget —
         # measured ~25 ms/frame of per-pair gathers at a 606k budget, so
@@ -1139,8 +1160,9 @@ class FrameRenderer:
             q = _BIG_TRI_CAP // 4
             return jax.lax.sort(span, dimension=0)[-q]
 
-        dk = int(span_quantile(self.scene_dev, jnp.asarray(vp.view),
-                               jnp.asarray(vp.proj)))
+        with self._planning_device():
+            dk = int(span_quantile(self._est_np, np.asarray(vp.view),
+                                   np.asarray(vp.proj)))
         # dense-grid binning when the bulk of the spans is small; a
         # span-heavy view (k would exceed 16: dense rows ~16x T) keeps
         # the fill path, which has no compaction cap
@@ -1180,8 +1202,9 @@ class FrameRenderer:
 
             return spans(cfg.raster.tile_h, cfg.raster.tile_w), spans(eth, etw)
 
-        shade_spans, pair_spans = spans_only(
-            self.scene_dev, jnp.asarray(vp.view), jnp.asarray(vp.proj))
+        with self._planning_device():
+            shade_spans, pair_spans = spans_only(
+                self._est_np, np.asarray(vp.view), np.asarray(vp.proj))
         pair_budget = max(3 * int(pair_spans) // 2, 4096)
 
         # two-phase: spans sized the bin budget; now count EXACT covered
@@ -1195,8 +1218,9 @@ class FrameRenderer:
             b = bin_triangles(s, h, w, eth, etw, pair_budget)
             return (b.counts > 0).sum()
 
-        n_active = int(exact_tiles(self.scene_dev, jnp.asarray(vp.view),
-                                   jnp.asarray(vp.proj)))
+        with self._planning_device():
+            n_active = int(exact_tiles(self._est_np, np.asarray(vp.view),
+                                       np.asarray(vp.proj)))
         tiles = min(max(2 * int(shade_spans), 16), n_tiles)
         tile_budget = min(max(2 * n_active, 256), nte)
         return tiles / n_tiles, pair_budget, tile_budget

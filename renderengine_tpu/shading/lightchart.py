@@ -1044,39 +1044,52 @@ def setup_scene_tss(scene_dev: dict, config, slots_used, exposure: float):
     import jax
     from functools import partial
 
-    geo = jax.jit(bake_geometry)(scene_dev)
-    cm, nrm = jax.jit(partial(
-        bake_material, slots_used=slots_used,
-        max_aniso=config.max_anisotropy,
-        ibl_diffuse=config.ibl_diffuse))(scene_dev, geo)
     nl = int(scene_dev["light_type"].shape[0])
-    # chart arrays are stored PLANAR ([C,Ah,Aw]) — the per-frame light
-    # pass then runs full-lane 2D plane math (channel-minor [...,C]
-    # arrays pack C of 128 vreg lanes; measured ~4x on the spec pass)
-    up = {"chart_pos": jnp.moveaxis(geo["pos"], -1, 0),
-          "chart_normal": jnp.moveaxis(nrm, -1, 0),
-          "chart_mat": jnp.moveaxis(cm, -1, 0),
-          "chart_vis": jnp.ones((nl,) + cm.shape[:2], jnp.float32)}
-    alpha_is_factor = False
     pre_any = config.tss_preshaded or config.tss_preshaded_blend
+
+    # ONE jit for every upload-time bake: through a remote-device tunnel
+    # each compile RPC costs ~15-20 s of fixed latency, so geometry /
+    # material / albedo / alpha-pack bake as a single program.
+    def _bake_all(sc):
+        geo = bake_geometry(sc)
+        cm, nrm = bake_material(sc, geo, slots_used=slots_used,
+                                max_aniso=config.max_anisotropy,
+                                ibl_diffuse=config.ibl_diffuse)
+        # chart arrays are stored PLANAR ([C,Ah,Aw]) — the per-frame
+        # light pass then runs full-lane 2D plane math (channel-minor
+        # [...,C] arrays pack C of 128 vreg lanes; measured ~4x on the
+        # spec pass)
+        baked = {"chart_pos": jnp.moveaxis(geo["pos"], -1, 0),
+                 "chart_normal": jnp.moveaxis(nrm, -1, 0),
+                 "chart_mat": jnp.moveaxis(cm, -1, 0),
+                 "chart_vis": jnp.ones((nl,) + cm.shape[:2], jnp.float32)}
+        extras = {}
+        if pre_any:
+            # pre-shaded modes: bake the base-color tap per texel too,
+            # and keep the static product albedo * diffuse-light as a
+            # RAW f32 atlas (re-packed with the per-frame specular)
+            alb, ta = bake_albedo(sc, geo, slots_used=slots_used,
+                                  max_aniso=config.max_anisotropy)
+            baked["chart_albedo"] = jnp.moveaxis(alb, -1, 0)   # planar
+            baked["chart_a"] = pack_alpha_blocks(ta)
+            extras = {"ta": ta, "mat_id": geo["mat_id"],
+                      "live": geo["live"]}
+        return baked, extras
+
+    up, extras = jax.jit(_bake_all)(scene_dev)
+    up = dict(up)
+    alpha_is_factor = False
     if pre_any:
-        # pre-shaded modes: bake the base-color tap per texel too, and
-        # keep the static product albedo * diffuse-light as a RAW f32
-        # atlas (re-packed with the per-frame specular)
-        alb, ta = jax.jit(partial(
-            bake_albedo, slots_used=slots_used,
-            max_aniso=config.max_anisotropy))(scene_dev, geo)
-        up["chart_albedo"] = jnp.moveaxis(alb, -1, 0)      # planar
-        up["chart_a"] = jax.jit(pack_alpha_blocks)(ta)
         # if no base texture modulates alpha (all-opaque alpha channels:
         # the common case), per-texel alpha == the material base-color
         # factor — the peel screen pass then reads it from the small
         # material table (MXU one-hot) instead of a per-pixel gather
-        mid = np.asarray(geo["mat_id"])
+        mid = np.asarray(extras["mat_id"])
         fa = np.asarray(scene_dev["mat_all"], np.float32)[mid, 3]
-        live = np.asarray(geo["live"], np.float32)
+        live = np.asarray(extras["live"], np.float32)
         alpha_is_factor = bool(
-            np.abs(np.asarray(ta) - fa * live).max() < 0.5 / 255.0)
+            np.abs(np.asarray(extras["ta"]) - fa * live).max()
+            < 0.5 / 255.0)
 
     # static light tables, refreshed on shadow-dirty / exposure change:
     # the factored screen pass reads chart_ld (rgb9e5 neighborhood
