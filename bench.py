@@ -17,13 +17,15 @@ import time
 import numpy as np
 
 
-def run_goldens():
-    """On-chip golden gate (one JSON line): the five BASELINE milestone
-    configs rendered with the PRODUCTION backend on the real device must
-    match the frozen goldens within the documented tolerance (1/255 on
-    >= 99.9% of pixels, max 4/255 — tests/test_golden.py:9-13). Exists
-    because hardware-only behaviors (e.g. the VPU flushing f32 denormals)
-    are invisible to interpret-mode CPU tests."""
+def golden_gate_record() -> dict:
+    """On-chip golden gate: the BASELINE milestone configs rendered with
+    the PRODUCTION backend on the real device must match the frozen
+    goldens within the documented tolerance (1/255 on >= 99.9% of pixels,
+    max 4/255 — tests/test_golden.py:9-13). Exists because hardware-only
+    behaviors (e.g. the VPU flushing f32 denormals, Mosaic FMA
+    contraction) are invisible to interpret-mode CPU tests. The result is
+    EMBEDDED in every headline BENCH record so a red gate can never ship
+    silently (round-3 lesson)."""
     import os
 
     from renderengine_tpu.core import engine
@@ -39,6 +41,7 @@ def run_goldens():
     gd = os.path.join(os.path.dirname(__file__), "tests", "goldens")
     backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
     worst = {"name": None, "frac": 1.0, "max": 0}
+    failed = []
     for name, factory, cfg in golden_cases():
         gold = read_png(os.path.join(gd, f"{name}.png")).astype(np.int32)
         img = np.asarray(FrameRenderer(factory(), cfg,
@@ -52,16 +55,24 @@ def run_goldens():
             worst = {"name": name, "frac": min(frac1, worst["frac"]),
                      "max": max(dmax, worst["max"])}
         if frac1 < 0.999 or dmax > 4:
-            print(json.dumps({"metric": "golden_gate", "value": 0.0,
-                              "unit": "pass", "vs_baseline": 0.0,
-                              "failed": name, "frac_within_1": frac1,
-                              "max_diff": dmax, "backend": backend}))
-            return 1
-    print(json.dumps({"metric": "golden_gate", "value": 1.0, "unit": "pass",
-                      "vs_baseline": 1.0, "backend": backend,
-                      "worst_frac_within_1": worst["frac"],
-                      "worst_max_diff": worst["max"]}))
-    return 0
+            failed.append({"name": name, "frac_within_1": round(frac1, 6),
+                           "max_diff": dmax})
+    rec = {"pass": not failed, "backend": backend,
+           "worst_frac_within_1": round(worst["frac"], 6),
+           "worst_max_diff": worst["max"]}
+    if failed:
+        rec["failed"] = failed
+    return rec
+
+
+def run_goldens():
+    rec = golden_gate_record()
+    ok = rec.pop("pass")
+    out = {"metric": "golden_gate", "value": 1.0 if ok else 0.0,
+           "unit": "pass", "vs_baseline": 1.0 if ok else 0.0}
+    out.update(rec)
+    print(json.dumps(out))
+    return 0 if ok else 1
 
 
 def main():
@@ -106,6 +117,9 @@ def main():
     ap.add_argument("--no-dither", action="store_true")
     ap.add_argument("--chart-density", type=float, default=0.5)
     ap.add_argument("--chart-budget", type=int, default=2_000_000)
+    ap.add_argument("--no-extras", action="store_true",
+                    help="skip the embedded per-pixel / ssaa2 / golden-gate "
+                    "sub-benches (headline only)")
     ap.add_argument("--goldens", action="store_true",
                     help="render the five golden configs with the pallas "
                     "backend ON THIS DEVICE and assert the documented "
@@ -170,84 +184,95 @@ def main():
                        chart_density=args.chart_density,
                        chart_budget=args.chart_budget,
                        raster=RasterConfig(pairs_per_tri=args.pairs_per_tri))
-    r = FrameRenderer(scene, cfg, backend=args.backend)
-    n_tris = int(np.asarray(r.scene_dev["n_tris"]))
-    print(f"# scene: {n_tris} tris, {len(scene.textures)} textures, "
-          f"{args.width}x{args.height}, shadows {args.shadow_extent}^2, "
-          f"backend={r.backend}, device={jax.devices()[0].platform}", file=sys.stderr)
-
-    # warmup / compile
-    t0 = time.time()
-    img = r.render()
-    img.block_until_ready()
-    print(f"# compile+first frame: {time.time()-t0:.1f}s", file=sys.stderr)
-    # warm the FULL camera orbit: the renderer re-tunes budgets from
-    # observed coverage and grows them on overflow (both one-time — grows
-    # ratchet), and the orbit's coverage peaks differ from frame 0's.
-    # Sweep until a whole orbit triggers no re-jit so the timed rounds
-    # measure steady state, not the controller settling (the reference
-    # likewise builds pipelines on first use, not per frame).
-    cam = scene.camera
-    eye0 = np.asarray(cam.eye, np.float32).copy()
-
-    def orbit_vp(i):
-        ang = 0.02 * i
-        cam.set_camera_view(
-            np.array([eye0[0] * np.cos(ang) - eye0[2] * np.sin(ang), eye0[1],
-                      eye0[0] * np.sin(ang) + eye0[2] * np.cos(ang)],
-                     np.float32),
-            cam.look_at, np.array([0, 1, 0], np.float32))
-        return ViewProperties.from_camera(cam)
-
-    for _ in range(4):
-        fn0 = r._fn
-        last = None
-        for i in range(args.frames):
-            last = r.render(orbit_vp(i))
-        np.asarray(last)
-        if r._fn is fn0:
-            break    # a full orbit with no re-jit: budgets settled
-
-    if args.quick and r.backend == "pallas":
-        # hardware-parity smoke check: the pallas kernel must agree with
-        # the jnp tiled backend ON CHIP (interpret-mode tests can't catch
-        # hardware-only behaviors — e.g. the VPU flushing f32 denormals).
-        # Both renders must use the SAME camera: the orbit warmup above
-        # mutated scene.camera in place, so pin both to orbit position 0.
-        r_ref = FrameRenderer(scene, cfg, backend="tiled")
-        a = np.asarray(r.render(orbit_vp(0))).astype(np.int32)
-        b = np.asarray(r_ref.render(orbit_vp(0))).astype(np.int32)
-        bad = float((np.abs(a - b) > 2).mean())
-        if bad > 0.01:
-            print(f"# HARDWARE PARITY FAILURE: {bad:.2%} of bytes differ "
-                  "pallas-vs-tiled on device", file=sys.stderr)
-            sys.exit(1)
-        print(f"# hw parity ok ({bad:.4%} bytes differ >2)", file=sys.stderr)
-
-    # timed frames with a slowly orbiting camera (new uniform each frame,
-    # no recompilation — same static shapes). Frames dispatch
-    # asynchronously like the reference's 2-frames-in-flight loop
-    # (constants.h:7); the device executes in order, so syncing on the
-    # last frame's pixels bounds the whole run. The shadow depth pass is
-    # rendered once, per the reference's dirty-flag (RenderScene.cpp:170-181).
-    def timed_round():
-        imgs = []
+    def measure(scene, cfg, frames, tag, backend=None, rounds=3):
+        """Compile + settle budgets over a full orbit, then time frames
+        with an orbiting camera. Returns (fps, compile_s, n_tris)."""
+        r = FrameRenderer(scene, cfg, backend=backend)
+        n_tris = int(np.asarray(r.scene_dev["n_tris"]))
+        print(f"# [{tag}] scene: {n_tris} tris, {len(scene.textures)} "
+              f"textures, {cfg.width}x{cfg.height}, shadows "
+              f"{cfg.shadow_extent}^2, backend={r.backend}, "
+              f"device={jax.devices()[0].platform}", file=sys.stderr)
         t0 = time.time()
-        for i in range(args.frames):
-            imgs.append(r.render(orbit_vp(i)))
-        np.asarray(imgs[-1])  # sync: in-order execution bounds all frames
-        return time.time() - t0
+        img = r.render()
+        img.block_until_ready()
+        compile_s = time.time() - t0
+        print(f"# [{tag}] compile+first frame: {compile_s:.1f}s",
+              file=sys.stderr)
+        # warm the FULL camera orbit: the renderer re-tunes budgets from
+        # observed coverage and grows them on overflow (both one-time —
+        # grows ratchet, and the settled values persist in the tuned-
+        # config record, so warm processes skip this). Sweep until a
+        # whole orbit triggers no re-jit so the timed rounds measure
+        # steady state, not the controller settling.
+        cam = scene.camera
+        eye0 = np.asarray(cam.eye, np.float32).copy()
 
-    # best of 3 rounds: the shared dev chip shows large tenant noise
-    # (wall-clock has measured up to 2x the device-trace frame time when
-    # another tenant is active; more rounds = better odds of a quiet one)
-    total = min(timed_round(), timed_round(), timed_round())
-    fps = args.frames / total
-    median = total / args.frames
+        def orbit_vp(i):
+            ang = 0.02 * i
+            cam.set_camera_view(
+                np.array([eye0[0] * np.cos(ang) - eye0[2] * np.sin(ang),
+                          eye0[1],
+                          eye0[0] * np.sin(ang) + eye0[2] * np.cos(ang)],
+                         np.float32),
+                cam.look_at, np.array([0, 1, 0], np.float32))
+            return ViewProperties.from_camera(cam)
+
+        for _ in range(4):
+            fn0 = r._fn
+            last = None
+            for i in range(frames):
+                last = r.render(orbit_vp(i))
+            np.asarray(last)
+            if r._fn is fn0:
+                break    # a full orbit with no re-jit: budgets settled
+
+        if args.quick and r.backend == "pallas":
+            # hardware-parity smoke check: the pallas kernel must agree
+            # with the jnp tiled backend ON CHIP. Both renders must use
+            # the SAME camera: the orbit warmup mutated scene.camera in
+            # place, so pin both to orbit position 0.
+            r_ref = FrameRenderer(scene, cfg, backend="tiled")
+            a = np.asarray(r.render(orbit_vp(0))).astype(np.int32)
+            b = np.asarray(r_ref.render(orbit_vp(0))).astype(np.int32)
+            bad = float((np.abs(a - b) > 2).mean())
+            if bad > 0.01:
+                print(f"# HARDWARE PARITY FAILURE: {bad:.2%} of bytes "
+                      "differ pallas-vs-tiled on device", file=sys.stderr)
+                sys.exit(1)
+            print(f"# hw parity ok ({bad:.4%} bytes differ >2)",
+                  file=sys.stderr)
+
+        # timed frames with a slowly orbiting camera (new uniform each
+        # frame, no recompilation). Frames dispatch asynchronously like
+        # the reference's 2-frames-in-flight loop (constants.h:7); the
+        # device executes in order, so syncing on the last frame bounds
+        # the run. Shadow depth renders once (dirty flag,
+        # RenderScene.cpp:170-181). Best-of-N rounds: the shared dev chip
+        # shows large tenant noise.
+        def timed_round():
+            imgs = []
+            t0 = time.time()
+            for i in range(frames):
+                imgs.append(r.render(orbit_vp(i)))
+            np.asarray(imgs[-1])
+            return time.time() - t0
+
+        total = min(timed_round() for _ in range(rounds))
+        fps = frames / total
+        print(f"# [{tag}] median frame {total/frames*1000:.2f} ms; "
+              f"{fps:.2f} FPS; {n_tris*fps/1e6:.1f} Mtris/s",
+              file=sys.stderr)
+        # restore the orbit-mutated camera for the next measurement
+        cam.set_camera_view(eye0, cam.look_at,
+                            np.array([0, 1, 0], np.float32))
+        del r
+        return fps, compile_s, n_tris
+
+    fps, compile_s, n_tris = measure(scene, cfg, args.frames, "headline",
+                                     backend=args.backend)
+    median = 1.0 / fps
     mtris = n_tris * fps / 1e6
-
-    print(f"# median frame {median*1000:.2f} ms; {fps:.2f} FPS; "
-          f"{mtris:.1f} Mtris/s", file=sys.stderr)
     mode = ("per-pixel" if not cfg.texture_space else
             "tss-preshaded" if cfg.tss_preshaded else
             "tss-preshaded-blend" if cfg.tss_preshaded_blend else "tss")
@@ -279,6 +304,42 @@ def main():
                        "(reference: per-pixel fragment shading)")
         if div:
             rec["config_divergence"] = "; ".join(div)
+        rec["compile_first_frame_s"] = round(compile_s, 1)
+
+        # --- embedded sub-records (round-3 lesson: the headline artifact
+        # must carry the gate + the parity-quality number, not just the
+        # fast mode) -----------------------------------------------------
+        if not args.no_extras:
+            # reference-exact per-pixel path: two-tap trilinear, full-res
+            # sky, per-pixel fragment shading (surface_pbr.frag:38-50)
+            if cfg.texture_space or cfg.dither_trilinear or cfg.sky_halfres:
+                pp_cfg = cfg.replace(texture_space=False,
+                                     tss_preshaded=False,
+                                     tss_preshaded_blend=False,
+                                     dither_trilinear=False,
+                                     sky_halfres=False)
+                pp_fps, pp_cs, _ = measure(scene, pp_cfg, args.frames,
+                                           "per-pixel", backend=args.backend)
+                rec["per_pixel"] = {
+                    "fps": round(pp_fps, 3),
+                    "vs_baseline": round(pp_fps / 60, 4),
+                    "compile_first_frame_s": round(pp_cs, 1),
+                    "config_divergence": (
+                        "max_anisotropy=1 (reference sampler requests 16)"
+                        if pp_cfg.max_anisotropy < 16 else "")}
+
+            # SSAA x2: the MSAA-resolve analog (Swapchain.cpp:200-237;
+            # reference defaults to max device sample count)
+            ss_cfg = cfg.replace(ssaa=2)
+            ss_fps, ss_cs, _ = measure(scene, ss_cfg,
+                                       max(8, args.frames // 2), "ssaa2",
+                                       backend=args.backend)
+            rec["ssaa2"] = {"fps": round(ss_fps, 3),
+                            "vs_baseline": round(ss_fps / 60, 4),
+                            "compile_first_frame_s": round(ss_cs, 1)}
+
+            # the on-chip golden gate rides every headline record
+            rec["golden_gate"] = golden_gate_record()
     print(json.dumps(rec))
 
 

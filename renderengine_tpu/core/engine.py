@@ -16,6 +16,15 @@ from pathlib import Path
 _initialized = False
 
 
+def cache_dir() -> str:
+    """The persistent engine cache directory (compiled XLA executables +
+    the tuned-config record — the reference's ``Intermediate/Projects``
+    analog, ``compile-shaders.py:154-162``)."""
+    return os.environ.get(
+        "RENDERENGINE_CACHE_DIR",
+        str(Path(__file__).resolve().parents[2] / ".jax_cache"))
+
+
 def init(compile_cache_dir: str | None = None) -> None:
     """Idempotent engine init: persistent compile cache + sane defaults.
     Call before creating renderers (apps and bench do)."""
@@ -25,9 +34,7 @@ def init(compile_cache_dir: str | None = None) -> None:
     _initialized = True
     import jax
 
-    cache = compile_cache_dir or os.environ.get(
-        "RENDERENGINE_CACHE_DIR",
-        str(Path(__file__).resolve().parents[2] / ".jax_cache"))
+    cache = compile_cache_dir or cache_dir()
     Path(cache).mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache)

@@ -42,6 +42,73 @@ from .uniforms import unpack_params
 _FORCE_UNMERGED = False
 
 
+# --- tuned-config persistence ----------------------------------------------
+# The reference persists its compiled-shader state across runs
+# (Intermediate/Projects/shader_cache.json, compile-shaders.py:154-213); the
+# analog here is (a) the XLA compile cache (core/engine.py) and (b) THIS
+# record: the budget controller's settled values. Without it every process
+# re-runs the estimators AND re-pays device compiles for each budget re-tune
+# the warmup discovers; with it the first jit of a warm process is already
+# the settled config — which is also exactly the executable the XLA cache
+# holds from last time.
+
+_TUNED_CFG_FIELDS = ("translucency_tile_fraction", "penumbra_tile_budget",
+                     "blend_pair_budget", "blend_tile_budget",
+                     "blend_layer_tile_budgets")
+_TUNED_RASTER_FIELDS = ("pairs_per_tri", "pair_budget", "dense_k")
+
+
+def _tuned_path():
+    from ..core import engine
+    import os
+    return os.path.join(engine.cache_dir(), "tuned_configs.json")
+
+
+def _tuned_enabled() -> bool:
+    import os
+    return os.environ.get("RENDERENGINE_TUNED_CACHE", "1") != "0"
+
+
+def _load_tuned(key: str) -> dict | None:
+    import json
+    import os
+    if not _tuned_enabled():
+        return None
+    try:
+        with open(_tuned_path()) as f:
+            rec = json.load(f).get(key)
+        if rec:
+            rec = dict(rec)
+            if "blend_layer_tile_budgets" in rec:
+                rec["blend_layer_tile_budgets"] = tuple(
+                    rec["blend_layer_tile_budgets"])
+        return rec
+    except (OSError, ValueError):
+        return None
+
+
+def _save_tuned(key: str, rec: dict) -> None:
+    import json
+    import os
+    if not _tuned_enabled():
+        return
+    path = _tuned_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path) as f:
+                all_rec = json.load(f)
+        except (OSError, ValueError):
+            all_rec = {}
+        all_rec[key] = rec
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(all_rec, f, indent=1)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache dir unwritable — purely an optimization
+
+
 def _static_shadow_lights(dev) -> tuple:
     """Static per-light "pays the shadow lookup" flags — traced
     light-type tests can't skip the PCF window gather, so the gate must
@@ -397,7 +464,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 scene["chart_base"] + ls_atlas)
             a_blocks = scene["chart_a"]
 
-            def tss_shade_pre_px(chart_uv, uv, mat_id, need_alpha=True):
+            def tss_shade_pre_px(chart_uv, uv, mat_id, need_alpha=True,
+                                 covered=None):
                 # alpha_is_factor (bake-time check): no base texture
                 # modulates alpha, so the peel alpha is the material
                 # factor — a small-table MXU lookup beats a per-pixel
@@ -418,7 +486,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                                if config.tss_halfres_light < 0
                                else bool(config.tss_halfres_light))
 
-            def tss_shade_pre_dense(chart_uv, uv, mat_id, need_alpha=True):
+            def tss_shade_pre_dense(chart_uv, uv, mat_id, need_alpha=True,
+                                    covered=None):
                 # DENSE full-screen pre-shaded pass: gather the rgb block
                 # table on the half grid + chart-uv-guided upsample (the
                 # pre-shaded chart varies at chart density anyway); alpha
@@ -448,18 +517,20 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             light8 = lightchart.merge_light_planes(
                 scene["chart_ld"], lightchart.pack_rgbe_planes(ls_atlas))
 
-            def tss_shade_px(chart_uv, uv, mat_id, need_alpha=True):
+            def tss_shade_px(chart_uv, uv, mat_id, need_alpha=True,
+                             covered=None):
                 return lightchart.tss_shade(
                     scene, chart_uv, uv, mat_id, light8,
                     c_ah, c_aw,
                     slots_used=slots_used, max_aniso=config.max_anisotropy,
-                    dither=config.dither_trilinear)
+                    dither=config.dither_trilinear, covered=covered)
 
             use_halfres = (config.chart_density <= 0.5
                            if config.tss_halfres_light < 0
                            else bool(config.tss_halfres_light))
 
-            def tss_shade_dense(chart_uv, uv, mat_id, need_alpha=True):
+            def tss_shade_dense(chart_uv, uv, mat_id, need_alpha=True,
+                                covered=None):
                 # any DENSE [slice_h, W] pass at <= half-pixel chart
                 # density samples the light field on the half-res pixel
                 # grid (4x fewer gather indices; albedo/alpha stay
@@ -472,8 +543,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                         c_ah, c_aw, y0=y0,
                         slots_used=slots_used,
                         max_aniso=config.max_anisotropy,
-                        dither=config.dither_trilinear)
-                return tss_shade_px(chart_uv, uv, mat_id)
+                        dither=config.dither_trilinear, covered=covered)
+                return tss_shade_px(chart_uv, uv, mat_id, covered=covered)
 
         # blend-peel shade fns: pre-shaded when any preshaded flag is on
         # (chart-res albedo behind alpha blending is visually mild — the
@@ -600,7 +671,8 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
             frag = resolve_tss(scene, setup.coef, g, slice_h, w,
                                y0=y0, full_height=fh)
         rgba = tss_shade_dense(frag["chart_uv"], frag["uv"],
-                               frag["mat_id"], need_alpha=False)
+                               frag["mat_id"], need_alpha=False,
+                               covered=frag["covered"])
     elif attrs is not None:
         if g.mat_id is not None:
             mat_id = g.mat_id          # rode the pair-aux word: no gather
@@ -610,12 +682,14 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 "uv": attrs[..., 6:8], "mat_id": mat_id,
                 "covered": g.tri_id >= 0}
         rgba = shade(scene, frag["pos"], frag["uv"], frag["normal"],
-                     frag["mat_id"], view_args, shadow_maps, shadow_tf)
+                     frag["mat_id"], view_args, shadow_maps, shadow_tf,
+                     covered=frag["covered"])
     else:
         frag = resolve_attributes(scene, vo, setup.coef, g, slice_h, w,
                                   y0=y0, full_height=fh)
         rgba = shade(scene, frag["pos"], frag["uv"], frag["normal"],
-                     frag["mat_id"], view_args, shadow_maps, shadow_tf)
+                     frag["mat_id"], view_args, shadow_maps, shadow_tf,
+                     covered=frag["covered"])
     covered = frag["covered"]
     depth_eff = g.depth
 
@@ -668,7 +742,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                                             tri_table="mask_tri_packed")
             rgba_m = shade(scene, frag_m["pos"], frag_m["uv"],
                            frag_m["normal"], frag_m["mat_id"], view_args,
-                           shadow_maps, shadow_tf)
+                           shadow_maps, shadow_tf, covered=covered_m)
             cutoff = scene["mat_core"][frag_m["mat_id"], 13]
             accept = covered_m & (rgba_m[..., 3] >= cutoff) & ~resolved
             rgba = jnp.where(accept[..., None], rgba_m, rgba)
@@ -722,9 +796,10 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                         uv_pl = ((fr["u_x"], fr["u_y"])
                                  if "u_x" in fr else None)
                         return tss_sh((fr["cu_x"], fr["cu_y"]),
-                                      uv_pl, mat_t)
+                                      uv_pl, mat_t, covered=fr["covered"])
                     return tss_sh(fr["attrs"][..., 0:2],
-                                  fr["attrs"][..., 2:4], mat_t)
+                                  fr["attrs"][..., 2:4], mat_t,
+                                  covered=fr["covered"])
                 fsub = {"pos": fr["attrs"][..., 0:3],
                         "normal": fr["attrs"][..., 3:6],
                         "uv": fr["attrs"][..., 6:8],
@@ -738,12 +813,13 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                                        tri_table="blend_tri_packed",
                                        corner_table="chart_corner_blend")
                     return tss_sh(fsub["chart_uv"], fsub["uv"],
-                                  fsub["mat_id"])
+                                  fsub["mat_id"], covered=fr["covered"])
                 fsub = resolve_attributes(scene, vo, setup_t.coef, gsub,
                                           *fr["tri_id"].shape,
                                           tri_table="blend_tri_packed")
             return shade(scene, fsub["pos"], fsub["uv"], fsub["normal"],
-                         fsub["mat_id"], view_args, shadow_maps, shadow_tf)
+                         fsub["mat_id"], view_args, shadow_maps, shadow_tf,
+                         covered=fr["covered"])
 
         active = (config.blend_tile_budget or None) if backend == "pallas" \
             else None
@@ -943,14 +1019,30 @@ class FrameRenderer:
             else:
                 backend = "tiled"
         self.backend = backend
-        if backend in ("pallas", "tiled") and config.raster.auto_tune_pairs:
+        # tuned-config record: adopt the previous process's SETTLED budgets
+        # (controller grows ratchet, so the record converges) — the warm
+        # process then jits the settled config first, which is exactly the
+        # executable the persistent XLA cache holds
+        self._tuned_key = self._make_tuned_key(dev)
+        tuned = (_load_tuned(self._tuned_key)
+                 if backend in ("pallas", "tiled")
+                 and config.raster.auto_tune_pairs else None)
+        self._tuned_shadow_budget = None
+        if tuned:
+            rc_kw = {k: tuned[k] for k in _TUNED_RASTER_FIELDS if k in tuned}
+            cfg_kw = {k: tuned[k] for k in _TUNED_CFG_FIELDS if k in tuned}
+            if rc_kw:
+                cfg_kw["raster"] = dataclasses.replace(config.raster, **rc_kw)
+            self.config = config = config.replace(**cfg_kw)
+            self._tuned_shadow_budget = tuned.get("shadow_budget")
+        elif backend in ("pallas", "tiled") and config.raster.auto_tune_pairs:
             ppt, abs_budget, dense_k = self._estimate_pair_budget()
             self.config = config = config.replace(
                 raster=dataclasses.replace(
                     config.raster, pairs_per_tri=ppt,
                     pair_budget=abs_budget, dense_k=dense_k))
         has_translucent = int(dev["n_blend"]) > 0
-        if (has_translucent and config.translucency
+        if (not tuned and has_translucent and config.translucency
                 and backend in ("pallas", "tiled")
                 and config.raster.auto_tune_pairs):
             frac, blend_budget, tile_budget = self._estimate_blend_budgets()
@@ -1012,7 +1104,9 @@ class FrameRenderer:
         # wildly from the camera view's (a 4096^2 ortho fit of the whole
         # scene), so measure them once at init — a mis-sized budget either
         # drops shadow geometry or re-jits the expensive 4096^2 pass
-        if self.n_shadows > 0 and backend in ("pallas", "tiled") \
+        if self._tuned_shadow_budget:
+            self._shadow_budget_val = int(self._tuned_shadow_budget)
+        elif self.n_shadows > 0 and backend in ("pallas", "tiled") \
                 and config.raster.auto_tune_pairs:
             self._shadow_budget_val = self._estimate_shadow_budget()
         else:
@@ -1022,6 +1116,40 @@ class FrameRenderer:
         self._shadow_maps = None
         self._shadows_dirty = True
         self._shadow_vp_cache = None
+        if not tuned and backend in ("pallas", "tiled") \
+                and config.raster.auto_tune_pairs:
+            self._save_tuned_now()   # estimator results; re-tunes update it
+
+    def _make_tuned_key(self, dev) -> str:
+        """Content key for the tuned-config record: scene geometry + the
+        BASE config (tuned fields zeroed) + backend."""
+        import hashlib
+        h = hashlib.md5()
+        for k in ("positions", "tri_vidx", "n_tris", "n_blend"):
+            if k in dev:
+                h.update(np.ascontiguousarray(np.asarray(dev[k])).tobytes())
+        base = self.config.replace(
+            **{k: getattr(RenderConfig(), k) for k in _TUNED_CFG_FIELDS})
+        base = base.replace(raster=dataclasses.replace(
+            base.raster, **{k: getattr(RasterConfig(), k)
+                            for k in _TUNED_RASTER_FIELDS}))
+        h.update(repr(base).encode())
+        h.update(self.backend.encode())
+        h.update(str(self.n_shadows).encode())
+        return h.hexdigest()
+
+    def _save_tuned_now(self) -> None:
+        """Write the CURRENT budgets to the tuned-config record (called
+        after init estimation and after every controller re-tune)."""
+        if not getattr(self, "_tuned_key", None):
+            return
+        cfg = self.config
+        rec = {k: getattr(cfg, k) for k in _TUNED_CFG_FIELDS}
+        rec["blend_layer_tile_budgets"] = list(rec["blend_layer_tile_budgets"])
+        for k in _TUNED_RASTER_FIELDS:
+            rec[k] = getattr(cfg.raster, k)
+        rec["shadow_budget"] = int(getattr(self, "_shadow_budget_val", 0))
+        _save_tuned(self._tuned_key, rec)
 
     def _rebuild_frame_fn(self) -> None:
         self._fn = jax.jit(partial(render_frame, config=self.config,
@@ -1423,6 +1551,7 @@ class FrameRenderer:
             if cfg is not self.config:
                 self.config = cfg
                 self._rebuild_frame_fn()
+                self._save_tuned_now()
                 grew = True
         if not grew:
             self._maybe_retune_blend_layers()
@@ -1503,6 +1632,7 @@ class FrameRenderer:
                 "(of %d tiles), re-jitting", cur or "(shared)", new, n_tiles)
             self.config = self.config.replace(blend_layer_tile_budgets=new)
             self._rebuild_frame_fn()
+            self._save_tuned_now()
         self._polls_since_blend_retune = 0
 
     def _observe_penumbra(self, count: int) -> None:
@@ -1549,6 +1679,7 @@ class FrameRenderer:
             "re-jitting", cur, new, total)
         self.config = self.config.replace(penumbra_tile_budget=new)
         self._rebuild_frame_fn()
+        self._save_tuned_now()
         self._pen_tuned = True
         self._polls_since_pen_retune = 0
 

@@ -898,7 +898,8 @@ def tss_shade_pre_halfres(rgb_blocks, a_blocks, chart_uv, ah: int, aw: int,
 def tss_shade_halfres(scene, chart_uv, uv, mat_id, light8,
                       ah: int, aw: int, y0: int = 0,
                       slots_used=(True, True, True, True),
-                      max_aniso: int = 1, dither: bool = False):
+                      max_aniso: int = 1, dither: bool = False,
+                      covered=None):
     """``tss_shade`` with the half-res light path (dense [H,W] passes
     only — packed sparse tiles keep per-pixel gathers, their index
     counts are already small)."""
@@ -916,8 +917,7 @@ def tss_shade_halfres(scene, chart_uv, uv, mat_id, light8,
     factor_a = pl7[0]
     if slots_used[0]:
         tb = _slot_planes(pl7[1:])
-        duv_dx = sampling.quad_dfdx(uv)
-        duv_dy = sampling.quad_dfdy(uv)
+        duv_dx, duv_dy = sampling.quad_derivs(uv, covered)
         tap = pbr._sample_slot(scene, tb, uv, duv_dx, duv_dy,
                                jnp.ones(4), max_aniso, dither)
         alb = jnp.where(tb["valid"][..., None],
@@ -947,8 +947,9 @@ def bake_albedo(scene, geo, slots_used=(True, True, True, True),
     factor_a = row[..., 3].astype(jnp.float32)
     if slots_used[0]:
         tb = pbr._slot(row[..., 16:].astype(jnp.float32), 0)
-        duv_dx = sampling.quad_dfdx(uv)
-        duv_dy = sampling.quad_dfdy(uv)
+        # dead chart texels hold zero uv: mask them out of the quad
+        # derivatives like uncovered screen pixels
+        duv_dx, duv_dy = sampling.quad_derivs(uv, geo["live"])
         tap = pbr._sample_slot(scene, tb, uv, duv_dx, duv_dy,
                                jnp.ones(4), max_aniso)
         alb = jnp.where(tb["valid"][..., None],
@@ -1167,7 +1168,7 @@ def resolve_tss(scene, coef, g, height, width, y0=0, full_height=None,
 def tss_shade(scene, chart_uv, uv, mat_id, light8,
               ah: int, aw: int,
               slots_used=(True, True, True, True), max_aniso: int = 1,
-              dither: bool = False):
+              dither: bool = False, covered=None):
     """The TSS screen pass: one albedo tap (full-res texture detail) +
     ONE 32-byte merged light-table gather (static diffuse ld + per-frame
     specular ls). rgb = albedo * ld + ls; alpha = texture alpha x the
@@ -1184,8 +1185,7 @@ def tss_shade(scene, chart_uv, uv, mat_id, light8,
     factor_a = pl7[0]
     if slots_used[0]:
         tb = _slot_planes(pl7[1:])
-        duv_dx = sampling.quad_dfdx(uv)
-        duv_dy = sampling.quad_dfdy(uv)
+        duv_dx, duv_dy = sampling.quad_derivs(uv, covered)
         tap = pbr._sample_slot(scene, tb, uv, duv_dx, duv_dy,
                                jnp.ones(4), max_aniso, dither)
         alb = jnp.where(tb["valid"][..., None],

@@ -87,7 +87,7 @@ def _sample_slot(scene, tex, uv, duv_dx, duv_dy, default, max_aniso=1,
 
 def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
                    slots_used=(True, True, True, True), max_aniso=1,
-                   dither=False):
+                   dither=False, covered=None):
     """GetBaseColor/GetEmissive/GetNormal/GetOcclusionRoughnessMetallic +
     RemapMaterial (``pbr.glsl:100-233``). Material state arrives as two
     packed row gathers (mat_core, mat_tex — see scene._pack_rows).
@@ -108,8 +108,10 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
         "mat_ao": core[..., 11],
     }
 
-    duv_dx = sampling.quad_dfdx(uv)
-    duv_dy = sampling.quad_dfdy(uv)
+    # coverage-aware quad derivatives (see sampling.quad_derivs): a quad
+    # partner that's uncovered holds backend-dependent garbage; hardware
+    # helper lanes would extrapolate THIS pixel's plane instead
+    duv_dx, duv_dy = sampling.quad_derivs(uv, covered)
 
     if slots_used[0]:
         tb = _slot(mtex, 0)
@@ -151,8 +153,7 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
     else:
         hn = jnp.zeros(mat_id.shape, bool)
         tn = jnp.zeros(mat_id.shape + (3,), jnp.float32)
-    q1 = sampling.quad_dfdx(frag_pos)
-    q2 = sampling.quad_dfdy(frag_pos)
+    q1, q2 = sampling.quad_derivs(frag_pos, covered)
     st1 = duv_dx
     st2 = duv_dy
 
@@ -219,7 +220,7 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                   slots_used=(True, True, True, True),
                   shadow_lights=None, max_aniso=1, debug_views=True,
                   penumbra_tiles=0, shadow_stats=None, ibl_diffuse=False,
-                  dither=False):
+                  dither=False, covered=None):
     """Port of ``BRDF_Lighting``. Returns rgba (linear, pre-sRGB-encode).
 
     view_args: dict with view_pos [3], exposure, debug_input, debug_equation.
@@ -233,7 +234,7 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
     cost real bandwidth here; RenderConfig.debug_views re-jits on toggle).
     """
     mat = remap_material(scene, mat_id, frag_pos, uv, frag_normal, slots_used,
-                         max_aniso, dither)
+                         max_aniso, dither, covered=covered)
 
     n = mat["normal"]
     v = view_args["view_pos"] - frag_pos

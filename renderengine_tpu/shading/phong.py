@@ -22,15 +22,15 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                    slots_used=(True, True, True, True),
                    shadow_lights=None, max_aniso=1, debug_views=True,
                    penumbra_tiles=0, shadow_stats=None, ibl_diffuse=False,
-                   dither=False):
+                   dither=False, covered=None):
     """Port of ``PhongLighting`` (phong.glsl:38-81), summed over lights.
     Light colors map: ambient = 0.03*color, diffuse = specular =
     intensity*color. Returns rgba (linear)."""
     row = sampling.table_lookup(scene["mat_all"], mat_id)
     core = row[..., :16]
     mtex = row[..., 16:]
-    duv_dx = sampling.quad_dfdx(uv)
-    duv_dy = sampling.quad_dfdy(uv)
+    # coverage-aware quad derivatives (see sampling.quad_derivs)
+    duv_dx, duv_dy = sampling.quad_derivs(uv, covered)
     if slots_used[0]:
         tb = _slot(mtex, 0)
         base_tex = _sample_slot(scene, tb, uv, duv_dx, duv_dy, jnp.ones(4),

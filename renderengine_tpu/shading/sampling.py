@@ -36,6 +36,51 @@ def quad_dfdy(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.repeat(d, 2, axis=0)[:h]
 
 
+def quad_pair_valid(covered: jnp.ndarray):
+    """(valid_x, valid_y) [H,W] bool: whether BOTH pixels of each quad
+    x-pair / y-pair are covered. A pair with an uncovered pixel has no
+    meaningful finite difference: the uncovered pixel's attributes are
+    resolve-path garbage (extrapolation of an arbitrary triangle) or
+    kernel zeros — and, critically, *different* garbage per backend."""
+    h, w = covered.shape[0], covered.shape[1]
+    cx = covered
+    if w % 2:
+        cx = jnp.concatenate([cx, cx[:, -1:]], axis=1)
+    vx = jnp.repeat(cx[:, 1::2] & cx[:, 0::2], 2, axis=1)[:, :w]
+    cy = covered
+    if h % 2:
+        cy = jnp.concatenate([cy, cy[-1:]], axis=0)
+    vy = jnp.repeat(cy[1::2] & cy[0::2], 2, axis=0)[:h]
+    return vx, vy
+
+
+def quad_derivs(v: jnp.ndarray, covered: jnp.ndarray | None = None):
+    """(dFdx, dFdy) with coverage-aware quad semantics.
+
+    Real hardware spawns 2x2 quads per PRIMITIVE: helper lanes evaluate
+    the covered lane's own attribute plane, so silhouette pixels get their
+    surface's true footprint (``pbr.glsl:121-145`` relies on this). Our
+    deferred resolve has no helper lanes — a quad partner that lost the
+    depth test (or hit background) holds another winner's attributes, or
+    backend-dependent garbage. The closest cross-backend-exact semantics:
+    a pair is valid only when both pixels are covered; an invalid axis
+    falls back to the other axis's difference (isotropic footprint), and
+    a fully isolated pixel gets zero derivatives (finest mip).
+
+    v: [H,W,...]; covered: [H,W] bool or None (raw GLSL behavior).
+    """
+    dx = quad_dfdx(v)
+    dy = quad_dfdy(v)
+    if covered is None:
+        return dx, dy
+    vx, vy = quad_pair_valid(covered)
+    vx = vx.reshape(vx.shape + (1,) * (v.ndim - 2))
+    vy = vy.reshape(vy.shape + (1,) * (v.ndim - 2))
+    dx_m = jnp.where(vx, dx, jnp.where(vy, dy, 0.0))
+    dy_m = jnp.where(vy, dy, jnp.where(vx, dx, 0.0))
+    return dx_m, dy_m
+
+
 def table_lookup(table: jnp.ndarray, idx: jnp.ndarray,
                  max_rows_for_mxu: int = 1024) -> jnp.ndarray:
     """Row fetch ``table[idx]`` routed through the fastest TPU path.

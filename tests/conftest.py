@@ -15,6 +15,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# determinism: tests must exercise the estimator paths, never budgets a
+# previous process settled on (graph/frame.py tuned-config record)
+os.environ["RENDERENGINE_TUNED_CACHE"] = "0"
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
