@@ -1119,6 +1119,10 @@ class FrameRenderer:
         if not tuned and backend in ("pallas", "tiled") \
                 and config.raster.auto_tune_pairs:
             self._save_tuned_now()   # estimator results; re-tunes update it
+        # the geometry slice exists only for the init-time budget
+        # estimators above (reactive re-tunes use overflow counters);
+        # holding it would pin tens of MB of host memory per renderer
+        self._est_np = None
 
     def _make_tuned_key(self, dev) -> str:
         """Content key for the tuned-config record: scene geometry + the
