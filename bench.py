@@ -124,6 +124,15 @@ def main():
     ap.add_argument("--no-extras", action="store_true",
                     help="skip the embedded per-pixel / ssaa2 / golden-gate "
                     "sub-benches (headline only)")
+    ap.add_argument("--budget", type=float, default=1500.0,
+                    help="wall-clock budget in seconds. The headline JSON "
+                    "line prints the moment the headline is measured; each "
+                    "sub-bench (gate / per-pixel / ssaa2) appends and "
+                    "REPRINTS the cumulative record as its own line, and a "
+                    "sub-bench that doesn't fit the remaining budget ships "
+                    "as {'skipped': ...} instead of dying (round-4 lesson: "
+                    "BENCH_r04 was rc=124/parsed=null because the single "
+                    "end-of-run print never executed)")
     ap.add_argument("--goldens", action="store_true",
                     help="render the five golden configs with the pallas "
                     "backend ON THIS DEVICE and assert the documented "
@@ -276,6 +285,7 @@ def main():
         del r
         return fps, compile_s, n_tris
 
+    deadline = time.time() + args.budget
     fps, compile_s, n_tris = measure(scene, cfg, args.frames, "headline",
                                      backend=args.backend)
     median = 1.0 / fps
@@ -320,44 +330,67 @@ def main():
             rec["config_divergence"] = "; ".join(div)
         rec["compile_first_frame_s"] = round(compile_s, 1)
 
-        # --- embedded sub-records (round-3 lesson: the headline artifact
-        # must carry the gate + the parity-quality number, not just the
-        # fast mode) -----------------------------------------------------
-        if not args.no_extras:
-            # reference-exact per-pixel path: two-tap trilinear, full-res
-            # sky, per-pixel fragment shading (surface_pbr.frag:38-50)
-            if cfg.texture_space or cfg.dither_trilinear or cfg.sky_halfres:
+    # ship the headline NOW: the driver keeps the output tail and parses
+    # JSON lines, so partial progress must already be a complete record
+    # (round-4 lesson: the old single end-of-run print shipped NOTHING
+    # when a later sub-bench blew the driver window)
+    print(json.dumps(rec), flush=True)
+
+    # --- embedded sub-records, each re-printing the cumulative record as
+    # its own JSON line and each gated on the remaining wall budget
+    # (round-3 lesson: the headline artifact must carry the gate + the
+    # parity-quality numbers, not just the fast mode) ---------------------
+    if not args.quick and not args.no_extras:
+        def sub(key, est_s, fn):
+            left = deadline - time.time()
+            if left < est_s:
+                rec[key] = {"skipped":
+                            f"timeout ({left:.0f}s left < ~{est_s:.0f}s)"}
+            else:
+                try:
+                    rec[key] = fn()
+                except Exception as e:  # ship the record, not a traceback
+                    rec[key] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(json.dumps(rec), flush=True)
+
+        # the on-chip golden gate rides every headline record — FIRST:
+        # it is the correctness claim, the perf numbers only qualify it
+        sub("golden_gate", 240, golden_gate_record)
+
+        # reference-exact per-pixel path: two-tap trilinear, full-res
+        # sky, per-pixel fragment shading (surface_pbr.frag:38-50)
+        if cfg.texture_space or cfg.dither_trilinear or cfg.sky_halfres:
+            def run_pp():
                 pp_cfg = cfg.replace(texture_space=False,
                                      tss_preshaded=False,
                                      tss_preshaded_blend=False,
                                      dither_trilinear=False,
                                      sky_halfres=False)
-                pp_fps, pp_cs, _ = measure(scene, pp_cfg, args.frames,
+                pp_fps, pp_cs, _ = measure(scene, pp_cfg,
+                                           max(8, args.frames // 2),
                                            "per-pixel", backend=args.backend)
                 pp_div = ("max_anisotropy=1 (reference sampler requests 16)"
                           if pp_cfg.max_anisotropy < 16 else
-                          f"aniso=16x exact taps on tiered tile budgets "
-                          f"{pp_cfg.aniso_tile_fracs}"
+                          f"aniso=16x exact taps on tiered row-segment "
+                          f"budgets {pp_cfg.aniso_tile_fracs}, slot caps "
+                          f"{pp_cfg.aniso_slot_caps}"
                           if pp_cfg.aniso_tile_fracs else "")
-                rec["per_pixel"] = {
-                    "fps": round(pp_fps, 3),
-                    "vs_baseline": round(pp_fps / 60, 4),
-                    "compile_first_frame_s": round(pp_cs, 1),
-                    "config_divergence": pp_div}
+                return {"fps": round(pp_fps, 3),
+                        "vs_baseline": round(pp_fps / 60, 4),
+                        "compile_first_frame_s": round(pp_cs, 1),
+                        "config_divergence": pp_div}
+            sub("per_pixel", 360, run_pp)
 
-            # SSAA x2: the MSAA-resolve analog (Swapchain.cpp:200-237;
-            # reference defaults to max device sample count)
-            ss_cfg = cfg.replace(ssaa=2)
-            ss_fps, ss_cs, _ = measure(scene, ss_cfg,
+        # SSAA x2: the MSAA-resolve analog (Swapchain.cpp:200-237;
+        # reference defaults to max device sample count)
+        def run_ssaa():
+            ss_fps, ss_cs, _ = measure(scene, cfg.replace(ssaa=2),
                                        max(8, args.frames // 2), "ssaa2",
                                        backend=args.backend)
-            rec["ssaa2"] = {"fps": round(ss_fps, 3),
-                            "vs_baseline": round(ss_fps / 60, 4),
-                            "compile_first_frame_s": round(ss_cs, 1)}
-
-            # the on-chip golden gate rides every headline record
-            rec["golden_gate"] = golden_gate_record()
-    print(json.dumps(rec))
+            return {"fps": round(ss_fps, 3),
+                    "vs_baseline": round(ss_fps / 60, 4),
+                    "compile_first_frame_s": round(ss_cs, 1)}
+        sub("ssaa2", 300, run_ssaa)
 
 
 if __name__ == "__main__":

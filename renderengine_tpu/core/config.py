@@ -87,7 +87,8 @@ class RenderConfig:
     translucency_layers: int = 2  # peel depth (reference sorts per mesh; 2+ is order-correct per pixel)
     translucency_tile_fraction: float = 1.0  # screen-fraction budget for sparse peel shading (1.0 = correct-by-default; auto-tune lowers it when blend coverage is provably smaller)
     max_anisotropy: int = 16  # anisotropic tap ceiling — the reference sampler's own request (16x, TextureCache.cpp:185-186); 1 = trilinear
-    aniso_tile_fracs: tuple = (0.25, 0.15, 0.08)  # exact-path aniso tap TIERS (2/4/16 taps): per-tier fraction of screen tiles budgeted for the compacted tap loop (sampling.sample_texture_aniso_tiered); pixels past a tier's budget fall back to isotropic trilinear. () = dense exact taps at full cost. Dithered paths need no budget (Bayer-distributed single taps)
+    aniso_tile_fracs: tuple = (0.25, 0.15, 0.08)  # exact-path aniso tap TIERS (2/4/16 taps): per-tier fraction of row segments budgeted for the compacted tap loop (sampling.sample_slots_aniso_tiered; per-ROW selection => image-row-shard-invariant). Pixels past a tier's budget fall back to isotropic trilinear. () = dense exact taps at full cost. Dithered paths need no budget (Bayer-distributed single taps)
+    aniso_slot_caps: tuple = (16, 4, 4, 4)  # per-slot tap ceilings (base, emissive, orm, normal): base color keeps the full 16x request; emissive/ORM/normal content tolerates isotropic far sooner, and capping them at 4 cuts the tiered path's gather bill ~2x (declared divergence, PARITY.md)
     debug_views: bool = True  # trace the runtime debug-view switches (pbr.glsl:410-440). Static spec-constant analog: False drops the selects; toggling re-jits (a pipeline-rebuild-class hitch)
     penumbra_tile_budget: int = 0  # two-stage PCF: screen tiles allowed the full 32B window gather; other pixels resolve EXACTLY from the 4B coarse min/max row (shading/shadow.py). 0 = dense single-stage. FrameRenderer auto-tunes from observed penumbra at big shadow extents
     ibl_diffuse: bool = False  # consume the captured environment map as a diffuse irradiance term (replaces the flat 0.03 ambient) — one step beyond the reference's pbr.glsl:442 todo
@@ -114,7 +115,8 @@ class RenderConfig:
         """Static AnisoSpec for the sampler paths (threads through the
         ``max_aniso`` kwargs; see shading/sampling.py)."""
         from ..shading.sampling import AnisoSpec
-        return AnisoSpec(self.max_anisotropy, tuple(self.aniso_tile_fracs))
+        return AnisoSpec(self.max_anisotropy, tuple(self.aniso_tile_fracs),
+                         tuple(self.aniso_slot_caps))
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

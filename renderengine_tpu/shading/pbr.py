@@ -61,25 +61,23 @@ def _slot(mat_tex_row, si):
 
 
 def _sample_slot(scene, tex, uv, duv_dx, duv_dy, default, max_aniso=1,
-                 dither=False):
+                 dither=False, pre=None):
     """texture-if-present (reference tests handle < MAX_DESCRIPTOR_COUNT,
     ``pbr.glsl:102``) with per-slot implicit LOD (texture() semantics:
     texel-space derivative magnitude from this slot's mip-0 size).
     ``max_aniso`` > 1 (an int or a ``sampling.AnisoSpec``) switches to
     anisotropic taps (TextureCache.cpp:185): Bayer-distributed single taps
     when dithering, tier-compacted exact taps when the spec carries tile
-    budgets, dense exact taps otherwise."""
+    budgets (``pre``: the slot's result from the shared-footprint
+    multi-slot pass, see ``remap_material``), dense exact taps otherwise."""
+    if pre is not None:
+        return jnp.where(tex["valid"][..., None], pre, default)
     spec = sampling.aniso_spec(max_aniso)
     if spec.max_taps > 1:
-        if spec.tile_fracs and not dither and uv.ndim == 3:
-            s = sampling.sample_texture_aniso_tiered(
-                scene["atlas"], scene["mip_y"], scene["mip_x"], tex,
-                tex["n_mips"], uv, duv_dx, duv_dy, spec)
-        else:
-            s = sampling.sample_texture_aniso(
-                scene["atlas"], scene["mip_y"], scene["mip_x"], tex,
-                tex["n_mips"], uv, duv_dx, duv_dy, spec.max_taps,
-                dither=dither)
+        s = sampling.sample_texture_aniso(
+            scene["atlas"], scene["mip_y"], scene["mip_x"], tex,
+            tex["n_mips"], uv, duv_dx, duv_dy, spec.max_taps,
+            dither=dither)
         return jnp.where(tex["valid"][..., None], s, default)
     size = jnp.stack([tex["w"].astype(jnp.float32), tex["h"].astype(jnp.float32)], -1)
     dx = duv_dx * size
@@ -122,10 +120,26 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
     # helper lanes would extrapolate THIS pixel's plane instead
     duv_dx, duv_dy = sampling.quad_derivs(uv, covered)
 
+    # tiered-aniso path: ONE shared footprint/tier/segment-selection pass
+    # drives all used slots (4x fewer selection passes + per-slot tap
+    # ceilings vs per-slot tiering; sampling.sample_slots_aniso_tiered)
+    spec = sampling.aniso_spec(max_aniso)
+    pre = {}
+    if spec.max_taps > 1 and spec.tile_fracs and not dither and uv.ndim == 3:
+        idxs = [si for si in range(4) if slots_used[si]]
+        descs = {si: _slot(mtex, si) for si in idxs}
+        caps = spec.slot_caps or (spec.max_taps,) * 4
+        res = sampling.sample_slots_aniso_tiered(
+            scene["atlas"], scene["mip_y"], scene["mip_x"],
+            [(descs[si], descs[si]["n_mips"]) for si in idxs],
+            uv, duv_dx, duv_dy, spec,
+            slot_caps=[caps[si] for si in idxs])
+        pre = dict(zip(idxs, res))
+
     if slots_used[0]:
         tb = _slot(mtex, 0)
         base_tex = _sample_slot(scene, tb, uv, duv_dx, duv_dy, jnp.ones(4),
-                                max_aniso, dither)
+                                max_aniso, dither, pre=pre.get(0))
         base_color = m["mat_base_color"] * jnp.concatenate(
             [srgb_to_linear(base_tex[..., :3]), base_tex[..., 3:4]], axis=-1)
         base_color = jnp.where(tb["valid"][..., None], base_color, m["mat_base_color"])
@@ -135,7 +149,7 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
     if slots_used[1]:
         te = _slot(mtex, 1)
         em_tex = _sample_slot(scene, te, uv, duv_dx, duv_dy, jnp.ones(4),
-                                max_aniso, dither)
+                                max_aniso, dither, pre=pre.get(1))
         emissive = m["mat_emissive"] * jnp.concatenate(
             [srgb_to_linear(em_tex[..., :3]), em_tex[..., 3:4]], axis=-1)
         emissive = jnp.where(te["valid"][..., None], emissive, m["mat_emissive"])
@@ -145,7 +159,7 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
     if slots_used[2]:
         to = _slot(mtex, 2)
         orm_tex = _sample_slot(scene, to, uv, duv_dx, duv_dy, jnp.ones(4),
-                                max_aniso, dither)
+                                max_aniso, dither, pre=pre.get(2))
         ho = to["valid"]
         occ = jnp.where(ho, m["mat_ao"] * orm_tex[..., 0], m["mat_ao"])
         prough = jnp.where(ho, m["mat_roughness"] * orm_tex[..., 1], m["mat_roughness"])
@@ -158,7 +172,7 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
         tn_slot = _slot(mtex, 3)
         hn = tn_slot["valid"]
         tn = _sample_slot(scene, tn_slot, uv, duv_dx, duv_dy, jnp.full(4, 0.5),
-                          max_aniso, dither)[..., :3] * 2.0 - 1.0
+                          max_aniso, dither, pre=pre.get(3))[..., :3] * 2.0 - 1.0
     else:
         hn = jnp.zeros(mat_id.shape, bool)
         tn = jnp.zeros(mat_id.shape + (3,), jnp.float32)

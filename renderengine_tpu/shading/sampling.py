@@ -18,6 +18,21 @@ import jax
 import jax.numpy as jnp
 
 
+# Platform-robust discrete decisions (mip floor, dithered-mip rounding,
+# aniso tier count): CPU and TPU transcendental approximations (log2,
+# sqrt-chains) differ by ulps, and procedural content parks the continuous
+# inputs exactly ON decision boundaries (integer LODs, dyadic dither
+# thresholds, integer anisotropy ratios) — so a few-ulp cross-platform
+# difference flips the discrete choice and a CPU-frozen golden diverges
+# from the on-chip render by a whole mip step (round-4 gate failure:
+# 6/7 configs red from exactly this). Shifting every boundary by a
+# NON-dyadic epsilon moves it off the value clusters exact arithmetic
+# produces; a boundary flip then requires the true value to sit within
+# ulps of (boundary + eps), which no aligned content produces. The shift
+# itself is invisible: 1e-4 of a mip step / one tap-count boundary.
+SNAP_EPS = 1e-4
+
+
 class AnisoSpec(NamedTuple):
     """Static anisotropic-sampling plan threaded through the ``max_aniso``
     kwargs. ``max_taps`` is the reference sampler's requested ratio ceiling
@@ -28,6 +43,9 @@ class AnisoSpec(NamedTuple):
 
     max_taps: int = 1
     tile_fracs: tuple = ()
+    slot_caps: tuple = ()   # optional per-material-slot tap ceilings
+                            # (base, emissive, orm, normal); () = max_taps
+                            # everywhere. Consumed by the tiered path.
 
 
 def aniso_spec(a) -> "AnisoSpec":
@@ -248,9 +266,10 @@ def _dither_level(lod, n_mips):
     ix = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
     thr = (_bayer4(ix, iy) + 0.5) * (1.0 / 16.0)
     lodc = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
-    l0 = jnp.floor(lodc).astype(jnp.int32)
-    f = lodc - l0.astype(jnp.float32)
-    return jnp.minimum(l0 + (f > thr).astype(jnp.int32), n_mips - 1)
+    l0 = jnp.floor(lodc + SNAP_EPS).astype(jnp.int32)
+    f = jnp.maximum(lodc - l0.astype(jnp.float32), 0.0)
+    return jnp.minimum(l0 + (f - SNAP_EPS > thr).astype(jnp.int32),
+                       n_mips - 1)
 
 
 def sample_texture_rows(atlas, mip_y, mip_x, tex, n_mips, uv, lod=None,
@@ -269,9 +288,9 @@ def sample_texture_rows(atlas, mip_y, mip_x, tex, n_mips, uv, lod=None,
         return _bilinear_at_level(atlas, tex, mip_y, mip_x, uv,
                                   _dither_level(lod, n_mips))
     lodc = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
-    l0 = jnp.floor(lodc).astype(jnp.int32)
+    l0 = jnp.floor(lodc + SNAP_EPS).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, n_mips - 1)
-    f = (lodc - l0.astype(jnp.float32))[..., None]
+    f = jnp.maximum(lodc - l0.astype(jnp.float32), 0.0)[..., None]
     c0 = _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, l0)
     c1 = _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, l1)
     return c0 * (1 - f) + c1 * f
@@ -289,7 +308,7 @@ def _aniso_footprint(tex, uv_dx, uv_dy, max_aniso: int):
     py = jnp.sqrt((dy * dy).sum(-1))
     pmax = jnp.maximum(px, py)
     pmin = jnp.maximum(jnp.minimum(px, py), 1e-20)
-    n = jnp.clip(jnp.ceil(pmax / pmin), 1.0, float(max_aniso))
+    n = jnp.clip(jnp.ceil(pmax / pmin - SNAP_EPS), 1.0, float(max_aniso))
     lod = jnp.log2(jnp.maximum(pmax / n, 1e-20))
     major = jnp.where((px >= py)[..., None], uv_dx, uv_dy)
     return n, lod, major
@@ -348,95 +367,199 @@ def sample_texture_aniso(atlas, mip_y, mip_x, tex, n_mips, uv,
     return acc / n[..., None]
 
 
-def sample_texture_aniso_tiered(atlas, mip_y, mip_x, tex, n_mips, uv,
-                                duv_dx, duv_dy, spec: AnisoSpec,
-                                tile_h: int = 8, tile_w: int = 128):
-    """Exact anisotropic taps at compacted cost: footprint-adaptive tap
-    TIERS (the 'pipeline variant' analog the reference gets from fixed-
-    function samplers). Most screen pixels are isotropic (N == 1) and pay
-    one trilinear tap; anisotropic pixels are grouped into tap tiers
-    (2 / 4 / ... / max_taps), and each tier's tap loop runs only on the
-    K most-populated (tile_h, tile_w) screen tiles of that tier —
-    K = tile_fracs[i] * n_tiles, the same top-k compaction the two-stage
-    shadow PCF uses (shadow.py). Inside a selected tile the result is the
-    EXACT per-pixel N-tap average (bit-equal to the dense spec); tier
-    pixels beyond the budget fall back to isotropic trilinear at the
-    major-axis LOD (standard no-aniso behavior). Budgets are static, so
-    renders stay deterministic and golden-testable.
-
-    Inputs must be screen-shaped [H, W(, 2)]."""
-    assert uv.ndim == 3 and len(spec.tile_fracs) >= 1
-    n, lod, major = _aniso_footprint(tex, duv_dx, duv_dy, spec.max_taps)
-    lod_iso = lod + jnp.log2(n)        # = log2(pmax): the no-aniso LOD
-    base = _bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv,
-                                  n_mips, lod_iso)
-
-    h, w = n.shape
-    nty = -(-h // tile_h)
-    ntx = -(-w // tile_w)
-    n_tiles = nty * ntx
-    ph, pw = nty * tile_h - h, ntx * tile_w - w
-
-    def tilefy(a, fill=0):
-        a = jnp.pad(a, ((0, ph), (0, pw)) + ((0, 0),) * (a.ndim - 2),
-                    constant_values=fill)
-        a = a.reshape((nty, tile_h, ntx, tile_w) + a.shape[2:])
-        return jnp.moveaxis(a, 2, 1).reshape((n_tiles, tile_h, tile_w)
-                                             + a.shape[4:])
-
-    def untile(a):
-        a = a.reshape((nty, ntx, tile_h, tile_w) + a.shape[3:])
-        a = jnp.moveaxis(a, 1, 2).reshape((nty * tile_h, ntx * tile_w)
-                                          + a.shape[4:])
-        return a[:h, :w]
-
-    # tap ladder: 2, 4, 8, ... capped at max_taps; last tier absorbs the
-    # full ratio range
+def tap_ladder(spec: AnisoSpec) -> list:
+    """Tap ladder 2, 4, 8, ... capped at max_taps; the last tier absorbs
+    the full ratio range."""
     ladder = []
     t = 2
     for i in range(len(spec.tile_fracs)):
         last = i == len(spec.tile_fracs) - 1
         ladder.append(spec.max_taps if last else min(t, spec.max_taps))
         t *= 2
+    return ladder
 
-    out = base
-    planes = {"u": uv[..., 0], "v": uv[..., 1],
-              "mu": major[..., 0], "mv": major[..., 1],
-              "n": n, "lod": lod, "n_mips": n_mips}
-    planes.update({k: tex[k] for k in ("page", "x", "y", "w", "h")})
-    tiled = {k: tilefy(v) for k, v in planes.items()}
 
+def row_segments(h: int, w: int, seg_w: int):
+    """Shard-invariant screen compaction geometry: [1, seg_w] row segments.
+
+    Every segment lies inside ONE pixel row, and all selection math below
+    is strictly per-row — so an image-row sharding (parallel/sharded.py
+    splits [H, W] into [H/D, W] bands) computes bit-identical selections
+    to the single-chip pass for ANY row split. This is the repo's
+    "screen-space compaction must be shard-invariant" design rule
+    (tests/test_sharded.py sweeps it); 2-D tiles (8x128) break it because
+    a band boundary can cut a tile, changing its member count.
+    """
+    ntx = -(-w // seg_w)
+    pw = ntx * seg_w - w
+    return ntx, pw
+
+
+def _segfy(a, ntx, pw, seg_w):
+    """[H, W(,C)] -> [H, ntx, seg_w(,C)] with zero right-padding."""
+    a = jnp.pad(a, ((0, 0), (0, pw)) + ((0, 0),) * (a.ndim - 2))
+    return a.reshape((a.shape[0], ntx, seg_w) + a.shape[2:])
+
+
+def row_segment_counts(member, seg_w: int):
+    """[H, W] bool -> per-row member count per [1, seg_w] segment [H, ntx]."""
+    h, w = member.shape
+    ntx, pw = row_segments(h, w, seg_w)
+    return _segfy(member, ntx, pw, seg_w).sum(-1)
+
+
+def select_row_segments(member, seg_w: int, frac: float):
+    """Per-ROW top-k segment selection by member count.
+
+    member [H, W] bool -> (sel [H, K] int32, K). Each pixel row
+    independently budgets K = max(1, round(frac * segments_per_row))
+    of its [1, seg_w] segments; ties break to the lowest segment index
+    (jax.lax.top_k), all deterministic integer math — shard-invariant
+    and platform-exact.
+    """
+    ntx, _ = row_segments(*member.shape, seg_w)
+    k = max(1, min(int(round(frac * ntx)), ntx))
+    cnt = row_segment_counts(member, seg_w)               # [H, ntx]
+    _, sel = jax.lax.top_k(cnt, k)                        # [H, K]
+    return sel, k
+
+
+def gather_row_segments(a, sel, seg_w: int):
+    """Compact [H, W(,C)] screen planes to the selected [H, K, seg_w(,C)]
+    segments."""
+    h, w = a.shape[:2]
+    ntx, pw = row_segments(h, w, seg_w)
+    seg = _segfy(a, ntx, pw, seg_w)
+    idx = sel.reshape(sel.shape + (1,) * (seg.ndim - 2))
+    return jnp.take_along_axis(seg, idx, axis=1)
+
+
+def scatter_row_segments(vals, sel, h: int, w: int, seg_w: int):
+    """Inverse of gather_row_segments: (values [H,K,seg_w(,C)], sel [H,K])
+    -> ([H,W(,C)] scattered, have [H,W] bool coverage)."""
+    ntx, pw = row_segments(h, w, seg_w)
+    rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+    scat = jnp.zeros((h, ntx, seg_w) + vals.shape[3:], vals.dtype)
+    scat = scat.at[rows, sel].set(vals, mode="drop")
+    have = jnp.zeros((h, ntx), bool).at[rows, sel].set(True, mode="drop")
+    have = jnp.broadcast_to(have[:, :, None], (h, ntx, seg_w))
+    unseg = lambda x: x.reshape((h, ntx * seg_w) + x.shape[3:])[:, :w]
+    return unseg(scat), unseg(have)
+
+
+def _uv_footprint(duv_dx, duv_dy, max_taps: int):
+    """Texture-size-independent anisotropy decision in UV space: tap count
+    ``n`` and the major-axis uv step. For square textures this equals the
+    dense spec's texel-space ratio exactly (both axes scale by the same
+    size); only sqrt/div/ceil — platform-deterministic, so tier membership
+    can gate golden-tested renders."""
+    px = jnp.sqrt((duv_dx * duv_dx).sum(-1))
+    py = jnp.sqrt((duv_dy * duv_dy).sum(-1))
+    pmax = jnp.maximum(px, py)
+    pmin = jnp.maximum(jnp.minimum(px, py), 1e-20)
+    n = jnp.clip(jnp.ceil(pmax / pmin - SNAP_EPS), 1.0, float(max_taps))
+    major = jnp.where((px >= py)[..., None], duv_dx, duv_dy)
+    return n, major
+
+
+def _slot_rho2(tex, duv_dx, duv_dy):
+    """Per-slot squared texel-space footprint (major axis): rho2 such that
+    the isotropic LOD is 0.5*log2(rho2)."""
+    size = jnp.stack([tex["w"].astype(jnp.float32),
+                      tex["h"].astype(jnp.float32)], -1)
+    dx = duv_dx * size
+    dy = duv_dy * size
+    return jnp.maximum(jnp.maximum((dx * dx).sum(-1), (dy * dy).sum(-1)),
+                       1e-40)
+
+
+def sample_slots_aniso_tiered(atlas, mip_y, mip_x, slots, uv,
+                              duv_dx, duv_dy, spec: AnisoSpec,
+                              slot_caps=None, seg_w: int = 128):
+    """Exact anisotropic taps at compacted cost for SEVERAL texture slots
+    sharing one footprint decision (the pipeline-variant analog of the
+    reference's fixed-function 16x samplers, ``TextureCache.cpp:185``).
+
+    Most screen pixels are isotropic (N == 1) and pay one trilinear tap
+    per slot; anisotropic pixels group into tap tiers (2 / 4 / ... /
+    max_taps) decided ONCE from the uv-space derivatives — all slots of a
+    surface share uv, so the ratio only differs per slot via texture
+    aspect (equal for square textures). Each tier's tap loop runs only on
+    per-ROW budgeted [1, seg_w] segments (``select_row_segments``):
+    K = tile_fracs[i] * segments_per_row per pixel row. Inside a selected
+    segment the result is the exact per-pixel N-tap average (bit-equal to
+    the dense spec for square textures); past-budget pixels fall back to
+    isotropic trilinear at the major-axis LOD (standard no-aniso
+    behavior). Budgets are static => renders stay deterministic,
+    golden-testable, and image-row-shard-invariant.
+
+    slots: list of (tex_planes, n_mips) — tex_planes the page/x/y/w/h
+    dict, all [H, W]. ``slot_caps``: optional per-slot tap ceilings
+    (e.g. (16, 4, 4, 4): full quality on base color, near-isotropic
+    sooner on emissive/ORM/normal — their content tolerates it; a
+    declared quality knob, PARITY.md). Returns one rgba [H,W,4] per slot.
+    """
+    assert uv.ndim == 3 and len(spec.tile_fracs) >= 1
+    h, w = uv.shape[:2]
+    if slot_caps is None:
+        slot_caps = (spec.max_taps,) * len(slots)
+    n, major = _uv_footprint(duv_dx, duv_dy, spec.max_taps)
+
+    rho2 = [_slot_rho2(tex, duv_dx, duv_dy) for tex, _ in slots]
+    outs = []
+    for si, (tex, n_mips) in enumerate(slots):
+        lod_iso = 0.5 * jnp.log2(rho2[si])
+        outs.append(_bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv,
+                                           n_mips, lod_iso))
+
+    shared = {"u": uv[..., 0], "v": uv[..., 1],
+              "mu": major[..., 0], "mv": major[..., 1], "n": n}
     prev = 1.0
-    for taps, frac in zip(ladder, spec.tile_fracs):
+    for taps, frac in zip(tap_ladder(spec), spec.tile_fracs):
         member = (n > prev) & ((n <= taps) if taps < spec.max_taps
                                else True)
-        k = max(1, min(int(round(frac * n_tiles)), n_tiles))
-        cnt = tilefy(member).reshape(n_tiles, -1).sum(-1)
-        _, sel = jax.lax.top_k(cnt, k)
-        c = {key: tiled[key][sel].reshape(k * tile_h, tile_w)
-             for key in tiled}
+        sel, k = select_row_segments(member, seg_w, frac)
+        c = {key: gather_row_segments(v, sel, seg_w)
+             for key, v in shared.items()}
         uv_c = jnp.stack([c["u"], c["v"]], -1)
         major_c = jnp.stack([c["mu"], c["mv"]], -1)
-        tex_c = {key: c[key] for key in ("page", "x", "y", "w", "h")}
-        n_c = jnp.maximum(c["n"], 1.0)
-        acc = 0.0
-        for i in range(taps):
-            tt = (i + 0.5) / n_c - 0.5
-            wt = (i < n_c).astype(jnp.float32)[..., None]
-            acc = acc + wt * _bilinear_at_level_lod(
-                atlas, tex_c, mip_y, mip_x, uv_c + major_c * tt[..., None],
-                c["n_mips"], c["lod"])
-        acc = acc / n_c[..., None]
-        r = acc.reshape(k, tile_h, tile_w, 4)
-        scat = jnp.zeros((n_tiles, tile_h, tile_w, 4), acc.dtype)
-        scat = scat.at[sel].set(r, mode="drop")
-        have = jnp.zeros((n_tiles, 1, 1), bool).at[sel].set(True,
-                                                            mode="drop")
-        have = jnp.broadcast_to(have, (n_tiles, tile_h, tile_w))
-        hit = (member & untile(have))[..., None]
-        out = jnp.where(hit, untile(scat), out)
+        for si, (tex, n_mips) in enumerate(slots):
+            cap = slot_caps[si]
+            taps_s = min(taps, cap)
+            if taps_s <= 1:
+                continue
+            tex_c = {key: gather_row_segments(tex[key], sel, seg_w)
+                     for key in ("page", "x", "y", "w", "h")}
+            rho2_c = gather_row_segments(rho2[si], sel, seg_w)
+            nm_c = gather_row_segments(n_mips, sel, seg_w)
+            n_c = jnp.clip(c["n"], 1.0, float(cap))
+            # minor-axis LOD at the slot's own scale: log2(pmax/N) with
+            # one log2 (0.5*log2(rho2/N^2)) — N-capped pixels widen their
+            # filter instead of aliasing
+            lod_c = 0.5 * jnp.log2(rho2_c / (n_c * n_c))
+            acc = 0.0
+            for i in range(taps_s):
+                tt = (i + 0.5) / n_c - 0.5
+                wt = (i < n_c).astype(jnp.float32)[..., None]
+                acc = acc + wt * _bilinear_at_level_lod(
+                    atlas, tex_c, mip_y, mip_x,
+                    uv_c + major_c * tt[..., None], nm_c, lod_c)
+            acc = acc / n_c[..., None]
+            scat, have = scatter_row_segments(acc, sel, h, w, seg_w)
+            hit = (member & have)[..., None]
+            outs[si] = jnp.where(hit, scat, outs[si])
         prev = taps
-    return out
+    return outs
+
+
+def sample_texture_aniso_tiered(atlas, mip_y, mip_x, tex, n_mips, uv,
+                                duv_dx, duv_dy, spec: AnisoSpec,
+                                seg_w: int = 128):
+    """Single-slot form of ``sample_slots_aniso_tiered`` (see it for the
+    semantics + the shard-invariance design rule)."""
+    return sample_slots_aniso_tiered(atlas, mip_y, mip_x,
+                                     [(tex, n_mips)], uv, duv_dx, duv_dy,
+                                     spec, seg_w=seg_w)[0]
 
 
 def _bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv, n_mips, lod,
@@ -447,9 +570,9 @@ def _bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv, n_mips, lod,
         return _bilinear_at_level(atlas, tex, mip_y, mip_x, uv,
                                   _dither_level(lod, n_mips))
     lodc = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
-    l0 = jnp.floor(lodc).astype(jnp.int32)
+    l0 = jnp.floor(lodc + SNAP_EPS).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, n_mips - 1)
-    f = (lodc - l0.astype(jnp.float32))[..., None]
+    f = jnp.maximum(lodc - l0.astype(jnp.float32), 0.0)[..., None]
     c0 = _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, l0)
     c1 = _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, l1)
     return c0 * (1 - f) + c1 * f

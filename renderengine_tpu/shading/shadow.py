@@ -227,6 +227,17 @@ def compute_shadow_directional(shadow_pack, shadow_transforms, shadow_index,
         return jnp.where(invalid, 0.0, shadow)
 
     # --- two-stage path ---------------------------------------------------
+    # Compaction is per-ROW [1, tile_w] segments (sampling.select_row_
+    # segments): selection depends only on each pixel row's own data, so
+    # an image-row sharding computes bit-identical results for any row
+    # split (the repo's shard-invariant-compaction rule; 2-D tiles break
+    # it when a shard boundary cuts a tile). ``penumbra_tiles`` keeps its
+    # (tile_h x tile_w)-tile units for the budget controller; it converts
+    # to a per-row segment budget here.
+    from .sampling import (gather_row_segments, row_segment_counts,
+                           row_segments, scatter_row_segments,
+                           select_row_segments)
+
     c = shadow_pack.coarse.shape[1]
     cell_y = jnp.clip(iy, 0, e - 1) >> 3
     cell_x = jnp.clip(ix, 0, e - 1) >> 3
@@ -241,31 +252,23 @@ def compute_shadow_directional(shadow_pack, shadow_transforms, shadow_index,
     penumbra = ~(lit | full_sh)
 
     h, wd = threshold.shape
-    nty = -(-h // tile_h)
-    ntx = -(-wd // tile_w)
-    n_tiles = nty * ntx
-    k = min(penumbra_tiles, n_tiles)
-    ph, pw = nty * tile_h - h, ntx * tile_w - wd
+    ntx, _ = row_segments(h, wd, tile_w)
+    # per-row budget k: total tile budget spread evenly over pixel rows
+    k_row = max(1, min(-(-penumbra_tiles * tile_h // h), ntx))
+    frac = min(1.0, k_row / ntx)
+    sel, k = select_row_segments(penumbra, tile_w, frac)
 
-    def tilefy(a, fill=0):
-        a = jnp.pad(a, ((0, ph), (0, pw)), constant_values=fill)
-        a = a.reshape(nty, tile_h, ntx, tile_w)
-        return jnp.moveaxis(a, 2, 1).reshape(n_tiles, tile_h, tile_w)
+    # observed need in the controller's tile units: the max per-row
+    # segment need, scaled back (budget >= n_pen  =>  k_row covers the
+    # busiest row)
+    need_row = (row_segment_counts(penumbra, tile_w) > 0).sum(-1)    # [H]
+    n_pen = -(-(need_row.max() * h) // tile_h)
+    overflow = jnp.maximum(need_row - k, 0).sum()
 
-    pt = tilefy(penumbra)
-    cnt = pt.reshape(n_tiles, -1).sum(-1)
-    n_pen = (cnt > 0).sum()
-    _, sel = jax.lax.top_k(cnt, k)
-
-    def gather_img(a, fill=0):
-        return tilefy(a, fill)[sel].reshape(k * tile_h, tile_w)
-
-    # compact the window-path inputs; recompute anchor indices in the
-    # compacted domain (pure arithmetic on the compacted planes)
-    us = gather_img(u)
-    vs = gather_img(v, fill=-10.0)       # padded px: off-map => factor 0
-    ts = gather_img(threshold)
-    idxs = gather_img(idx) if cube else idx   # per-pixel faces compact too
+    us = gather_row_segments(u, sel, tile_w)
+    vs = gather_row_segments(v, sel, tile_w)
+    ts = gather_row_segments(threshold, sel, tile_w)
+    idxs = gather_row_segments(idx, sel, tile_w) if cube else idx
     ixs = jnp.floor(us).astype(jnp.int32)
     iys = jnp.floor(vs).astype(jnp.int32)
     cys = jnp.clip(iys, -1, e)
@@ -276,22 +279,10 @@ def compute_shadow_directional(shadow_pack, shadow_transforms, shadow_index,
     full_sub = _window_pcf(blk32, ts, us, vs,
                            cys - 2 * a2ys + 1, cxs - 2 * a2xs + 1, e)
 
-    # scatter back + mark which tiles carry full results
-    r = full_sub.reshape(k, tile_h, tile_w)
-    out = jnp.zeros((n_tiles, tile_h, tile_w), full_sub.dtype)
-    out = out.at[sel].set(r, mode="drop")
-    have = jnp.zeros((n_tiles, 1, 1), bool).at[sel].set(True, mode="drop")
-    have = jnp.broadcast_to(have, (n_tiles, tile_h, tile_w))
-
-    def untile(a):
-        a = a.reshape(nty, ntx, tile_h, tile_w)
-        return jnp.moveaxis(a, 1, 2).reshape(nty * tile_h, ntx * tile_w)[:h, :wd]
-
-    full_map = untile(out)
-    have_map = untile(have)
+    full_map, have_map = scatter_row_segments(full_sub, sel, h, wd, tile_w)
 
     if stats_out is not None:
-        stats_out.append((n_pen, jnp.maximum(n_pen - k, 0)))
+        stats_out.append((n_pen, overflow))
 
     # penumbra pixels beyond the budget fall back to the fully-shadowed
     # estimate (counted above); easy pixels are exact either way

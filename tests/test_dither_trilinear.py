@@ -81,8 +81,14 @@ class TestDitherTrilinear:
 
         sc = procedural.sponza_scene(width=128, height=80, n_textures=6,
                                      target_tris=900)
+        # max_anisotropy=1 on BOTH sides: this test isolates the dithered
+        # MIP rounding; the default-16 aniso forms differ between the two
+        # paths (tiered exact taps vs Bayer-distributed taps) and would
+        # pollute the comparison (round-4 regression: the aniso default
+        # flip silently changed only side `a`)
         cfg = RenderConfig(width=128, height=80, shadow_extent=128,
-                           translucency=True, debug_views=False)
+                           translucency=True, debug_views=False,
+                           max_anisotropy=1)
         a = np.asarray(FrameRenderer(sc, cfg, backend="tiled")
                        .render()).astype(int)
         b = np.asarray(FrameRenderer(sc, cfg.replace(dither_trilinear=True),

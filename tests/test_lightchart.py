@@ -143,7 +143,13 @@ class TestParity:
         import golden_configs
         cases = {n: (f, c) for n, f, c in golden_configs.golden_cases()}
         factory, cfg = cases["shadows_pcf"]
-        cfg = cfg.replace(debug_views=False, **(cfg_extra or {}))
+        # max_anisotropy=1 on BOTH sides: these tests measure the TSS
+        # machinery vs the per-pixel path; the default-16 aniso forms
+        # differ between the paths (tiered exact taps vs Bayer taps) and
+        # would pollute the parity bound (round-4 regression: the aniso
+        # default flip changed only the per-pixel side)
+        cfg = cfg.replace(debug_views=False, max_anisotropy=1,
+                          **(cfg_extra or {}))
         # TSS-only flags must not reach the non-TSS base render
         base = cfg.replace(tss_preshaded=False, tss_preshaded_blend=False)
         if base_tss:

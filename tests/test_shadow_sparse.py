@@ -33,8 +33,11 @@ class TestTwoStagePCF:
 
     def test_partial_budget_still_exact_when_it_fits(self):
         """With a budget covering the actual penumbra count the result
-        stays exact even though most tiles resolve from the coarse row."""
-        w, h = 192, 144
+        stays exact even though most segments resolve from the coarse
+        row. Width 384 => 3 segments per row (the per-ROW shard-invariant
+        compaction, sampling.select_row_segments), so partial selection
+        is observable."""
+        w, h = 384, 144
         sc = _scene(w, h)
         cfg = RenderConfig(width=w, height=h, shadow_extent=256,
                            skybox=False, translucency=False)
@@ -49,8 +52,10 @@ class TestTwoStagePCF:
         r1._rebuild_frame_fn()
         np.asarray(r1.render())
         st = r1._pending_overflow[-1]
+        # reported need is the BUSIEST row's segment need scaled to tile
+        # units: budget >= n_pen guarantees every row fits its penumbra
         n_pen = int(np.asarray(st["penumbra_tiles"]))
-        assert 0 < n_pen < n_tiles, "scene should have partial penumbra"
+        assert 0 < n_pen, "scene should have penumbra"
         assert int(np.asarray(st["penumbra_overflow"])) == 0
 
         r2 = FrameRenderer(sc, cfg.replace(penumbra_tile_budget=n_pen),
