@@ -1121,7 +1121,8 @@ class FrameRenderer:
             self._save_tuned_now()   # estimator results; re-tunes update it
         # the geometry slice exists only for the init-time budget
         # estimators above (reactive re-tunes use overflow counters);
-        # holding it would pin tens of MB of host memory per renderer
+        # holding it would pin tens of MB of host memory per renderer.
+        # _estimate_* methods guard on this with an explanatory error.
         self._est_np = None
 
     def _make_tuned_key(self, dev) -> str:
@@ -1191,6 +1192,10 @@ class FrameRenderer:
         the camera, so the count is stable across frames. Big maps raster
         in row slices (``shadow_slices``), so the budget is per-slice:
         the worst slice's span count over all maps."""
+        assert self._est_np is not None, (
+            "budget estimators are init-time only: the geometry slice is "
+            "released at the end of __init__ (reactive re-tunes use the "
+            "overflow counters, not these estimators)")
         e = self.config.shadow_extent
         eth, etw = _effective_tiles(self.config.raster, self.backend)
         n_slices = shadow_slices(e, self.backend)
@@ -1242,6 +1247,10 @@ class FrameRenderer:
         (tile, triangle) pairs the scene actually produces (one cheap jit —
         setup + span sum, no sort) and keep 2x headroom, floor 2. The
         overflow counter (binning_stats) still guards camera changes."""
+        assert self._est_np is not None, (
+            "budget estimators are init-time only: the geometry slice is "
+            "released at the end of __init__ (reactive re-tunes use the "
+            "overflow counters, not these estimators)")
         cfg = self.config
         h, w = cfg.render_extent()
         eth, etw = _effective_tiles(cfg.raster, self.backend)
@@ -1309,6 +1318,10 @@ class FrameRenderer:
         its span profile. Returns (shade tile fraction, raster pair budget,
         raster covered-tile budget), each with 2x headroom; the overflow
         reaction covers camera moves past them."""
+        assert self._est_np is not None, (
+            "budget estimators are init-time only: the geometry slice is "
+            "released at the end of __init__ (reactive re-tunes use the "
+            "overflow counters, not these estimators)")
         from ..raster.binning import bin_triangles
 
         cfg = self.config
