@@ -38,8 +38,20 @@ def golden_gate_record() -> dict:
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from golden_configs import golden_cases
 
-    gd = os.path.join(os.path.dirname(__file__), "tests", "goldens")
-    backend = "pallas" if jax.default_backend() == "tpu" else "tiled"
+    # goldens are frozen PER PLATFORM (tools/make_goldens.py --tpu):
+    # production-on-TPU gates against reference-on-TPU, production-on-CPU
+    # against reference-on-CPU. CPU and TPU f32 edge functions differ by
+    # ulps, flipping the shared-edge winner on ~0.3% of silhouette pixels
+    # (measured: 34/12288 px, one per row along a quad diagonal) — a
+    # cross-PLATFORM allowance documented in PARITY.md, while each
+    # platform's gate stays strict against the same reference model.
+    on_tpu = jax.default_backend() != "cpu"
+    sub = "goldens_tpu" if on_tpu else "goldens"
+    gd = os.path.join(os.path.dirname(__file__), "tests", sub)
+    if not os.path.isdir(gd):
+        gd = os.path.join(os.path.dirname(__file__), "tests", "goldens")
+        sub = "goldens"
+    backend = "pallas" if on_tpu else "tiled"
     worst = {"name": None, "frac": 1.0, "max": 0}
     failed = []
     for name, factory, cfg in golden_cases():
@@ -57,7 +69,7 @@ def golden_gate_record() -> dict:
         if frac1 < 0.999 or dmax > 4:
             failed.append({"name": name, "frac_within_1": round(frac1, 6),
                            "max_diff": dmax})
-    rec = {"pass": not failed, "backend": backend,
+    rec = {"pass": not failed, "backend": backend, "golden_set": sub,
            "worst_frac_within_1": round(worst["frac"], 6),
            "worst_max_diff": worst["max"]}
     if failed:

@@ -223,47 +223,64 @@ def resolve_attributes(scene, vo, coef, g, height, width,
 
 def shade_sparse(shade_fn, frag, height: int, width: int,
                  tile_h: int = 8, tile_w: int = 128,
-                 max_tiles: int | None = None):
+                 max_tiles: int | None = None,
+                 full_height: int | None = None):
     """Run a resolve+shade function only on tiles with coverage — for
     passes that touch few pixels (translucent peel layers). Covered tiles
-    are gathered into a compact [K*th, tw] pseudo-image (quad derivatives
-    stay tile-local), processed, and scattered back. K is a static budget
-    (top-k by coverage); tiles beyond it go unshaded.
+    are gathered into a compact pseudo-image (quad derivatives stay
+    tile-local), processed, and scattered back.
+
+    Selection is per TILE-ROW: the full-frame tile budget ``max_tiles``
+    converts to k = ceil(max_tiles / full-frame tile rows) tiles per tile
+    row, picked by per-row top-k coverage count (ties to the lowest tile
+    index). Each tile row's selection depends only on its own 8 pixel
+    rows, so an image-row sharding whose slice boundaries land on tile
+    rows computes bit-identical selections AND drops to the single-chip
+    pass — the shard-invariant-compaction rule (sampling.row_segments;
+    a global top-k over the slice drops different tiles per shard the
+    moment coverage exceeds the budget, tests/test_sharded.py sweep).
+    Tiles beyond k in their row go unshaded (the caller counts them and
+    re-tunes).
 
     ``frag``: dict of [H,W(,C)] planes handed to ``shade_fn`` compacted;
-    must contain "covered". Returns rgba [H,W,4], zeros where unshaded.
+    must contain "covered". ``full_height``: full framebuffer height when
+    ``height`` is a shard slice. Returns rgba [H,W,4], zeros where
+    unshaded.
     """
     nty = -(-height // tile_h)
     ntx = -(-width // tile_w)
     n_tiles = nty * ntx
+    nty_full = -(-(full_height or height) // tile_h)
     if max_tiles is None:
-        max_tiles = max(1, n_tiles // 4)
-    max_tiles = min(max_tiles, n_tiles)
+        max_tiles = max(1, nty_full * ntx // 4)
+    k_row = max(1, min(-(-max_tiles // nty_full), ntx))
     ph, pw = nty * tile_h - height, ntx * tile_w - width
 
     def tilefy(a, fill=0):
+        """[H,W(,C)] -> [nty, ntx, th, tw(,C)]."""
         a = jnp.pad(a, ((0, ph), (0, pw)) + ((0, 0),) * (a.ndim - 2),
                     constant_values=fill)
         a = a.reshape(nty, tile_h, ntx, tile_w, *a.shape[2:])
-        a = jnp.moveaxis(a, 2, 1)
-        return a.reshape(n_tiles, tile_h, tile_w, *a.shape[4:])
+        return jnp.moveaxis(a, 2, 1)
 
-    cov_tiles = tilefy(frag["covered"])
-    cov_any = cov_tiles.reshape(n_tiles, -1).any(-1)
-    _, sel = jax.lax.top_k(cov_any.astype(jnp.int32), max_tiles)
+    cov_rows = tilefy(frag["covered"])               # [nty, ntx, th, tw]
+    cov_cnt = cov_rows.reshape(nty, ntx, -1).sum(-1)
+    _, sel = jax.lax.top_k(cov_cnt, k_row)           # [nty, k_row]
 
     def gather_img(a):
-        t = tilefy(a)[sel]                           # [K,th,tw,...]
-        return t.reshape(max_tiles * tile_h, tile_w, *t.shape[3:])
+        t = jnp.take_along_axis(
+            tilefy(a), sel.reshape(nty, k_row, *(1,) * a.ndim),
+            axis=1)                                  # [nty,k,th,tw,...]
+        return t.reshape(nty * k_row * tile_h, tile_w, *t.shape[4:])
 
     sub = {k: gather_img(v) for k, v in frag.items()}
     rgba_sub = shade_fn(sub)
 
     # scatter tiles back
-    r = rgba_sub.reshape(max_tiles, tile_h, tile_w, 4)
-    out = jnp.zeros((n_tiles, tile_h, tile_w, 4), rgba_sub.dtype)
-    out = out.at[sel].set(r, mode="drop")
-    out = out.reshape(nty, ntx, tile_h, tile_w, 4)
+    r = rgba_sub.reshape(nty, k_row, tile_h, tile_w, 4)
+    out = jnp.zeros((nty, ntx, tile_h, tile_w, 4), rgba_sub.dtype)
+    rows = jnp.arange(nty, dtype=jnp.int32)[:, None]
+    out = out.at[rows, sel].set(r, mode="drop")
     out = jnp.moveaxis(out, 2, 1).reshape(nty * tile_h, ntx * tile_w, 4)
     return out[:height, :width]
 
@@ -434,6 +451,7 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                      dither=config.dither_trilinear,
                      debug_views=config.debug_views,
                      penumbra_tiles=config.penumbra_tile_budget,
+                     penumbra_full_h=fh,
                      shadow_stats=shadow_stats,
                      ibl_diffuse=config.ibl_diffuse)
 
@@ -773,8 +791,12 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
         # opaque raster so the merged launch could consume it)
         prev = jnp.full((slice_h, w), -1.0, jnp.float32)
         layers = []
-        n_tiles = ((-(-slice_h // config.raster.tile_h))
-                   * (-(-w // config.raster.tile_w)))
+        # budgets are stated in FULL-FRAME tiles (shard-invariance rule:
+        # shade_sparse converts to a per-tile-row k by the full height, so
+        # a row-sharded slice selects and drops identically to single-chip)
+        ntx_b = -(-w // config.raster.tile_w)
+        nty_full_b = -(-fh // config.raster.tile_h)
+        n_tiles = nty_full_b * ntx_b
         shared_budget = max(1, int(n_tiles * config.translucency_tile_fraction))
         layer_budgets = config.blend_layer_tile_budgets
 
@@ -895,21 +917,24 @@ def _frame_core(scene, params, vo, shadow_maps, config: RenderConfig,
                 rgba_t = shade_sparse(
                     resolve_and_shade, sp_in,
                     slice_h, w, config.raster.tile_h, config.raster.tile_w,
-                    max_tiles=budget)
+                    max_tiles=budget, full_height=fh)
             if return_stats:
-                # observed covered shade tiles per layer: feeds the
-                # reactive per-layer budget re-tune; beyond-budget tiles
-                # went unshaded => also fold into the overflow counter
+                # observed need per layer in BUDGET-equivalent units
+                # (budget >= need <=> the per-row k covers the busiest
+                # tile row — mirrors shade_sparse's conversion); beyond-k
+                # tiles went unshaded => fold into the overflow counter
                 th_, tw_ = config.raster.tile_h, config.raster.tile_w
-                ph_ = -(-slice_h // th_) * th_ - slice_h
-                pw_ = -(-w // tw_) * tw_ - w
+                nty_ = -(-slice_h // th_)
+                ph_ = nty_ * th_ - slice_h
+                pw_ = ntx_b * tw_ - w
                 ct = jnp.pad(covered_t, ((0, ph_), (0, pw_)))
-                ct = ct.reshape(-1, th_, ct.shape[1] // tw_, tw_)
-                n_cov = ct.any(axis=(1, 3)).sum()
-                shade_tile_counts.append(n_cov)
+                ct = ct.reshape(nty_, th_, ntx_b, tw_)
+                row_need = ct.any(axis=(1, 3)).sum(-1)       # [nty]
+                shade_tile_counts.append(row_need.max() * nty_full_b)
                 if budget < n_tiles:
+                    k_row_ = max(1, min(-(-budget // nty_full_b), ntx_b))
                     blend_overflow = blend_overflow + jnp.maximum(
-                        n_cov - budget, 0)
+                        row_need - k_row_, 0).sum()
             layers.append((covered_t, rgba_t))
         for covered_t, rgba_t in reversed(layers):
             a = jnp.clip(rgba_t[..., 3], 0.0, 1.0) * covered_t

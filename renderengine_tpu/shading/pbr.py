@@ -85,7 +85,7 @@ def _sample_slot(scene, tex, uv, duv_dx, duv_dy, default, max_aniso=1,
     # log2(sqrt(v)) == 0.5*log2(v): skips two full-screen sqrt chains;
     # differs from the sqrt form by ~1 ulp, goldens unaffected
     rho2 = jnp.maximum((dx * dx).sum(-1), (dy * dy).sum(-1))
-    lod = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-40))
+    lod = 0.5 * sampling.det_log2(jnp.maximum(rho2, 1e-40))
     s = sampling.sample_texture_rows(scene["atlas"], scene["mip_y"],
                                      scene["mip_x"], tex,
                                      tex["n_mips"], uv, lod, dither=dither)
@@ -243,7 +243,7 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                   slots_used=(True, True, True, True),
                   shadow_lights=None, max_aniso=1, debug_views=True,
                   penumbra_tiles=0, shadow_stats=None, ibl_diffuse=False,
-                  dither=False, covered=None):
+                  dither=False, covered=None, penumbra_full_h=None):
     """Port of ``BRDF_Lighting``. Returns rgba (linear, pre-sRGB-encode).
 
     view_args: dict with view_pos [3], exposure, debug_input, debug_equation.
@@ -319,7 +319,8 @@ def brdf_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                     shadow_maps, shadow_transforms,
                     light["light_shadow_index"], light["light_pos"],
                     frag_pos, n, penumbra_tiles=penumbra_tiles,
-                    stats_out=shadow_stats, cube=cube),
+                    stats_out=shadow_stats, cube=cube,
+                    penumbra_full_h=penumbra_full_h),
                 0.0,
             )
 

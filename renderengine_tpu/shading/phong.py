@@ -22,7 +22,7 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                    slots_used=(True, True, True, True),
                    shadow_lights=None, max_aniso=1, debug_views=True,
                    penumbra_tiles=0, shadow_stats=None, ibl_diffuse=False,
-                   dither=False, covered=None):
+                   dither=False, covered=None, penumbra_full_h=None):
     """Port of ``PhongLighting`` (phong.glsl:38-81), summed over lights.
     Light colors map: ambient = 0.03*color, diffuse = specular =
     intensity*color. Returns rgba (linear)."""
@@ -86,7 +86,8 @@ def phong_lighting(scene, frag_pos, uv, frag_normal, mat_id, view_args,
                                            scene["light_pos"][li], frag_pos, n,
                                            penumbra_tiles=penumbra_tiles,
                                            stats_out=shadow_stats,
-                                           cube=cube),
+                                           cube=cube,
+                                           penumbra_full_h=penumbra_full_h),
                 0.0)
 
         in_range = li < scene["n_lights"]

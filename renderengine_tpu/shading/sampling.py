@@ -33,6 +33,45 @@ import jax.numpy as jnp
 SNAP_EPS = 1e-4
 
 
+# log2(1+z) on [0,1]: degree-8 least-squares fit at Chebyshev nodes,
+# |poly - log2| <= 4.9e-8, f32 Horner evaluation error <= 1.7e-7
+_LOG2_POLY = (-8.8746966506e-03, 5.0277507368e-02, -1.3453425419e-01,
+              2.3923166297e-01, -3.4599601243e-01, 4.7832354487e-01,
+              -7.2111461440e-01, 1.4426867778e+00, 4.8863580535e-08)
+
+
+def det_log2(x: jnp.ndarray) -> jnp.ndarray:
+    """Platform-deterministic log2 for DISCRETE sampling decisions.
+
+    ``jnp.log2`` lowers to each backend's transcendental approximation —
+    the TPU VPU's is accurate to only ~1e-4 relative, the CPU's to ~1 ulp
+    — so any mip floor / dither threshold / tap-count ceil fed by it
+    flips on ~1e-4 of the lod distribution between platforms. Measured
+    round-5: exactly this held the on-chip golden gate at 99.72-99.90%
+    within 1/255 (gate >= 99.9%) with whole-mip-step outliers.
+
+    This form is bit-reproducible across platforms up to FMA-contraction
+    ulps (~1e-7): the exponent comes EXACTLY from the f32 bit pattern
+    (integer ops), and log2 of the mantissa in [1,2) evaluates a fixed
+    degree-8 polynomial with plain f32 multiply-adds. Total error vs true
+    log2 <= 2e-7 — far below any visible mip difference, and 3 orders of
+    magnitude under SNAP_EPS, so a decision flip now needs the true value
+    within ~1e-7 of a (boundary + eps), which no content produces.
+
+    x must be positive (callers clamp with ``jnp.maximum``); cost is 8
+    FMAs per element — noise next to the texel gathers it guards.
+    """
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127                  # exact exponent
+    m = jax.lax.bitcast_convert_type(
+        (bits & 0x007FFFFF) | 0x3F800000, jnp.float32)   # mantissa [1,2)
+    z = m - 1.0
+    acc = jnp.float32(_LOG2_POLY[0])
+    for c in _LOG2_POLY[1:]:
+        acc = acc * z + jnp.float32(c)
+    return e.astype(jnp.float32) + acc
+
+
 class AnisoSpec(NamedTuple):
     """Static anisotropic-sampling plan threaded through the ``max_aniso``
     kwargs. ``max_taps`` is the reference sampler's requested ratio ceiling
@@ -235,7 +274,7 @@ def compute_lod(uv: jnp.ndarray, tex_w, tex_h) -> jnp.ndarray:
     rho = jnp.maximum(
         jnp.sqrt(jnp.sum(dx * dx, axis=-1)), jnp.sqrt(jnp.sum(dy * dy, axis=-1))
     )
-    return jnp.log2(jnp.maximum(rho, 1e-20))
+    return det_log2(jnp.maximum(rho, 1e-20))
 
 
 def _bayer4(ix, iy):
@@ -309,7 +348,7 @@ def _aniso_footprint(tex, uv_dx, uv_dy, max_aniso: int):
     pmax = jnp.maximum(px, py)
     pmin = jnp.maximum(jnp.minimum(px, py), 1e-20)
     n = jnp.clip(jnp.ceil(pmax / pmin - SNAP_EPS), 1.0, float(max_aniso))
-    lod = jnp.log2(jnp.maximum(pmax / n, 1e-20))
+    lod = det_log2(jnp.maximum(pmax / n, 1e-20))
     major = jnp.where((px >= py)[..., None], uv_dx, uv_dy)
     return n, lod, major
 
@@ -508,7 +547,7 @@ def sample_slots_aniso_tiered(atlas, mip_y, mip_x, slots, uv,
     rho2 = [_slot_rho2(tex, duv_dx, duv_dy) for tex, _ in slots]
     outs = []
     for si, (tex, n_mips) in enumerate(slots):
-        lod_iso = 0.5 * jnp.log2(rho2[si])
+        lod_iso = 0.5 * det_log2(rho2[si])
         outs.append(_bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv,
                                            n_mips, lod_iso))
 
@@ -536,7 +575,7 @@ def sample_slots_aniso_tiered(atlas, mip_y, mip_x, slots, uv,
             # minor-axis LOD at the slot's own scale: log2(pmax/N) with
             # one log2 (0.5*log2(rho2/N^2)) — N-capped pixels widen their
             # filter instead of aliasing
-            lod_c = 0.5 * jnp.log2(rho2_c / (n_c * n_c))
+            lod_c = 0.5 * det_log2(rho2_c / (n_c * n_c))
             acc = 0.0
             for i in range(taps_s):
                 tt = (i + 0.5) / n_c - 0.5

@@ -140,7 +140,8 @@ def compute_shadow_directional(shadow_pack, shadow_transforms, shadow_index,
                                penumbra_tiles: int = 0,
                                tile_h: int = 8, tile_w: int = 128,
                                stats_out: list | None = None,
-                               cube: bool = False):
+                               cube: bool = False,
+                               penumbra_full_h: int | None = None):
     """shadow_pack: ShadowPack (see ``pack_shadow_blocks``);
     shadow_transforms [NS,4,4] (= lightProj @ lightView, the
     MaterialShadowData.transform, ``shadow.glsl:31``); shadow_index scalar;
@@ -253,8 +254,13 @@ def compute_shadow_directional(shadow_pack, shadow_transforms, shadow_index,
 
     h, wd = threshold.shape
     ntx, _ = row_segments(h, wd, tile_w)
-    # per-row budget k: total tile budget spread evenly over pixel rows
-    k_row = max(1, min(-(-penumbra_tiles * tile_h // h), ntx))
+    # per-row budget k: total tile budget spread evenly over pixel rows.
+    # The budget is stated in FULL-FRAME tiles, so the conversion divides
+    # by the full framebuffer height, not the slice height — an image-row
+    # shard would otherwise get a Dx larger per-row k than single-chip
+    # and select more segments (shard-invariance rule, sampling.py).
+    full_h = penumbra_full_h or h
+    k_row = max(1, min(-(-penumbra_tiles * tile_h // full_h), ntx))
     frac = min(1.0, k_row / ntx)
     sel, k = select_row_segments(penumbra, tile_w, frac)
 
@@ -262,7 +268,7 @@ def compute_shadow_directional(shadow_pack, shadow_transforms, shadow_index,
     # segment need, scaled back (budget >= n_pen  =>  k_row covers the
     # busiest row)
     need_row = (row_segment_counts(penumbra, tile_w) > 0).sum(-1)    # [H]
-    n_pen = -(-(need_row.max() * h) // tile_h)
+    n_pen = -(-(need_row.max() * full_h) // tile_h)
     overflow = jnp.maximum(need_row - k, 0).sum()
 
     us = gather_row_segments(u, sel, tile_w)

@@ -3,6 +3,7 @@ with virtual devices; conftest forces 8)."""
 
 import numpy as np
 import jax
+import pytest
 
 from renderengine_tpu.core.config import RenderConfig
 from renderengine_tpu.graph.frame import FrameRenderer
@@ -91,3 +92,52 @@ class TestShardedEquivalence:
         assert multi.shape == single.shape
         mismatch = (multi != single).mean()
         assert mismatch == 0.0, f"sharded TSS differs on {mismatch:.2%} of bytes"
+
+
+class TestCompactionShardInvariance:
+    """The repo's design rule: every screen-space compaction (top-K
+    selection of screen segments/tiles for a budgeted expensive path)
+    must be SHARD-INVARIANT — an image-row sharding computes bit-identical
+    selections to the single-chip pass. The rule exists because round-4's
+    global 8x128-tile top-k in the tiered aniso sampler broke two-device
+    bit-exactness (each shard picked its own top-K); the fix is per-pixel-
+    ROW [1,128] segment selection (sampling.select_row_segments) with
+    budgets stated in FULL-FRAME units. This sweep turns each compaction
+    feature on, including at budgets small enough that the selection
+    actually drops work, and asserts two-device == single-chip exactly."""
+
+    CASES = {
+        # tiered exact-tap anisotropy on all 4 material slots, budgets
+        # small enough that tier selection + isotropic fallback both fire
+        "aniso_tiers": dict(max_anisotropy=16,
+                            aniso_tile_fracs=(0.25, 0.15, 0.08),
+                            translucency=False),
+        # two-stage PCF: per-row penumbra segment budget (stated in
+        # full-frame tiles — shadow.py converts by the FULL height)
+        "penumbra_budget": dict(max_anisotropy=1, translucency=False,
+                                penumbra_tile_budget=4, shadow_extent=64),
+        # sparse peel-layer shading: per-band tile budgets sized from the
+        # same screen fraction; exact while per-band coverage fits the
+        # band budget (overflow is counted and re-tuned, frame.py)
+        "blend_sparse_tiles": dict(max_anisotropy=1, translucency=True,
+                                   translucency_tile_fraction=0.9),
+    }
+
+    @pytest.mark.parametrize("case", sorted(CASES))
+    def test_two_device_bit_exact(self, case):
+        w, h = 256, 32
+        sc = procedural.sponza_scene(width=w, height=h, n_textures=4,
+                                     target_tris=400)
+        kw = dict(width=w, height=h, shadow_extent=32, debug_views=False)
+        kw.update(self.CASES[case])
+        cfg = RenderConfig(**kw)
+        single = np.asarray(FrameRenderer(sc, cfg, backend="tiled").render())
+
+        mesh = sharded.make_mesh(2)
+        fn, scene_dev, params_builder = sharded.build_sharded_renderer(
+            sc, cfg, mesh, backend="tiled")
+        multi = np.asarray(fn(jax.device_put(scene_dev), params_builder()))
+        assert multi.shape == single.shape
+        mismatch = (multi != single).mean()
+        assert mismatch == 0.0, \
+            f"[{case}] sharded differs on {mismatch:.2%} of bytes"
