@@ -1083,16 +1083,14 @@ class FrameRenderer:
         self._has_mask = int(dev.get("n_mask", 0)) > 0
         self._slots_used = slots_used
         if config.texture_space:
-            # device bakes (once per upload): per-texel geometry, full
-            # material remap, optional pre-shaded albedo, static light
-            # tables — shared with ShardedRenderer (lightchart.py)
+            # alpha_is_factor decided HOST-side (texture alpha channels +
+            # material factors) so the frame fn's static config is final
+            # BEFORE the bake compiles — the AOT prewarm below then
+            # overlaps the frame/shadow compiles with the bake compile
+            # instead of serializing behind a device readback
             from ..shading import lightchart
-            self._baked_exposure = float(scene_host.camera.exposure)
-            up, self._ld_fn, self._alpha_is_factor = \
-                lightchart.setup_scene_tss(self.scene_dev, config,
-                                           slots_used,
-                                           self._baked_exposure)
-            self.scene_dev.update(up)
+            self._alpha_is_factor = lightchart.host_alpha_is_factor(
+                dev, getattr(scene_host, "textures", None))
         self._shadow_lights = _static_shadow_lights(dev)
         # react-to-overflow: the frame fn also reports the binning
         # overflow counter; render() polls it (without stalling the
@@ -1141,6 +1139,24 @@ class FrameRenderer:
         self._shadow_maps = None
         self._shadows_dirty = True
         self._shadow_vp_cache = None
+        # kick off the frame + shadow AOT compiles NOW (background
+        # thread), then run the TSS bake on this thread — the two big
+        # compile RPCs overlap instead of serializing (round-5 cold-start
+        # fix: bake ~25 s + frame/shadow ~60 s used to add up)
+        self._prewarm_thread = None
+        self._start_prewarm()
+        if config.texture_space:
+            # device bakes (once per upload): per-texel geometry, full
+            # material remap, optional pre-shaded albedo, static light
+            # tables — shared with ShardedRenderer (lightchart.py)
+            from ..shading import lightchart
+            self._baked_exposure = float(scene_host.camera.exposure)
+            up, self._ld_fn, self._alpha_is_factor = \
+                lightchart.setup_scene_tss(self.scene_dev, config,
+                                           slots_used,
+                                           self._baked_exposure,
+                                           self._alpha_is_factor)
+            self.scene_dev.update(up)
         if not tuned and backend in ("pallas", "tiled") \
                 and config.raster.auto_tune_pairs:
             self._save_tuned_now()   # estimator results; re-tunes update it
@@ -1198,6 +1214,60 @@ class FrameRenderer:
 
     def _shadow_budget(self) -> int:
         return self._shadow_budget_val
+
+    def _start_prewarm(self) -> None:
+        """Best-effort BACKGROUND AOT of the frame + shadow programs from
+        shape specs (the TSS chart shapes come from eval_shape of the
+        bake — nothing executes). Runs concurrently with the bake compile
+        on the init thread; both populate the persistent compile cache,
+        and ``render()`` joins the thread so its own jit call becomes a
+        cache read instead of a second compile. Compile RPCs through the
+        tunnel are independent subprocesses, so they genuinely overlap."""
+        if self.backend not in ("pallas", "tiled"):
+            return
+        try:
+            import threading
+
+            specs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                     for k, v in self.scene_dev.items()}
+            if self.config.texture_space:
+                from ..shading import lightchart
+                specs.update(lightchart.bake_output_specs(
+                    specs, self.config, self._slots_used))
+            u = np.asarray(self.uniform_for_camera())
+            u_spec = jax.ShapeDtypeStruct(u.shape, u.dtype)
+        except Exception:
+            return
+
+        def work():
+            try:
+                sm_spec = None
+                if self.n_shadows > 0 and self.config.shadows:
+                    low = self._shadow_fn.lower(specs, u_spec)
+                    out_info = low.out_info
+                    low.compile()
+                    # (packed, overflow) when return_overflow, else the
+                    # bare ShadowPack (a NamedTuple — check _fields, not
+                    # isinstance(tuple))
+                    packed = (out_info
+                              if hasattr(out_info, "_fields")
+                              else out_info[0])
+                    sm_spec = jax.tree.map(
+                        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype),
+                        packed)
+                self._fn.lower(specs, u_spec, sm_spec).compile()
+            except Exception:
+                pass    # prewarm is best-effort; render() compiles lazily
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()
+        self._prewarm_thread = t
+
+    def _join_prewarm(self) -> None:
+        t = getattr(self, "_prewarm_thread", None)
+        if t is not None:
+            t.join()
+            self._prewarm_thread = None
 
     @staticmethod
     def _planning_device():
@@ -1727,6 +1797,8 @@ class FrameRenderer:
 
     def render(self, view_props: ViewProperties | None = None) -> jnp.ndarray:
         """Returns the device image array (async); np.asarray() to fetch."""
+        self._join_prewarm()   # first call: wait for the AOT warmup so
+        # the jit below reads the cache instead of compiling a second copy
         if self._react_overflow:
             self._poll_overflow()
         u = self.uniform_for_camera(view_props)

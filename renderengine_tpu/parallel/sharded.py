@@ -253,8 +253,12 @@ class ShardedRenderer:
                 "texture_space: PBR, no MASK pass, no debug views"
             lightchart.attach_chart_layout(dev, viewproj, config)
             self._baked_exposure = float(scene_host.camera.exposure)
+            # HOST-side alpha check (same fn as FrameRenderer — the
+            # sharded frame must trace the identical static config)
+            aif = lightchart.host_alpha_is_factor(
+                dev, getattr(scene_host, "textures", None))
             up, self._ld_fn, alpha_is_factor = lightchart.setup_scene_tss(
-                dev, config, slots_used, self._baked_exposure)
+                dev, config, slots_used, self._baked_exposure, aif)
             dev.update(up)
         self.scene_dev = dev
         self._shadow_lights = fgraph._static_shadow_lights(dev)

@@ -339,8 +339,13 @@ def bake_material(scene, geo, slots_used, max_aniso: int = 1,
     """
     from . import pbr, sampling
 
+    # covered=live: dead chart texels hold zero uv — mask them out of the
+    # quad derivatives like uncovered screen pixels (bake_albedo always
+    # did; the material bake now matches, and its raw base tap is reused
+    # by the albedo bake below instead of a second full sampling pass)
     mat = pbr.remap_material(scene, geo["mat_id"], geo["pos"], geo["uv"],
-                             geo["normal"], slots_used, max_aniso)
+                             geo["normal"], slots_used, max_aniso,
+                             covered=geo["live"])
     factor = sampling.table_lookup(scene["mat_all"], geo["mat_id"])[..., 0:4]
     factor = factor.astype(jnp.float32)
     one_m = (1.0 - mat["metallic"])[..., None]
@@ -362,8 +367,9 @@ def bake_material(scene, geo, slots_used, max_aniso: int = 1,
         live,
     ], axis=-1)
     # store the mapped normal for the light pass (normal-mapped at chart
-    # resolution) by overwriting geo's interpolated normal
-    return out * live, mat["normal"]
+    # resolution) by overwriting geo's interpolated normal; ``mat`` rides
+    # along so bake_albedo can reuse the raw base tap
+    return out * live, mat["normal"], mat
 
 
 def bake_visibility(scene, geo, shadow_maps, shadow_transforms,
@@ -629,13 +635,18 @@ def sample_rgbe_blocks(blocks: jnp.ndarray, uv: jnp.ndarray,
     fx = (x - ix.astype(jnp.float32))[..., None]
     fy = (y - iy.astype(jnp.float32))[..., None]
     raw = blocks[iy * aw + ix]                             # [...,4] u32
-    c00 = rgb9e5_decode(raw[..., 0])
-    c10 = rgb9e5_decode(raw[..., 1])
-    c01 = rgb9e5_decode(raw[..., 2])
-    c11 = rgb9e5_decode(raw[..., 3])
-    top = c00 * (1 - fx) + c10 * fx
-    bot = c01 * (1 - fx) + c11 * fx
-    return top * (1 - fy) + bot * fy
+    # planar mix: one word transpose + per-channel full-lane planes
+    # (minor-dim-4 slices multiply generated TPU code — round-5 fix;
+    # same op order per element, bit-equal results)
+    words = jnp.moveaxis(raw, -1, 0)                       # [4, ...]
+    fxp, fyp = fx[..., 0], fy[..., 0]
+    corners = [rgb9e5_decode_planes(words[k]) for k in range(4)]
+    chans = []
+    for c in range(3):
+        top = corners[0][c] * (1 - fxp) + corners[1][c] * fxp
+        bot = corners[2][c] * (1 - fxp) + corners[3][c] * fxp
+        chans.append(top * (1 - fyp) + bot * fyp)
+    return jnp.stack(chans, -1)
 
 
 def _slot_planes(p6):
@@ -680,12 +691,14 @@ def sample_light8(light8: jnp.ndarray, uv: jnp.ndarray,
     fx = x - ix.astype(jnp.float32)
     fy = y - iy.astype(jnp.float32)
     raw = light8[iy * aw + ix]                             # [...,8] u32
+    words = jnp.moveaxis(raw, -1, 0)    # [8, ...]: planar words (one
+    # transpose instead of 8 minor-dim slices — round-5 compile-size fix)
     ws = ((1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy)
 
     def blend(off):
         acc = None
         for ci in range(4):
-            r_, g_, b_ = rgb9e5_decode_planes(raw[..., off + ci])
+            r_, g_, b_ = rgb9e5_decode_planes(words[off + ci])
             t = (r_ * ws[ci], g_ * ws[ci], b_ * ws[ci])
             acc = t if acc is None else tuple(a + v for a, v in zip(acc, t))
         return jnp.stack(acc, axis=-1)
@@ -752,6 +765,7 @@ def sample_light_halfres(light8, chart_uv, ah: int, aw: int,
     fxh = x - ix.astype(jnp.float32)
     fyh = y - iy.astype(jnp.float32)
     raw = light8[iy * aw + ix]                        # [Hh,Wh,8] u32
+    words = jnp.moveaxis(raw, -1, 0)                  # planar words
     # bilinear blend of the 2x2 block corners, per table, PLANAR
     ws = ((1 - fxh) * (1 - fyh), fxh * (1 - fyh),
           (1 - fxh) * fyh, fxh * fyh)
@@ -759,7 +773,7 @@ def sample_light_halfres(light8, chart_uv, ah: int, aw: int,
     def blend(table_off):
         acc = None
         for ci in range(4):
-            r_, g_, b_ = rgb9e5_decode_planes(raw[..., table_off + ci])
+            r_, g_, b_ = rgb9e5_decode_planes(words[table_off + ci])
             t = (r_ * ws[ci], g_ * ws[ci], b_ * ws[ci])
             acc = t if acc is None else tuple(a + x_ for a, x_ in zip(acc, t))
         return acc
@@ -874,11 +888,12 @@ def tss_shade_pre_halfres(rgb_blocks, a_blocks, chart_uv, ah: int, aw: int,
     fyh = y - iy.astype(jnp.float32)
     flat = iy * aw + ix
     raw = rgb_blocks[flat]                            # [Hh,Wh,4] u32
+    words = jnp.moveaxis(raw, -1, 0)                  # planar words
     ws = ((1 - fxh) * (1 - fyh), fxh * (1 - fyh),
           (1 - fxh) * fyh, fxh * fyh)
     acc = None
     for ci in range(4):
-        r_, g_, b_ = rgb9e5_decode_planes(raw[..., ci])
+        r_, g_, b_ = rgb9e5_decode_planes(words[ci])
         t = (r_ * ws[ci], g_ * ws[ci], b_ * ws[ci])
         acc = t if acc is None else tuple(a + v for a, v in zip(acc, t))
     channels = list(acc)
@@ -932,7 +947,7 @@ def tss_shade_halfres(scene, chart_uv, uv, mat_id, light8,
 
 
 def bake_albedo(scene, geo, slots_used=(True, True, True, True),
-                max_aniso: int = 1):
+                max_aniso: int = 1, tap=None, tap_valid=None):
     """Per-chart-texel base-color texture tap for the PRE-SHADED mode
     (``RenderConfig.tss_preshaded``): linear rgb + alpha (texture alpha x
     the material base-color-factor alpha). Baked once per upload — the
@@ -946,15 +961,20 @@ def bake_albedo(scene, geo, slots_used=(True, True, True, True),
     row = sampling.table_lookup(scene["mat_all"], geo["mat_id"])
     factor_a = row[..., 3].astype(jnp.float32)
     if slots_used[0]:
-        tb = pbr._slot(row[..., 16:].astype(jnp.float32), 0)
-        # dead chart texels hold zero uv: mask them out of the quad
-        # derivatives like uncovered screen pixels
-        duv_dx, duv_dy = sampling.quad_derivs(uv, geo["live"])
-        tap = pbr._sample_slot(scene, tb, uv, duv_dx, duv_dy,
-                               jnp.ones(4), max_aniso)
-        alb = jnp.where(tb["valid"][..., None],
+        if tap is None:
+            # standalone path: sample here. The _bake_all pipeline passes
+            # the raw base tap from the material bake instead (one tiered
+            # sampling pass, not two — halves the bake's compiled code)
+            tb = pbr._slot(row[..., 16:].astype(jnp.float32), 0)
+            # dead chart texels hold zero uv: mask them out of the quad
+            # derivatives like uncovered screen pixels
+            duv_dx, duv_dy = sampling.quad_derivs(uv, geo["live"])
+            tap = pbr._sample_slot(scene, tb, uv, duv_dx, duv_dy,
+                                   jnp.ones(4), max_aniso)
+            tap_valid = tb["valid"]
+        alb = jnp.where(tap_valid[..., None],
                         srgb_to_linear(tap[..., :3]), 1.0)
-        ta = jnp.where(tb["valid"], tap[..., 3], 1.0)
+        ta = jnp.where(tap_valid, tap[..., 3], 1.0)
     else:
         alb = jnp.ones(uv.shape[:2] + (3,), jnp.float32)
         ta = jnp.ones(uv.shape[:2], jnp.float32)
@@ -988,12 +1008,15 @@ def tss_shade_pre(rgb_blocks, a_blocks, chart_uv, ah: int, aw: int,
     fy = (y - iy.astype(jnp.float32))[..., None]
     flat = iy * aw + ix
     raw = rgb_blocks[flat]                                  # [...,4] u32
-    c00 = rgb9e5_decode(raw[..., 0])
-    c10 = rgb9e5_decode(raw[..., 1])
-    c01 = rgb9e5_decode(raw[..., 2])
-    c11 = rgb9e5_decode(raw[..., 3])
-    rgb = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
-           + (c01 * (1 - fx) + c11 * fx) * fy)
+    # planar corner decode + per-channel mix (round-5 compile-size fix;
+    # same op order per element, bit-equal)
+    words = jnp.moveaxis(raw, -1, 0)
+    fxp, fyp = fx[..., 0], fy[..., 0]
+    corners = [rgb9e5_decode_planes(words[k]) for k in range(4)]
+    rgb = jnp.stack(
+        [(corners[0][c] * (1 - fxp) + corners[1][c] * fxp) * (1 - fyp)
+         + (corners[2][c] * (1 - fxp) + corners[3][c] * fxp) * fyp
+         for c in range(3)], -1)
     if need_alpha:
         ar = a_blocks[flat]                                 # [...] u32
         a00 = (ar & 255).astype(jnp.float32)
@@ -1027,7 +1050,130 @@ def attach_chart_layout(dev: dict, viewproj: np.ndarray, config) -> None:
     dev["chart_corner_blend"] = cb
 
 
-def setup_scene_tss(scene_dev: dict, config, slots_used, exposure: float):
+def _make_bake_fn(config, slots_used, nl: int, pre_any: bool,
+                  device_alpha_check: bool = False):
+    """The upload-time bake as ONE jittable function (geometry /
+    material / albedo / alpha-pack in a single program — each compile RPC
+    through a remote-device tunnel costs ~15-20 s of fixed latency).
+    Factored out of ``setup_scene_tss`` so ``bake_output_specs`` can
+    eval_shape it for the frame AOT prewarm without running anything."""
+
+    def _bake_all(sc):
+        geo = bake_geometry(sc)
+        cm, nrm, mraw = bake_material(sc, geo, slots_used=slots_used,
+                                      max_aniso=config.aniso(),
+                                      ibl_diffuse=config.ibl_diffuse)
+        # chart arrays are stored PLANAR ([C,Ah,Aw]) — the per-frame
+        # light pass then runs full-lane 2D plane math (channel-minor
+        # [...,C] arrays pack C of 128 vreg lanes; measured ~4x on the
+        # spec pass)
+        baked = {"chart_pos": jnp.moveaxis(geo["pos"], -1, 0),
+                 "chart_normal": jnp.moveaxis(nrm, -1, 0),
+                 "chart_mat": jnp.moveaxis(cm, -1, 0),
+                 "chart_vis": jnp.ones((nl,) + cm.shape[:2], jnp.float32)}
+        extras = {}
+        if pre_any:
+            # pre-shaded modes: bake the base-color tap per texel too,
+            # and keep the static product albedo * diffuse-light as a
+            # RAW f32 atlas (re-packed with the per-frame specular)
+            alb, ta = bake_albedo(sc, geo, slots_used=slots_used,
+                                  max_aniso=config.aniso(),
+                                  tap=mraw.get("base_tex_raw"),
+                                  tap_valid=mraw.get("base_valid"))
+            baked["chart_albedo"] = jnp.moveaxis(alb, -1, 0)   # planar
+            baked["chart_a"] = pack_alpha_blocks(ta)
+            if device_alpha_check:
+                # fallback device check, reduced to one scalar read: if
+                # no base texture modulates alpha, per-texel alpha == the
+                # material base-color factor — the peel screen pass then
+                # reads it from the small material table (MXU one-hot)
+                # instead of a per-pixel alpha-block gather. Callers that
+                # can, pass the HOST-computed ``host_alpha_is_factor``
+                # instead (round-5: a full-atlas d2h read for this check
+                # cost ~200 s of warm start; even the scalar read forces
+                # the bake before the frame AOT prewarm can key off it).
+                fa = sc["mat_all"][geo["mat_id"], 3].astype(jnp.float32)
+                live = geo["live"].astype(jnp.float32)
+                extras = {"alpha_dev": jnp.abs(ta - fa * live).max()}
+        return baked, extras
+    return _bake_all
+
+
+def _make_ld_fn(config, pre_any: bool):
+    """Static light tables, refreshed on shadow-dirty / exposure change:
+    the factored screen pass reads chart_ld (rgb9e5 neighborhood PLANES,
+    merged per frame with the specular planes into one row table);
+    pre-shaded passes read chart_base (raw planar f32, re-packed with the
+    per-frame specular). Mixed mode (tss_preshaded_blend) needs both."""
+
+    def _ld_all(sc, e, full=config.tss_preshaded, pre_any=pre_any):
+        static = chart_light_static(sc, sc["chart_pos"], sc["chart_normal"],
+                                    sc["chart_mat"], sc["chart_vis"], e)
+        out = {}
+        if not full:
+            out["chart_ld"] = pack_rgbe_planes(static)     # [4,Ah,Aw] u32
+        if pre_any:
+            out["chart_base"] = sc["chart_albedo"] * static
+        return out
+
+    return _ld_all
+
+
+def bake_output_specs(scene_specs: dict, config, slots_used) -> dict:
+    """Shape specs of every scene key the TSS setup adds (bake outputs +
+    the ld tables), via eval_shape — nothing executes. Lets FrameRenderer
+    AOT-compile the frame program CONCURRENTLY with the bake compile
+    (round-5 cold-start fix: the two compiles used to serialize)."""
+    import jax
+
+    nl = int(scene_specs["light_type"].shape[0])
+    pre_any = config.tss_preshaded or config.tss_preshaded_blend
+    bake = _make_bake_fn(config, slots_used, nl, pre_any)
+    up_spec, _ = jax.eval_shape(bake, scene_specs)
+    merged = dict(scene_specs)
+    merged.update(up_spec)
+    ld_spec = jax.eval_shape(_make_ld_fn(config, pre_any), merged, 1.0)
+    out = dict(up_spec)
+    out.update(ld_spec)
+    return {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+            for k, v in out.items()}
+
+
+def host_alpha_is_factor(dev: dict, textures) -> bool:
+    """Host-side form of the pre-shaded alpha check: True iff no base
+    texture modulates alpha (every used base texture's alpha channel is
+    constant full), so the baked per-texel alpha equals the material
+    base-color-factor alpha exactly (bilinear/mip filtering of a
+    constant-255 channel is exact). Conservative: any alpha-varying base
+    texture on a material referenced by geometry returns False.
+
+    Computed from the HOST upload dict + the TextureCache's pending
+    images BEFORE anything executes on device — the device-side check
+    needed the bake's outputs, which serialized the frame/shadow AOT
+    prewarm behind the bake compile (round-5 cold-start fix)."""
+    base = np.asarray(dev.get("mat_tex_base", np.empty(0, np.int32)))
+    used = np.zeros(base.shape[0], bool)
+    for key in ("tri_material", "blend_tri_material", "mask_tri_material"):
+        if key in dev and len(np.asarray(dev[key])):
+            m = np.asarray(dev[key])
+            used[np.clip(m, 0, base.shape[0] - 1)] = True
+    pend = getattr(textures, "_textures", None)
+    handles = np.unique(base[used & (base >= 0)] if used.any()
+                        else base[base >= 0])
+    for h in handles:
+        if pend is None or h < 0 or h >= len(pend):
+            # can't inspect the texture -> conservative False (the
+            # alpha-block gather path is always correct, just slower)
+            return False
+        img = pend[int(h)].image
+        full = 65535 if img.dtype == np.uint16 else 255
+        if img.shape[-1] >= 4 and (img[..., 3] != full).any():
+            return False
+    return True
+
+
+def setup_scene_tss(scene_dev: dict, config, slots_used, exposure: float,
+                    alpha_is_factor: bool | None = None):
     """Device bakes for texture-space shading (once per upload): per-texel
     geometry, the full material remap, optional pre-shaded albedo, and the
     static light tables. Returns ``(updates, ld_fn, alpha_is_factor)``:
@@ -1043,72 +1189,21 @@ def setup_scene_tss(scene_dev: dict, config, slots_used, exposure: float):
     Shared by ``FrameRenderer`` and ``ShardedRenderer`` so multi-chip has
     the identical chart pipeline by construction."""
     import jax
-    from functools import partial
 
     nl = int(scene_dev["light_type"].shape[0])
     pre_any = config.tss_preshaded or config.tss_preshaded_blend
-
-    # ONE jit for every upload-time bake: through a remote-device tunnel
-    # each compile RPC costs ~15-20 s of fixed latency, so geometry /
-    # material / albedo / alpha-pack bake as a single program.
-    def _bake_all(sc):
-        geo = bake_geometry(sc)
-        cm, nrm = bake_material(sc, geo, slots_used=slots_used,
-                                max_aniso=config.aniso(),
-                                ibl_diffuse=config.ibl_diffuse)
-        # chart arrays are stored PLANAR ([C,Ah,Aw]) — the per-frame
-        # light pass then runs full-lane 2D plane math (channel-minor
-        # [...,C] arrays pack C of 128 vreg lanes; measured ~4x on the
-        # spec pass)
-        baked = {"chart_pos": jnp.moveaxis(geo["pos"], -1, 0),
-                 "chart_normal": jnp.moveaxis(nrm, -1, 0),
-                 "chart_mat": jnp.moveaxis(cm, -1, 0),
-                 "chart_vis": jnp.ones((nl,) + cm.shape[:2], jnp.float32)}
-        extras = {}
-        if pre_any:
-            # pre-shaded modes: bake the base-color tap per texel too,
-            # and keep the static product albedo * diffuse-light as a
-            # RAW f32 atlas (re-packed with the per-frame specular)
-            alb, ta = bake_albedo(sc, geo, slots_used=slots_used,
-                                  max_aniso=config.aniso())
-            baked["chart_albedo"] = jnp.moveaxis(alb, -1, 0)   # planar
-            baked["chart_a"] = pack_alpha_blocks(ta)
-            extras = {"ta": ta, "mat_id": geo["mat_id"],
-                      "live": geo["live"]}
-        return baked, extras
+    _bake_all = _make_bake_fn(config, slots_used, nl, pre_any,
+                              device_alpha_check=alpha_is_factor is None)
 
     up, extras = jax.jit(_bake_all)(scene_dev)
     up = dict(up)
-    alpha_is_factor = False
-    if pre_any:
-        # if no base texture modulates alpha (all-opaque alpha channels:
-        # the common case), per-texel alpha == the material base-color
-        # factor — the peel screen pass then reads it from the small
-        # material table (MXU one-hot) instead of a per-pixel gather
-        mid = np.asarray(extras["mat_id"])
-        fa = np.asarray(scene_dev["mat_all"], np.float32)[mid, 3]
-        live = np.asarray(extras["live"], np.float32)
+    if not pre_any:
+        alpha_is_factor = False
+    elif alpha_is_factor is None:
         alpha_is_factor = bool(
-            np.abs(np.asarray(extras["ta"]) - fa * live).max()
-            < 0.5 / 255.0)
+            float(np.asarray(extras["alpha_dev"])) < 0.5 / 255.0)
 
-    # static light tables, refreshed on shadow-dirty / exposure change:
-    # the factored screen pass reads chart_ld (rgb9e5 neighborhood
-    # PLANES, merged per frame with the specular planes into one row
-    # table); pre-shaded passes read chart_base (raw planar f32,
-    # re-packed per frame with the specular term). Mixed mode
-    # (tss_preshaded_blend) needs both.
-    def _ld_all(sc, e, full=config.tss_preshaded, pre_any=pre_any):
-        static = chart_light_static(sc, sc["chart_pos"], sc["chart_normal"],
-                                    sc["chart_mat"], sc["chart_vis"], e)
-        out = {}
-        if not full:
-            out["chart_ld"] = pack_rgbe_planes(static)     # [4,Ah,Aw] u32
-        if pre_any:
-            out["chart_base"] = sc["chart_albedo"] * static
-        return out
-
-    ld_fn = jax.jit(_ld_all)
+    ld_fn = jax.jit(_make_ld_fn(config, pre_any))
     sc2 = dict(scene_dev)
     sc2.update(up)
     up.update(ld_fn(sc2, exposure))

@@ -196,7 +196,7 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
     diffuse = (1.0 - metal)[..., None] * base_color[..., :3]
     f0 = (m["mat_f0"] * (1.0 - metal))[..., None] + base_color[..., :3] * metal[..., None]
 
-    return {
+    out = {
         "normal": normal,
         "base_color": base_color,
         "diffuse": diffuse,
@@ -206,6 +206,13 @@ def remap_material(scene, mat_id, frag_pos, uv, frag_normal,
         "roughness": roughness,
         "occlusion": occ,
     }
+    if slots_used[0]:
+        # raw base tap + its validity: lets the TSS albedo bake reuse
+        # this pass's (tiered, expensive) sampling instead of re-running
+        # it — the bake's compiled footprint halves (round-5 compile fix)
+        out["base_tex_raw"] = base_tex
+        out["base_valid"] = tb["valid"]
+    return out
 
 
 # --- lights (pbr.glsl:283-352) --------------------------------------------

@@ -230,6 +230,50 @@ def _gather_block(table32: jnp.ndarray, flat) -> jnp.ndarray:
     return b.reshape(*shape, 16).astype(jnp.float32) * scale
 
 
+def _gather_block_words(table32: jnp.ndarray, flat) -> jnp.ndarray:
+    """One block-row gather, returned as PLANAR u32 words [C, *flat.shape]
+    (one transpose) instead of a channel-minor [..., 16] unpack. A
+    channel-minor block mix compiles to ~9.6 MB of TPU code per tap
+    (minor-dim-4 slices put 4 of 128 vector lanes to work and every
+    intermediate pays relayouts); the planar form's per-channel [H, W]
+    planes run full-lane and compile to ~4.4 MB at 2.2x less compile time
+    (measured round 5 — the bake's unrolled taps were a 374 MB / 200 s
+    program because of exactly this)."""
+    table32 = jnp.asarray(table32)   # eager callers may pass numpy
+    c = table32.shape[-1]
+    blk32 = table32.reshape(-1, c)[flat.reshape(-1)]        # [N, C]
+    return jnp.moveaxis(blk32, 0, 1).reshape((c,) + flat.shape)
+
+
+def _bilerp_words(words: jnp.ndarray, fx, fy) -> jnp.ndarray:
+    """Planar bilinear mix of a gathered 2x2 block (``_gather_block_words``
+    output): per-channel full-lane [H, W] math, stacked to [..., 4] only
+    at the very end. Arithmetic per element is IDENTICAL to the old
+    channel-minor path (same scale-then-mix op order), so results are
+    bit-equal and the frozen goldens are unaffected."""
+    c = words.shape[0]
+    if c == 4:        # u8: word k = corner k, byte ch = channel
+        scale = jnp.float32(1.0 / 255.0)
+
+        def corner(k, ch):
+            return ((words[k] >> (8 * ch)) & 255).astype(jnp.float32) * scale
+    else:             # u16: corner k = words 2k (ch0|ch1), 2k+1 (ch2|ch3)
+        scale = jnp.float32(1.0 / 65535.0)
+
+        def corner(k, ch):
+            w = words[2 * k + (ch >> 1)]
+            return ((w >> (16 * (ch & 1))) & 0xFFFF).astype(jnp.float32) \
+                * scale
+    chans = []
+    for ch in range(4):
+        c00, c10 = corner(0, ch), corner(1, ch)
+        c01, c11 = corner(2, ch), corner(3, ch)
+        top = c00 * (1 - fx) + c10 * fx
+        bot = c01 * (1 - fx) + c11 * fx
+        chans.append(top * (1 - fy) + bot * fy)
+    return jnp.stack(chans, -1)
+
+
 def _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, level):
     """One bilinear fetch at integer mip ``level`` (traced), REPEAT wrap.
 
@@ -239,6 +283,11 @@ def _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, level):
 
     tex: dict of per-pixel int arrays page,x,y,w,h (mip-0 placement).
     """
+    # eager callers may pass numpy planes/tables; numpy ops against a
+    # traced ``level`` (the trilinear/tap fori_loops) fail, so coerce
+    tex = {k: jnp.asarray(v) for k, v in tex.items()}
+    mip_x = jnp.asarray(mip_x)
+    mip_y = jnp.asarray(mip_y)
     sw = jnp.maximum(tex["w"] >> level, 1)
     sh = jnp.maximum(tex["h"] >> level, 1)
     bx = mip_x[level] + (tex["x"] >> level)
@@ -248,8 +297,8 @@ def _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, level):
     st_y = uv[..., 1] * sh.astype(jnp.float32) - 0.5
     ix0 = jnp.floor(st_x).astype(jnp.int32)
     iy0 = jnp.floor(st_y).astype(jnp.int32)
-    fx = (st_x - ix0.astype(jnp.float32))[..., None]
-    fy = (st_y - iy0.astype(jnp.float32))[..., None]
+    fx = st_x - ix0.astype(jnp.float32)
+    fy = st_y - iy0.astype(jnp.float32)
 
     # REPEAT wrap. Atlas texture sizes are snapped to powers of two
     # (scene/textures.py), so the wrap is a mask — integer remainder by a
@@ -258,11 +307,9 @@ def _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, level):
     y0 = by + (iy0 & (sh - 1))
     p, h, w, _ = atlas.shape
     flat = (tex["page"] * h + y0) * w + x0
-    blk = _gather_block(atlas, flat)
-    c00, c10, c01, c11 = blk[..., 0:4], blk[..., 4:8], blk[..., 8:12], blk[..., 12:16]
-    top = c00 * (1 - fx) + c10 * fx
-    bot = c01 * (1 - fx) + c11 * fx
-    return top * (1 - fy) + bot * fy
+    # planar mix (full-lane per-channel math): 2.2x less generated code
+    # per tap than the channel-minor form, bit-equal results
+    return _bilerp_words(_gather_block_words(atlas, flat), fx, fy)
 
 
 def compute_lod(uv: jnp.ndarray, tex_w, tex_h) -> jnp.ndarray:
@@ -326,13 +373,8 @@ def sample_texture_rows(atlas, mip_y, mip_x, tex, n_mips, uv, lod=None,
     if dither:
         return _bilinear_at_level(atlas, tex, mip_y, mip_x, uv,
                                   _dither_level(lod, n_mips))
-    lodc = jnp.clip(lod, 0.0, (n_mips - 1).astype(jnp.float32))
-    l0 = jnp.floor(lodc + SNAP_EPS).astype(jnp.int32)
-    l1 = jnp.minimum(l0 + 1, n_mips - 1)
-    f = jnp.maximum(lodc - l0.astype(jnp.float32), 0.0)[..., None]
-    c0 = _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, l0)
-    c1 = _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, l1)
-    return c0 * (1 - f) + c1 * f
+    return _bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv, n_mips,
+                                  lod)
 
 
 def _aniso_footprint(tex, uv_dx, uv_dy, max_aniso: int):
@@ -391,18 +433,22 @@ def sample_texture_aniso(atlas, mip_y, mip_x, tex, n_mips, uv,
                                       uv + major * t[..., None],
                                       n_mips, lod, dither=True)
 
-    acc = 0.0
-    for i in range(max_aniso):
-        # GL-style: tap offsets (i+0.5)/N - 0.5 along the major axis.
-        # Taps beyond the per-pixel N get ZERO weight and the sum is
-        # normalized by N per pixel — weighting collapsed taps 1/max_aniso
-        # each would shift the footprint centroid toward the last slot
-        # (up to ~0.9 texels at ratio 2 with max_aniso 16).
-        t = (i + 0.5) / n - 0.5
+    # GL-style: tap offsets (i+0.5)/N - 0.5 along the major axis. Taps
+    # beyond the per-pixel N get ZERO weight and the sum is normalized by
+    # N per pixel — weighting collapsed taps 1/max_aniso each would shift
+    # the footprint centroid toward the last slot (up to ~0.9 texels at
+    # ratio 2 with max_aniso 16). fori_loop (not a Python unroll): tap
+    # code is emitted ONCE — an unrolled 16-tap loop multiplied the
+    # ~4.4 MB per-tap TPU code 16x (round-5 compile-time fix); adds stay
+    # sequential in the same order, so results are bit-equal.
+    def body(i, acc):
+        t = (i.astype(jnp.float32) + 0.5) / n - 0.5
         w = (i < n).astype(jnp.float32)[..., None]
-        acc = acc + w * _bilinear_at_level_lod(atlas, tex, mip_y, mip_x,
-                                               uv + major * t[..., None],
-                                               n_mips, lod, dither)
+        return acc + w * _bilinear_at_level_lod(atlas, tex, mip_y, mip_x,
+                                                uv + major * t[..., None],
+                                                n_mips, lod, dither)
+    acc = jax.lax.fori_loop(0, max_aniso, body,
+                            jnp.zeros(uv.shape[:-1] + (4,), jnp.float32))
     return acc / n[..., None]
 
 
@@ -539,17 +585,34 @@ def sample_slots_aniso_tiered(atlas, mip_y, mip_x, slots, uv,
     declared quality knob, PARITY.md). Returns one rgba [H,W,4] per slot.
     """
     assert uv.ndim == 3 and len(spec.tile_fracs) >= 1
+    if not slots:          # textureless scene: nothing to sample
+        return []
     h, w = uv.shape[:2]
     if slot_caps is None:
         slot_caps = (spec.max_taps,) * len(slots)
     n, major = _uv_footprint(duv_dx, duv_dy, spec.max_taps)
 
+    PLANE_KEYS = ("page", "x", "y", "w", "h")
     rho2 = [_slot_rho2(tex, duv_dx, duv_dy) for tex, _ in slots]
-    outs = []
-    for si, (tex, n_mips) in enumerate(slots):
-        lod_iso = 0.5 * det_log2(rho2[si])
-        outs.append(_bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv,
-                                           n_mips, lod_iso))
+
+    # --- isotropic base taps: ONE lax.scan over the stacked slot planes,
+    # so the ~4 MB tap body is emitted once, not per slot (the unrolled
+    # form put the round-4 bake at 374 MB of TPU code / 200 s compiles —
+    # round-5 compile-size fix). Per-slot math is independent, so the
+    # scanned results are bit-equal to the unrolled loop's.
+    iso_xs = {k: jnp.stack([tex[k] for tex, _ in slots])
+              for k in PLANE_KEYS}
+    iso_xs["nm"] = jnp.stack([nm for _, nm in slots])
+    iso_xs["rho2"] = jnp.stack(rho2)
+
+    def iso_body(carry, xs):
+        tex_s = {k: xs[k] for k in PLANE_KEYS}
+        lod_iso = 0.5 * det_log2(xs["rho2"])
+        return carry, _bilinear_at_level_lod(atlas, tex_s, mip_y, mip_x,
+                                             uv, xs["nm"], lod_iso)
+
+    _, iso = jax.lax.scan(iso_body, 0, iso_xs)
+    outs = [iso[si] for si in range(len(slots))]
 
     shared = {"u": uv[..., 0], "v": uv[..., 1],
               "mu": major[..., 0], "mv": major[..., 1], "n": n}
@@ -562,31 +625,56 @@ def sample_slots_aniso_tiered(atlas, mip_y, mip_x, slots, uv,
              for key, v in shared.items()}
         uv_c = jnp.stack([c["u"], c["v"]], -1)
         major_c = jnp.stack([c["mu"], c["mv"]], -1)
-        for si, (tex, n_mips) in enumerate(slots):
-            cap = slot_caps[si]
-            taps_s = min(taps, cap)
-            if taps_s <= 1:
-                continue
-            tex_c = {key: gather_row_segments(tex[key], sel, seg_w)
-                     for key in ("page", "x", "y", "w", "h")}
-            rho2_c = gather_row_segments(rho2[si], sel, seg_w)
-            nm_c = gather_row_segments(n_mips, sel, seg_w)
-            n_c = jnp.clip(c["n"], 1.0, float(cap))
-            # minor-axis LOD at the slot's own scale: log2(pmax/N) with
-            # one log2 (0.5*log2(rho2/N^2)) — N-capped pixels widen their
-            # filter instead of aliasing
-            lod_c = 0.5 * det_log2(rho2_c / (n_c * n_c))
-            acc = 0.0
-            for i in range(taps_s):
-                tt = (i + 0.5) / n_c - 0.5
-                wt = (i < n_c).astype(jnp.float32)[..., None]
-                acc = acc + wt * _bilinear_at_level_lod(
-                    atlas, tex_c, mip_y, mip_x,
-                    uv_c + major_c * tt[..., None], nm_c, lod_c)
-            acc = acc / n_c[..., None]
-            scat, have = scatter_row_segments(acc, sel, h, w, seg_w)
-            hit = (member & have)[..., None]
-            outs[si] = jnp.where(hit, scat, outs[si])
+
+        # group slots by their effective tap count, then scan each group
+        # (body emitted once per group, not per slot). Within a group the
+        # clip ceiling equals the group's taps_s; for MEMBER pixels this
+        # is identical to the per-slot cap clip (membership bounds n by
+        # the tier's taps <= cap), and non-member lanes are masked out by
+        # ``hit`` below — results stay bit-equal where they are consumed.
+        groups: dict = {}
+        for si in range(len(slots)):
+            taps_s = min(taps, slot_caps[si])
+            if taps_s > 1:
+                groups.setdefault(taps_s, []).append(si)
+        for taps_s, sis in sorted(groups.items()):
+            xs = {key: jnp.stack([gather_row_segments(slots[si][0][key],
+                                                      sel, seg_w)
+                                  for si in sis]) for key in PLANE_KEYS}
+            xs["rho2"] = jnp.stack([gather_row_segments(rho2[si], sel,
+                                                        seg_w)
+                                    for si in sis])
+            xs["nm"] = jnp.stack([gather_row_segments(slots[si][1], sel,
+                                                      seg_w)
+                                  for si in sis])
+            n_c = jnp.clip(c["n"], 1.0, float(taps_s))
+
+            def tier_body(carry, xs, taps_s=taps_s, n_c=n_c,
+                          uv_c=uv_c, major_c=major_c):
+                tex_c = {key: xs[key] for key in PLANE_KEYS}
+                # minor-axis LOD at the slot's own scale: log2(pmax/N)
+                # with one log2 (0.5*log2(rho2/N^2)) — N-capped pixels
+                # widen their filter instead of aliasing
+                lod_c = 0.5 * det_log2(xs["rho2"] / (n_c * n_c))
+
+                def tap(i, acc):
+                    tt = (i.astype(jnp.float32) + 0.5) / n_c - 0.5
+                    wt = (i < n_c).astype(jnp.float32)[..., None]
+                    return acc + wt * _bilinear_at_level_lod(
+                        atlas, tex_c, mip_y, mip_x,
+                        uv_c + major_c * tt[..., None], xs["nm"], lod_c)
+
+                acc = jax.lax.fori_loop(
+                    0, taps_s, tap,
+                    jnp.zeros(uv_c.shape[:-1] + (4,), jnp.float32))
+                return carry, acc / n_c[..., None]
+
+            _, accs = jax.lax.scan(tier_body, 0, xs)
+            for gi, si in enumerate(sis):
+                scat, have = scatter_row_segments(accs[gi], sel, h, w,
+                                                  seg_w)
+                hit = (member & have)[..., None]
+                outs[si] = jnp.where(hit, scat, outs[si])
         prev = taps
     return outs
 
@@ -604,7 +692,10 @@ def sample_texture_aniso_tiered(atlas, mip_y, mip_x, tex, n_mips, uv,
 def _bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv, n_mips, lod,
                            dither: bool = False):
     """Trilinear helper: two _bilinear_at_level taps mixed by lod fract
-    (or ONE dither-rounded tap, see ``_dither_level``)."""
+    (or ONE dither-rounded tap, see ``_dither_level``). The two levels
+    run through a fori_loop so the ~4 MB tap body is emitted ONCE per
+    call site, not twice (round-5 compile-size fix); the weighted adds
+    keep the unrolled form's order, so results are bit-equal."""
     if dither:
         return _bilinear_at_level(atlas, tex, mip_y, mip_x, uv,
                                   _dither_level(lod, n_mips))
@@ -612,9 +703,17 @@ def _bilinear_at_level_lod(atlas, tex, mip_y, mip_x, uv, n_mips, lod,
     l0 = jnp.floor(lodc + SNAP_EPS).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, n_mips - 1)
     f = jnp.maximum(lodc - l0.astype(jnp.float32), 0.0)[..., None]
-    c0 = _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, l0)
-    c1 = _bilinear_at_level(atlas, tex, mip_y, mip_x, uv, l1)
-    return c0 * (1 - f) + c1 * f
+    ls = jnp.stack([l0, l1])
+    ws = jnp.stack([1 - f, f])
+    # eager callers may pass numpy planes; numpy ops against the loop's
+    # traced index fail, so coerce once here
+    tex = {k: jnp.asarray(v) for k, v in tex.items()}
+
+    def body(i, acc):
+        return acc + ws[i] * _bilinear_at_level(atlas, tex, mip_y, mip_x,
+                                                uv, ls[i])
+    return jax.lax.fori_loop(0, 2, body,
+                             jnp.zeros(uv.shape[:-1] + (4,), jnp.float32))
 
 
 def sample_texture(atlas, tex_table, mip_y, mip_x, handle, uv, lod=None) -> jnp.ndarray:
@@ -654,25 +753,35 @@ def _cube_face_uv(dirs: jnp.ndarray):
     return face, 0.5 * (sc / ma + 1.0), 0.5 * (tc / ma + 1.0)
 
 
+def _bilerp_f32_rows(rows16: jnp.ndarray, fx, fy) -> jnp.ndarray:
+    """Planar bilinear mix of gathered f32 block rows [16, ...] (row
+    layout c00[4] c10[4] c01[4] c11[4]); same full-lane rationale and
+    bit-equal op order as ``_bilerp_words``."""
+    chans = []
+    for ch in range(4):
+        c00, c10 = rows16[ch], rows16[4 + ch]
+        c01, c11 = rows16[8 + ch], rows16[12 + ch]
+        top = c00 * (1 - fx) + c10 * fx
+        bot = c01 * (1 - fx) + c11 * fx
+        chans.append(top * (1 - fy) + bot * fy)
+    return jnp.stack(chans, -1)
+
+
 def _sample_cube_blocks(cube: jnp.ndarray, dirs: jnp.ndarray,
-                        gather) -> jnp.ndarray:
-    """Shared bilinear cube sampling over a 2x2-block table; ``gather``
-    maps flat indices -> [...,16] f32 block values."""
+                        gather_words) -> jnp.ndarray:
+    """Shared bilinear cube sampling over a 2x2-block table;
+    ``gather_words`` maps flat indices -> planar [C, ...] block words."""
     face, u, v = _cube_face_uv(dirs)
     s = cube.shape[1]
     st_x = u * s - 0.5
     st_y = v * s - 0.5
     ix0 = jnp.floor(st_x).astype(jnp.int32)
     iy0 = jnp.floor(st_y).astype(jnp.int32)
-    fx = (st_x - ix0.astype(jnp.float32))[..., None]
-    fy = (st_y - iy0.astype(jnp.float32))[..., None]
+    fx = st_x - ix0.astype(jnp.float32)
+    fy = st_y - iy0.astype(jnp.float32)
     x0 = jnp.clip(ix0, 0, s - 1)       # clamp-to-edge within the face
     y0 = jnp.clip(iy0, 0, s - 1)
-    blk = gather((face * s + y0) * s + x0)
-    c00, c10, c01, c11 = blk[..., 0:4], blk[..., 4:8], blk[..., 8:12], blk[..., 12:16]
-    top = c00 * (1 - fx) + c10 * fx
-    bot = c01 * (1 - fx) + c11 * fx
-    return top * (1 - fy) + bot * fy
+    return gather_words((face * s + y0) * s + x0, fx, fy)
 
 
 def sample_cubemap(cube: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
@@ -680,12 +789,19 @@ def sample_cubemap(cube: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     [6,S,S,16] uint8 2x2 blocks (clamp-to-edge baked in — see
     scene.textures.build_atlas); dirs [...,3]. Returns rgba f32 [...,4].
     One gather per sample."""
-    return _sample_cube_blocks(cube, dirs,
-                               lambda flat: _gather_block(cube, flat))
+    return _sample_cube_blocks(
+        cube, dirs,
+        lambda flat, fx, fy: _bilerp_words(
+            _gather_block_words(cube, flat), fx, fy))
 
 
 def sample_cubemap_f32(cube: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample of an f32 block cube [6,S,S,16] (e.g. the
     irradiance map): same one-row-gather scheme, no unpack."""
-    return _sample_cube_blocks(
-        cube, dirs, lambda flat: cube.reshape(-1, 16)[flat])
+
+    def gw(flat, fx, fy):
+        rows = cube.reshape(-1, 16)[flat.reshape(-1)]
+        rows = jnp.moveaxis(rows, 0, 1).reshape((16,) + flat.shape)
+        return _bilerp_f32_rows(rows, fx, fy)
+
+    return _sample_cube_blocks(cube, dirs, gw)

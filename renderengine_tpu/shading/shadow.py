@@ -98,12 +98,24 @@ def pack_shadow_blocks(shadow_maps: jnp.ndarray) -> ShadowPack:
 
 def _window_pcf(blk32, threshold, u, v, py, px_, e):
     """9-tap PCF sum from gathered 4x4 u32[8] windows. blk32 [...,8] u32;
-    returns the /9 factor (border-range tests included)."""
-    blk = jax.lax.bitcast_convert_type(blk32, jnp.uint16)
-    blk = blk.reshape(blk.shape[:-2] + (16,))             # [...,16] u16
-    d16 = blk.astype(jnp.float32) * (1.0 / 65535.0)
-    cmp = threshold[..., None] > d16     # tap passes => shadowed
-    cmp = cmp.reshape(cmp.shape[:-1] + (4, 4)).astype(jnp.float32)
+    returns the /9 factor (border-range tests included).
+
+    PLANAR form: the window unpacks to 16 per-tap [H, W] comparison
+    planes via shifts on the gathered words (one [N,8]->[8,N] transpose)
+    instead of a channel-minor [..., 16] -> [..., 4, 4] array — minor-dim
+    slices run 4 of 128 vector lanes and multiplied the shadow program's
+    generated code (round-5 compile-size fix; same select/add order, so
+    results are bit-equal)."""
+    words = jnp.moveaxis(blk32, -1, 0)                    # [8, ...]
+    scale = jnp.float32(1.0 / 65535.0)
+
+    def cmp(r, c):
+        t = 4 * r + c       # u16 index: word t//2, half t&1
+        d16 = ((words[t >> 1] >> (16 * (t & 1))) & 0xFFFF) \
+            .astype(jnp.float32) * scale
+        return (threshold > d16).astype(jnp.float32)
+
+    cmpp = [[cmp(r, c) for c in range(4)] for r in range(4)]
 
     inv_e = 1.0 / e
     ue = u * inv_e
@@ -112,10 +124,12 @@ def _window_pcf(blk32, threshold, u, v, py, px_, e):
     pxb = px_.astype(bool)
     shadow = jnp.zeros_like(threshold)
     for dy in (-1, 0, 1):
-        rowa = jnp.where(pyb[..., None], cmp[..., 2 + dy, :], cmp[..., 1 + dy, :])
         tv_in = (ve + dy * inv_e >= 0.0) & (ve + dy * inv_e < 1.0)
         for dx in (-1, 0, 1):
-            d = jnp.where(pxb, rowa[..., 2 + dx], rowa[..., 1 + dx])
+            d = jnp.where(
+                pyb,
+                jnp.where(pxb, cmpp[2 + dy][2 + dx], cmpp[2 + dy][1 + dx]),
+                jnp.where(pxb, cmpp[1 + dy][2 + dx], cmpp[1 + dy][1 + dx]))
             tu_in = (ue + dx * inv_e >= 0.0) & (ue + dx * inv_e < 1.0)
             shadow = shadow + jnp.where(tu_in & tv_in, d, 0.0)
     return shadow / 9.0
