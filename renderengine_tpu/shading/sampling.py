@@ -91,24 +91,47 @@ def aniso_spec(a) -> "AnisoSpec":
     return a if isinstance(a, AnisoSpec) else AnisoSpec(int(a), ())
 
 
+def _parity(n: int, shape, axis: int) -> jnp.ndarray:
+    """[H,W] bool: True where the axis coordinate is even."""
+    return (jax.lax.broadcasted_iota(jnp.int32, shape, axis) & 1) == 0
+
+
 def quad_dfdx(v: jnp.ndarray) -> jnp.ndarray:
     """GLSL dFdx with 2x2 quad semantics: for pixel x the derivative is
     v[x|1] - v[x&~1] along axis 1 (W). v: [H,W,...]. Odd extents behave as
     if the framebuffer were padded by edge replication (hardware pads to
-    full quads)."""
+    full quads).
+
+    ROLL + parity-select form: for even x the quad partner is x+1
+    (roll -1), for odd x it's x-1 — same subtractions, bit-equal results.
+    The old stride-2 slice + repeat lowered to cross-lane shuffle code
+    that XLA fused into EVERY consumer of the derivative: one dithered
+    texture tap fed by quad derivatives compiled to 70.7 MB of TPU code
+    vs 6.1 MB without them (measured round 5); rolls are cheap lane
+    rotations and the pattern fuses flat."""
     w = v.shape[1]
-    if w % 2:
+    pad = w % 2
+    if pad:
         v = jnp.concatenate([v, v[:, -1:]], axis=1)
-    d = v[:, 1::2] - v[:, 0::2]
-    return jnp.repeat(d, 2, axis=1)[:, :w]
+    nxt = jnp.roll(v, -1, axis=1)
+    prv = jnp.roll(v, 1, axis=1)
+    even = _parity(w + pad, v.shape[:2], 1)
+    even = even.reshape(even.shape + (1,) * (v.ndim - 2))
+    d = jnp.where(even, nxt - v, v - prv)
+    return d[:, :w]
 
 
 def quad_dfdy(v: jnp.ndarray) -> jnp.ndarray:
     h = v.shape[0]
-    if h % 2:
+    pad = h % 2
+    if pad:
         v = jnp.concatenate([v, v[-1:]], axis=0)
-    d = v[1::2] - v[0::2]
-    return jnp.repeat(d, 2, axis=0)[:h]
+    nxt = jnp.roll(v, -1, axis=0)
+    prv = jnp.roll(v, 1, axis=0)
+    even = _parity(h + pad, v.shape[:2], 0)
+    even = even.reshape(even.shape + (1,) * (v.ndim - 2))
+    d = jnp.where(even, nxt - v, v - prv)
+    return d[:h]
 
 
 def quad_pair_valid(covered: jnp.ndarray):
@@ -116,16 +139,23 @@ def quad_pair_valid(covered: jnp.ndarray):
     x-pair / y-pair are covered. A pair with an uncovered pixel has no
     meaningful finite difference: the uncovered pixel's attributes are
     resolve-path garbage (extrapolation of an arbitrary triangle) or
-    kernel zeros — and, critically, *different* garbage per backend."""
+    kernel zeros — and, critically, *different* garbage per backend.
+    Roll + parity form like ``quad_dfdx`` (same values)."""
     h, w = covered.shape[0], covered.shape[1]
     cx = covered
     if w % 2:
         cx = jnp.concatenate([cx, cx[:, -1:]], axis=1)
-    vx = jnp.repeat(cx[:, 1::2] & cx[:, 0::2], 2, axis=1)[:, :w]
+    ex = _parity(cx.shape[1], cx.shape, 1)
+    vx = cx & jnp.where(ex, jnp.roll(cx, -1, axis=1),
+                        jnp.roll(cx, 1, axis=1))
+    vx = vx[:, :w]
     cy = covered
     if h % 2:
         cy = jnp.concatenate([cy, cy[-1:]], axis=0)
-    vy = jnp.repeat(cy[1::2] & cy[0::2], 2, axis=0)[:h]
+    ey = _parity(cy.shape[0], cy.shape, 0)
+    vy = cy & jnp.where(ey, jnp.roll(cy, -1, axis=0),
+                        jnp.roll(cy, 1, axis=0))
+    vy = vy[:h]
     return vx, vy
 
 
