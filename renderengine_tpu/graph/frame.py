@@ -328,27 +328,53 @@ def render_shadow_maps(scene, shadow_viewproj, extent: int,
         s = triangle_setup_corners(c, scene["n_tris"], extent, extent,
                                    CullMode.FRONT)
         budget = max_pairs or _pair_budget(s.coef.shape[0], rc.pairs_per_tri)
-        rows = []
-        for sl in range(n_slices):
-            y0 = sl * slice_h
-            ss = s if n_slices == 1 else restrict_rows(s, y0, slice_h, extent)
+
+        def slice_body(ov, y0, s=s, budget=budget):
+            ss = restrict_rows(s, y0, slice_h, extent)
             if backend == "pallas":
                 from ..raster.pallas_raster import prepare_pallas_pairs
                 prep = prepare_pallas_pairs(ss, slice_h, extent,
                                             max_pairs=budget)
-                overflow = overflow + prep.bins.n_overflow
+                ov = ov + prep.bins.n_overflow
                 g, _ = rasterize(ss, slice_h, extent, rc, backend,
                                  prepared=prep, max_pairs=budget,
                                  y0=y0, full_height=extent)
             else:
                 if backend == "tiled":
                     from ..raster.binning import count_span_overflow
-                    overflow = overflow + count_span_overflow(
+                    ov = ov + count_span_overflow(
                         ss, rc.tile_h, rc.tile_w, budget)
                 g, _ = rasterize(ss, slice_h, extent, rc, backend,
                                  max_pairs=budget, y0=y0, full_height=extent)
-            rows.append(g.depth)
-        maps.append(rows[0] if n_slices == 1 else jnp.concatenate(rows, axis=0))
+            return ov, g.depth
+
+        if n_slices == 1:
+            if backend == "pallas":
+                from ..raster.pallas_raster import prepare_pallas_pairs
+                prep = prepare_pallas_pairs(s, slice_h, extent,
+                                            max_pairs=budget)
+                overflow = overflow + prep.bins.n_overflow
+                g, _ = rasterize(s, slice_h, extent, rc, backend,
+                                 prepared=prep, max_pairs=budget)
+            else:
+                if backend == "tiled":
+                    from ..raster.binning import count_span_overflow
+                    overflow = overflow + count_span_overflow(
+                        s, rc.tile_h, rc.tile_w, budget)
+                g, _ = rasterize(s, slice_h, extent, rc, backend,
+                                 max_pairs=budget)
+            maps.append(g.depth)
+        else:
+            # lax.scan over row slices: big maps (4096^2 = 8 slices past
+            # _PALLAS_TILE_LIMIT) used to UNROLL the whole bin+sort+pack+
+            # kernel chain per slice — 8x the generated code (the 22 MB
+            # shadow program, round-5 compile-size fix). restrict_rows
+            # takes a traced y0, so one slice body serves all slices.
+            ov, rows = jax.lax.scan(
+                slice_body, jnp.zeros((), jnp.int32),
+                jnp.arange(n_slices, dtype=jnp.int32) * slice_h)
+            overflow = overflow + ov
+            maps.append(rows.reshape(extent, extent))
     return jnp.stack(maps), overflow
 
 
@@ -1239,34 +1265,49 @@ class FrameRenderer:
         except Exception:
             return
 
-        def work():
+        sm_spec = None
+        if self.n_shadows > 0 and self.config.shadows:
             try:
-                sm_spec = None
-                if self.n_shadows > 0 and self.config.shadows:
-                    low = self._shadow_fn.lower(specs, u_spec)
-                    out_info = low.out_info
-                    low.compile()
-                    # (packed, overflow) when return_overflow, else the
-                    # bare ShadowPack (a NamedTuple — check _fields, not
-                    # isinstance(tuple))
-                    packed = (out_info
-                              if hasattr(out_info, "_fields")
-                              else out_info[0])
-                    sm_spec = jax.tree.map(
-                        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype),
-                        packed)
-                self._fn.lower(specs, u_spec, sm_spec).compile()
+                out_info = jax.eval_shape(self._shadow_fn, specs, u_spec)
+                # (packed, overflow) when return_overflow, else the bare
+                # ShadowPack (a NamedTuple — check _fields, not
+                # isinstance(tuple))
+                packed = (out_info if hasattr(out_info, "_fields")
+                          else out_info[0])
+                sm_spec = jax.tree.map(
+                    lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype),
+                    packed)
+            except Exception:
+                return
+
+        def work_shadow():
+            try:
+                self._shadow_fn.lower(specs, u_spec).compile()
             except Exception:
                 pass    # prewarm is best-effort; render() compiles lazily
 
-        t = threading.Thread(target=work, daemon=True)
-        t.start()
-        self._prewarm_thread = t
+        def work_frame():
+            try:
+                self._fn.lower(specs, u_spec, sm_spec).compile()
+            except Exception:
+                pass
+
+        # one thread per program: the compile RPCs are independent helper
+        # subprocesses, so shadow and frame compile CONCURRENTLY with the
+        # bake on the init thread — cold start ~= max, not sum
+        threads = [threading.Thread(target=work_frame, daemon=True)]
+        if sm_spec is not None:
+            threads.append(threading.Thread(target=work_shadow,
+                                            daemon=True))
+        for t in threads:
+            t.start()
+        self._prewarm_thread = threads
 
     def _join_prewarm(self) -> None:
-        t = getattr(self, "_prewarm_thread", None)
-        if t is not None:
-            t.join()
+        ts = getattr(self, "_prewarm_thread", None)
+        if ts is not None:
+            for t in (ts if isinstance(ts, list) else [ts]):
+                t.join()
             self._prewarm_thread = None
 
     @staticmethod
